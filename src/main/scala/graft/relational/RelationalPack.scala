@@ -1,0 +1,314 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.{Exact, Tables}
+
+/** Relational core: the scan/filter/join/agg/window/set-op surface the
+  * reference exercises through pandas (SURVEY.md §2.1-2.7), expressed as
+  * declarative Spark plans so Catalyst handles pushdown, join selection
+  * and AQE.
+  *
+  * Oracle parity notes (every query here is DuckDB-checked):
+  *  - double sums are order-dependent, so every money/quantity aggregate
+  *    is computed over exact decimals ([[graft.core.Exact]]) with the
+  *    same casts written into the oracle SQL;
+  *  - ratios/means are one final double division of exact operands —
+  *    bitwise-identical across engines;
+  *  - every result has a deterministic ORDER BY on a unique key set.
+  *
+  * Scale notes: group-by aggregations here are partial-aggregatable
+  * (map-side combine), joins either broadcast (nation/region/customer
+  * dims) or shuffle on the join key with AQE sizing; nothing collects to
+  * the driver.
+  */
+object RelationalPack extends QueryPack {
+
+  /** TPC-H Q1-shaped pricing summary (A1/A2/A4: groupBy + sum/avg/count).
+    * Reference shape: label frequency + money rollups
+    * (`Neww_Fai.py:163`, `metrics_8_6.py:40-61`). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val disc = Exact.dec2(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - Exact.dec2(col("l_discount")))
+    val charge = disc.cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,2)") + Exact.dec2(col("l_tax")))
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Exact.toOut(Exact.sum2(col("l_quantity"))).as("sum_qty"),
+        Exact.toOut(Exact.sum2(col("l_extendedprice"))).as("sum_base_price"),
+        Exact.toOut(sum(disc.cast("decimal(18,4)")).cast("decimal(38,4)")).as("sum_disc_price"),
+        Exact.toOut(sum(charge.cast("decimal(18,6)")).cast("decimal(38,6)")).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty",
+        Exact.meanOf(col("sum_qty"), col("count_order")))
+      .withColumn("avg_price",
+        Exact.meanOf(col("sum_base_price"), col("count_order")))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Shipping-priority join (J1: multi-way equi-join + group + top-k).
+    * Catalyst broadcast-joins the filtered customer side automatically
+    * at these sizes; at 100 TB the orders⋈lineitem shuffle keys align. */
+  def revenueTopK(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = t.orders.filter(col("o_orderdate") < cutoff)
+    val li = t.lineitem.filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(Exact.toOut(sum((Exact.dec2(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - Exact.dec2(col("l_discount"))))
+        .cast("decimal(18,4)")).cast("decimal(38,4)")).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Window rank (P10/O1): top order per customer by totalprice.
+    * One shuffle on o_custkey, rank inside the partition. */
+  def windowTopOrder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Range + isin predicates (P5/P6) with filter pushdown to parquet. */
+  def filterRange(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R") && !col("l_linestatus").isin("F"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_returnflag"))
+
+  /** Distinct-count per group (A3: `groupby(label)[fn].nunique()`).
+    * Exact here; `approx_count_distinct` is the documented 100 TB path
+    * (SURVEY §2.4 note) — see [[approxDistinct]]. */
+  def distinctPerGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy(col("l_returnflag"))
+
+  /** Pivot to wide (A6: `pivot_table(index, columns, values)`). Pivot
+    * values are enumerated explicitly — at scale this avoids the extra
+    * distinct-collect job Spark otherwise runs to discover them. */
+  def pivotStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .count()
+      .na.fill(0L)
+      .withColumnsRenamed(Map(
+        "1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+        "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+        "5-LOW" -> "p5_low"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Rollup with grand-total row (A5: per-field accuracy table + Overall
+    * appended row, one shuffle instead of group + union). */
+  def rollupReturns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"))
+      .agg(Exact.toOut(Exact.sum2(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("support"))
+      .select(coalesce(col("l_returnflag"), lit("Overall")).as("l_returnflag"),
+        col("sum_qty"), col("support"))
+      .orderBy(col("l_returnflag"))
+
+  /** Semi-join (M3 anti-leakage split gather: `left_semi` instead of the
+    * reference's per-fn loop `Neww_Fai.py:239-245`). */
+  def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 400000.0)
+    t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti-join: customers with no high-value orders. */
+  def antiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 300000.0)
+    t.customer.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Schema-aligning union (S11/§2.7: `pd.concat` vertical). */
+  def unionSegments(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val b = t.customer.filter(col("c_mktsegment") === "MACHINERY")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    a.unionByName(b).orderBy(col("c_custkey"))
+  }
+
+  /** describe()-equivalent summary stats (A4) from exact sums; stddev by
+    * the textbook formula over exact operands so DuckDB agrees bitwise. */
+  def describeQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val q = Exact.dec2(col("l_quantity"))
+    li.agg(
+        count(lit(1)).as("n"),
+        sum(q).cast("decimal(38,2)").as("s"),
+        sum((q * q).cast("decimal(18,4)")).cast("decimal(38,4)").as("s2"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"))
+      .select(col("n"),
+        Exact.meanOf(col("s"), col("n")).as("mean_q"),
+        Exact.stddevOf(col("s"), col("s2"), col("n")).as("std_q"),
+        col("min_q"), col("max_q"))
+  }
+
+  /** Pearson correlation (A11) from exact co-sums — same closed formula
+    * as the oracle, so the one double evaluation matches bitwise. */
+  def corrPriceDiscount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val x = Exact.dec2(col("l_extendedprice"))
+    val y = Exact.dec2(col("l_discount"))
+    li.agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,2)").as("sx"),
+        sum(y).cast("decimal(38,2)").as("sy"),
+        sum((x * y).cast("decimal(18,4)")).cast("decimal(38,4)").as("sxy"),
+        sum((x * x).cast("decimal(18,4)")).cast("decimal(38,4)").as("sxx"),
+        sum((y * y).cast("decimal(18,4)")).cast("decimal(38,4)").as("syy"))
+      .select(
+        Exact.corrOf(col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("syy"), col("n")).as("corr_price_discount"),
+        col("n"))
+  }
+
+  /** approx_count_distinct — the 100 TB alternative to exact nunique.
+    * No SQL oracle (sketch); driver records the rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_pricing_summary" -> pricingSummary,
+    "r02_revenue_topk" -> revenueTopK,
+    "r03_window_top_order" -> windowTopOrder,
+    "r04_filter_range" -> filterRange,
+    "r05_distinct_per_group" -> distinctPerGroup,
+    "r06_pivot_status_priority" -> pivotStatusPriority,
+    "r07_rollup_returns" -> rollupReturns,
+    "r08_semi_join" -> semiJoinCustomers,
+    "r09_anti_join" -> antiJoinCustomers,
+    "r10_union_segments" -> unionSegments,
+    "r11_describe_quantity" -> describeQuantity,
+    "r12_corr_price_discount" -> corrPriceDiscount,
+    "r13_approx_distinct" -> approxDistinct)
+
+  val oracles: Map[String, String] = Map(
+    "r01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "r02_revenue_topk" ->
+      """SELECT l_orderkey,
+        |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "r03_window_top_order" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+    "r04_filter_range" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A','R') AND l_linestatus NOT IN ('F')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin,
+    "r05_distinct_per_group" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_suppkey) AS n_suppliers
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "r06_pivot_status_priority" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1_urgent,
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2_high,
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3_medium,
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "r07_rollup_returns" ->
+      """SELECT coalesce(l_returnflag, 'Overall') AS l_returnflag,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+        |  count(*) AS support
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "r08_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "r09_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "r10_union_segments" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'
+        |ORDER BY c_custkey""".stripMargin,
+    "r11_describe_quantity" ->
+      """SELECT count(*) AS n,
+        |  CAST(CAST(sum(q) AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q,
+        |  sqrt((CAST(CAST(sum(CAST(q*q AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE)
+        |        - CAST(CAST(sum(q) AS DECIMAL(38,2)) AS DOUBLE) * CAST(CAST(sum(q) AS DECIMAL(38,2)) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |       / (CAST(count(*) AS DOUBLE) - 1.0)) AS std_q,
+        |  min(l_quantity) AS min_q, max(l_quantity) AS max_q
+        |FROM (SELECT l_quantity, CAST(l_quantity AS DECIMAL(18,2)) AS q FROM lineitem)""".stripMargin,
+    "r12_corr_price_discount" ->
+      """SELECT
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |       * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS corr_price_discount,
+        |  n
+        |FROM (SELECT count(*) AS n,
+        |  CAST(sum(x) AS DECIMAL(38,2)) AS sx, CAST(sum(y) AS DECIMAL(38,2)) AS sy,
+        |  CAST(sum(CAST(x*y AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sxy,
+        |  CAST(sum(CAST(x*x AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sxx,
+        |  CAST(sum(CAST(y*y AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS syy
+        |  FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
+        |               CAST(l_discount AS DECIMAL(18,2)) AS y FROM lineitem))""".stripMargin)
+}

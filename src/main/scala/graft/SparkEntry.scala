@@ -13,7 +13,9 @@ object SparkEntry {
   /** All operator-family packs. Order matters only for duplicate-key
     * detection (later packs must not reuse a name). */
   val packs: Seq[QueryPack] = Seq(
-    relational.RelationalPack)
+    relational.RelationalPack,
+    text.TextPack,
+    normalize.NormalizePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -22,6 +22,10 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Permissive-parse is the engine contract (reference semantics:
+      // unparseable → None); legacy cast-null matches the oracle's
+      // explicit TRY_CASTs.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+
+/** Oracle-checked queries for the text-shaping surface (chunking F14,
+  * truncation F13, length/token stats P3/P4, per-group flatten S8,
+  * distribution report A13) over the `documents` table.
+  *
+  * Scale notes: chunking is a shuffle-free `posexplode`; the flatten
+  * and the lang report are single partial-aggregatable shuffles. At
+  * 100 TB the chunk fan-out is the dominant row multiplier — keeping
+  * it inside codegen (array expressions, no UDF) is what makes the
+  * embed/kNN path CPU-bound instead of serialization-bound.
+  */
+object TextPack extends QueryPack {
+
+  val ChunkSize = 20
+  val Overlap = 5
+
+  /** F14 over documents: one row per chunk with lineage + stats. */
+  def chunkStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.chunkTable(Tables(spark, dir).documents,
+        col("doc_id"), col("text"), ChunkSize, Overlap)
+      .select(col("id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_word").cast("long").as("start_word"),
+        col("chunk_word_len").cast("long").as("chunk_word_len"))
+      .orderBy(col("id"), col("chunk_idx"))
+
+  /** First chunk's text per document — verifies chunk content, not
+    * just counts (md5 keeps the result compact). */
+  def chunkFirstText(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(element_at(TextOps.chunkTexts(col("text"), ChunkSize, Overlap), 1))
+          .as("first_chunk_md5"))
+      .orderBy(col("doc_id"))
+
+  /** P3/P4 stats per document. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextOps.charLen(col("text")).cast("long").as("char_len"),
+        TextOps.wordLen(col("text")).cast("long").as("word_len"),
+        TextOps.tokenCount(col("text")).cast("long").as("token_count"))
+      .orderBy(col("doc_id"))
+
+  /** A13-style distribution report by language. */
+  def langReport(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(col("lang"), col("n_docs"), col("n_sources"), col("sum_chars"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double"))
+          .as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** S8 flatten: all doc texts per source, ordered by doc_id, joined
+    * with newlines (md5'd — the value check is the content hash). */
+  def flattenBySource(spark: SparkSession, dir: String): DataFrame =
+    graft.ingest.Ingest.flattenPages(Tables(spark, dir).documents,
+        col("source"), col("doc_id"), col("text"))
+      .select(col("fn").as("source"), md5(col("full_text")).as("full_text_md5"))
+      .orderBy(col("source"))
+
+  /** F13 truncation golden vectors (documents.text has no newlines, so
+    * the line-based semantics need synthetic multi-line inputs). */
+  val truncVectors: Seq[String] = Seq(
+    "l1\nl2\nl3\nl4\nl5\nl6\nl7\nl8\nl9\nl10",
+    "a\nb\nc",
+    "one line only",
+    "1\n2\n3\n4\n5\n6\n7\n8",
+    "")
+
+  def truncate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    truncVectors.zipWithIndex.map { case (s, i) => (i, s) }.toDF("id", "s")
+      .select(col("id"),
+        TextOps.truncateTopBottom(col("s"), 4, 4).as("truncated"),
+        TextOps.keepLines(col("s"), 2).as("kept"))
+      .orderBy(col("id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_chunk_stats" -> chunkStats,
+    "t02_chunk_first_text" -> chunkFirstText,
+    "t03_token_stats" -> tokenStats,
+    "t04_lang_report" -> langReport,
+    "t05_flatten_by_source" -> flattenBySource,
+    "t06_truncate" -> truncate)
+
+  private def sqlLit(s: String): String =
+    if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
+
+  private val step = ChunkSize - Overlap
+
+  val oracles: Map[String, String] = Map(
+    "t01_chunk_stats" -> s"""
+      |WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+      |  FROM documents),
+      |c AS (SELECT doc_id, len(words) AS dwl,
+      |    unnest(range(0, len(words), $step)) AS start_word
+      |  FROM w WHERE len(words) > 0)
+      |SELECT doc_id AS id, CAST(start_word // $step AS BIGINT) AS chunk_idx,
+      |  CAST(start_word AS BIGINT) AS start_word,
+      |  CAST(least($ChunkSize, dwl - start_word) AS BIGINT) AS chunk_word_len
+      |FROM c ORDER BY id, chunk_idx""".stripMargin,
+    "t02_chunk_first_text" -> s"""
+      |WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words
+      |  FROM documents)
+      |SELECT doc_id, CASE WHEN len(words) > 0
+      |  THEN md5(array_to_string(words[1:least($ChunkSize, len(words))], ' '))
+      |  END AS first_chunk_md5
+      |FROM w ORDER BY doc_id""".stripMargin,
+    "t03_token_stats" -> s"""
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS char_len,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS word_len,
+      |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS token_count
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_lang_report" -> """
+      |SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t05_flatten_by_source" -> """
+      |SELECT source, md5(string_agg(text, chr(10) ORDER BY doc_id)) AS full_text_md5
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t06_truncate" -> s"""
+      |WITH x AS (SELECT * FROM ${truncVectors.zipWithIndex
+        .map { case (s, i) => s"($i, ${sqlLit(s)})" }
+        .mkString("(VALUES ", ", ", ") t(id, s)")}),
+      |l AS (SELECT id, s, string_split(s, chr(10)) AS lines FROM x)
+      |SELECT id,
+      | CASE WHEN s IS NULL THEN NULL
+      |      WHEN len(lines) <= 8 THEN s
+      |      ELSE array_to_string(lines[1:4] || lines[-4:], chr(10)) END AS truncated,
+      | array_to_string(lines[1:least(2, len(lines))]
+      |   || lines[greatest(-2, -len(lines)):], chr(10)) AS kept
+      |FROM l ORDER BY id""".stripMargin)
+}

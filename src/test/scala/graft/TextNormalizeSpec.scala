@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.normalize.{JsonRepair, Normalize}
+import graft.text.TextOps
+
+class TextNormalizeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any = {
+    import spark.implicits._
+    Seq(Option(input)).toDF("s").select(c.as("r")).collect()(0).get(0)
+  }
+
+  test("moneyOrNull golden vectors from the reference docstring") {
+    val m = (s: String) => one(Normalize.moneyOrNull(col("s")), s)
+    assert(m("1053.75") == "$1,053.75")
+    assert(m("($1,053.75)") == "-$1,053.75")
+    assert(m("$1053.7-") == "-$1,053.70")
+    assert(m("-$0.00") == "$0.00")
+    assert(m("NULL") == null)
+    assert(m("abc") == null)
+    assert(m("$1,234,567.89") == "$1,234,567.89")
+  }
+
+  test("ensureNegativeMoney follows the code, not the docstring") {
+    val f = (s: String) => one(Normalize.ensureNegativeMoney(col("s")), s)
+    assert(f("$123.45") == "-$123.45")
+    assert(f("($123.45)") == "($123.45)") // pass-through: already negative
+    assert(f("-$0.00") == "$0.00")
+    assert(f("123.45") == "-$123.45")
+    assert(f("$abc") == "$abc")
+  }
+
+  test("dateSane keeps originals only in-window, first sane format wins") {
+    val d = (s: String) => one(Normalize.dateSane(col("s")), s)
+    assert(d("09/01/2025") == "09/01/2025")
+    assert(d("12/31/24") == "12/31/24") // yy → 2024, despite yyyy mis-parse
+    assert(d("1899-12-31") == null)
+    assert(d("02/29/2023") == null)
+    assert(d("02/29/2024") == "02/29/2024")
+  }
+
+  test("chunker covers every word with the step formula") {
+    import spark.implicits._
+    val words = (1 to 47).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(words).toDF("text")
+      .select(TextOps.chunkTexts(col("text"), 20, 5).as("c"))
+      .collect()(0).getSeq[String](0)
+    // starts 0,15,30,45 → 4 chunks; last has 2 words
+    assert(chunks.length == 4)
+    assert(chunks(0).split(" ").length == 20)
+    assert(chunks(0).startsWith("w1 ") && chunks(1).startsWith("w16 "))
+    assert(chunks(3) == "w46 w47")
+    // consecutive chunks overlap by exactly 5 words
+    assert(chunks(0).split(" ").takeRight(5).toSeq ==
+      chunks(1).split(" ").take(5).toSeq)
+  }
+
+  test("chunker emits nothing for empty text") {
+    import spark.implicits._
+    val n = Seq("", "   ").toDF("text")
+      .select(explode(TextOps.chunkTexts(col("text"), 20, 5))).count()
+    assert(n == 0)
+  }
+
+  test("truncateTopBottom keeps short docs unchanged") {
+    val t = (s: String) => one(TextOps.truncateTopBottom(col("s"), 2, 2), s)
+    assert(t("a\nb\nc") == "a\nb\nc")
+    assert(t("a\nb\nc\nd\ne\nf") == "a\nb\ne\nf")
+  }
+
+  test("json repair slices to the outer braces and parses strictly") {
+    val f = (s: String) => one(JsonRepair.field(col("s"), "a"), s)
+    assert(f("""text {"a": "1"} more""") == "1")
+    assert(f("""{"a": "1"""") == "1")
+    assert(f("garbage") == null)
+    assert(f("""{"a": "4"} extra }""") == null) // json.loads would raise
+  }
+
+  test("validation status covers all four states") {
+    import spark.implicits._
+    val rows = Seq(("1", "1"), ("NULL", "2"), ("3", ""), ("4", "5"))
+      .toDF("p", "g")
+      .select(graft.metrics.Evaluation.validationStatus(col("p"), col("g")))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("MATCH", "MISSING", "FALSE_POSITIVE", "MISMATCH"))
+  }
+}

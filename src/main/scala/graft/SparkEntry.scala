@@ -15,7 +15,8 @@ object SparkEntry {
   val packs: Seq[QueryPack] = Seq(
     relational.RelationalPack,
     text.TextPack,
-    normalize.NormalizePack)
+    normalize.NormalizePack,
+    vector.VectorPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

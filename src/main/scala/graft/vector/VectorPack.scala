@@ -1,0 +1,190 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.metrics.Evaluation
+import graft.sample.Sampling
+
+/** Oracle-checked queries for the vector/kNN/sampling surface over the
+  * `embeddings` table (SURVEY.md §2.3 J4, §2.5, §2.9 L2-L4).
+  *
+  * Similarities are rounded to 6 decimals at the output boundary only;
+  * ranking happens on full precision with (sim DESC, neighbor ASC)
+  * tie-breaks on both engines.
+  */
+object VectorPack extends QueryPack {
+
+  private val K = 3
+
+  /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN. */
+  def knnTop3(spark: SparkSession, dir: String): DataFrame =
+    KnnJoin.exactCross(Tables(spark, dir).embeddings,
+        Tables(spark, dir).embeddings, K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** L4: top-1 neighbor's label as the prediction (leave-self-out). */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.exactCross(e, e, 1)
+      .join(e.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .select(col("query_id").as("vec_id"),
+        col("true_label").cast("long").as("true_label"),
+        col("n_label").cast("long").as("pred_label"),
+        when(col("true_label") === col("n_label"), 1L).otherwise(0L).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** A5-over-kNN: per-label accuracy + Overall rollup row. */
+  def knnAccuracyByLabel(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.accuracyTable(knnClassify(spark, dir),
+        col("true_label").cast("string"), col("correct"))
+      .orderBy(col("field"))
+
+  /** L2: norms before/after normalization. */
+  def norms(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"),
+        round(VectorOps.norm(col("embedding")), 6).as("norm_before"),
+        round(VectorOps.norm(VectorOps.l2Normalize(col("embedding"))), 6)
+          .as("norm_after"))
+      .orderBy(col("vec_id"))
+
+  /** Cosine between consecutive vector ids (zip_with dot exercise). */
+  def cosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.embeddings.select(col("vec_id"), col("embedding").as("ea"))
+    val b = t.embeddings.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("vec_id"))
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos_next"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** M1: 10-per-label deterministic balanced sample. */
+  def sampleByLabel(spark: SparkSession, dir: String): DataFrame =
+    Sampling.balancedSample(
+        Tables(spark, dir).embeddings.select(col("vec_id"), col("label")),
+        col("label"), 10, col("vec_id"))
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy(col("label"), col("vec_id"))
+
+  /** M3: anti-leakage split of documents at the source level. */
+  def docSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.docSplit(
+        Tables(spark, dir).documents.select(col("doc_id"), col("source")),
+        col("source"), 0.8)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** F23: per-query softmax-ish score normalization over top-k, via
+    * exact decimal sums so the denominator is order-independent. */
+  def topkSoftmax(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    // rescale works on the FULL-precision sim and rounds once at the
+    // boundary: rounding an already-rounded value creates exact
+    // half-way ties where the engines' round() implementations
+    // legitimately disagree.
+    val hits = KnnJoin.exactCross(e, e, K)
+      .withColumn("simd", round(col("sim"), 6).cast("decimal(18,6)"))
+    val w = Window.partitionBy(col("query_id"))
+    hits
+      .withColumn("total", sum(col("simd")).over(w).cast("decimal(28,6)"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        when(col("total") =!= 0,
+          col("simd").cast("double") / col("total").cast("double"))
+          .as("p"),
+        round(VectorOps.rescale01(col("sim")), 6).as("sim_rescaled"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_knn_top3" -> knnTop3,
+    "v02_knn_classify" -> knnClassify,
+    "v03_knn_accuracy_by_label" -> knnAccuracyByLabel,
+    "v04_norms" -> norms,
+    "v05_cosine_pairs" -> cosinePairs,
+    "v06_sample_by_label" -> sampleByLabel,
+    "v07_doc_split" -> docSplit,
+    "v08_topk_softmax" -> topkSoftmax)
+
+  private val knnCte = s"""
+    |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    |p AS (SELECT q.vec_id AS qid, n.vec_id AS nid, n.label AS nlabel,
+    |        list_dot_product(q.v, n.v) AS sim
+    |      FROM e q JOIN e n ON q.vec_id <> n.vec_id),
+    |r AS (SELECT qid, nid, nlabel, sim,
+    |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    |      FROM p)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "v01_knn_top3" -> s"""
+      |WITH $knnCte
+      |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
+      |  round(sim, 6) AS sim
+      |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin,
+    "v02_knn_classify" -> s"""
+      |WITH $knnCte
+      |SELECT r.qid AS vec_id, CAST(e.label AS BIGINT) AS true_label,
+      |  CAST(r.nlabel AS BIGINT) AS pred_label,
+      |  CASE WHEN e.label = r.nlabel THEN 1 ELSE 0 END AS correct
+      |FROM r JOIN e ON e.vec_id = r.qid WHERE r.rnk = 1
+      |ORDER BY vec_id""".stripMargin,
+    "v03_knn_accuracy_by_label" -> s"""
+      |WITH $knnCte,
+      |c AS (SELECT r.qid, CAST(e.label AS VARCHAR) AS field,
+      |        CASE WHEN e.label = r.nlabel THEN 1 ELSE 0 END AS correct
+      |      FROM r JOIN e ON e.vec_id = r.qid WHERE r.rnk = 1)
+      |SELECT coalesce(field, 'Overall') AS field,
+      |  CAST(sum(correct) AS BIGINT) AS correct,
+      |  count(*) AS support,
+      |  CAST(CAST(sum(correct) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM c GROUP BY ROLLUP(field) ORDER BY field""".stripMargin,
+    "v04_norms" -> """
+      |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(list_dot_product(v, v)) AS nb,
+      |        CASE WHEN sqrt(list_dot_product(v, v)) = 0 THEN v
+      |             ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v))) END AS vn
+      |      FROM e)
+      |SELECT vec_id, round(nb, 6) AS norm_before,
+      |  round(sqrt(list_dot_product(vn, vn)), 6) AS norm_after
+      |FROM n ORDER BY vec_id""".stripMargin,
+    "v05_cosine_pairs" -> """
+      |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id,
+      |  round(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_next
+      |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+      |ORDER BY a.vec_id""".stripMargin,
+    "v06_sample_by_label" -> """
+      |WITH r AS (SELECT vec_id, label,
+      |  row_number() OVER (PARTITION BY label
+      |    ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      |  FROM embeddings)
+      |SELECT vec_id, CAST(label AS BIGINT) AS label
+      |FROM r WHERE rn <= 10 ORDER BY label, vec_id""".stripMargin,
+    "v07_doc_split" -> """
+      |SELECT doc_id, source,
+      |  CASE WHEN substr(md5('42' || source), 1, 4) < 'cccd' THEN 'train'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "v08_topk_softmax" -> s"""
+      |WITH $knnCte,
+      |k AS (SELECT qid, rnk, nid, CAST(round(sim, 6) AS DECIMAL(18,6)) AS simd,
+      |        sim
+      |      FROM r WHERE rnk <= $K),
+      |t AS (SELECT qid, CAST(sum(simd) AS DECIMAL(28,6)) AS total FROM k GROUP BY qid)
+      |SELECT k.qid AS query_id, CAST(k.rnk AS BIGINT) AS rank, k.nid AS neighbor_id,
+      |  CASE WHEN t.total <> 0
+      |    THEN CAST(k.simd AS DOUBLE) / CAST(t.total AS DOUBLE) END AS p,
+      |  round((1.0 + k.sim) / 2.0, 6) AS sim_rescaled
+      |FROM k JOIN t ON k.qid = t.qid
+      |ORDER BY query_id, rank""".stripMargin)
+}

@@ -16,7 +16,9 @@ object SparkEntry {
     relational.RelationalPack,
     text.TextPack,
     normalize.NormalizePack,
-    vector.VectorPack)
+    vector.VectorPack,
+    dedup.DedupPack,
+    text.AnalysisPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,169 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.vector.VectorOps
+
+/** Oracle-checked dedup queries over `documents` with PLANTED
+  * duplicates: the synthetic corpus is word-soup with no natural
+  * dups, so each query augments it identically on both engines —
+  * exact copies at doc_id+200000 (doc_id<50) and near-copies with the
+  * first word dropped at doc_id+100000 (doc_id<100). The operators
+  * then have real work to find.
+  */
+object DedupPack extends QueryPack {
+
+  /** documents ∪ planted near-dups ∪ planted exact dups. */
+  def augmented(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
+    val exact = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    d.unionByName(near).unionByName(exact)
+  }
+
+  private val augmentedSql = """
+    |aug AS (
+    |  SELECT doc_id, text FROM documents
+    |  UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\S+\s*', '')
+    |    FROM documents WHERE doc_id < 100
+    |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50)""".stripMargin
+
+  /** Exact dedup: duplicate content groups (digest, keeper, count). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(augmented(spark, dir), col("doc_id"), col("text"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("content_hash"))
+
+  /** n-gram Jaccard near-dup pairs (finds the planted near-copies). */
+  def jaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(augmented(spark, dir), col("doc_id"), col("text"),
+        k = 3, threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** MinHash-LSH candidate pairs. */
+  def minhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(augmented(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** SimHash values per augmented doc. */
+  def simhashValues(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(augmented(spark, dir), col("doc_id"), col("text"))
+      .orderBy(col("id"))
+
+  /** SimHash near-dup pairs at Hamming ≤ 2. */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(augmented(spark, dir), col("doc_id"), col("text"), 2)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Embedding-cosine near-dup pairs (vectors have no planted dups;
+    * threshold sits below the top-neighbor band so real pairs emerge). */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> exactDedup,
+    "d02_jaccard_pairs" -> jaccard,
+    "d03_minhash_candidates" -> minhash,
+    "d04_simhash_values" -> simhashValues,
+    "d05_simhash_pairs" -> simhashNearDups,
+    "d06_embedding_near_dups" -> embeddingNearDups)
+
+  /** Shared SQL: distinct 3-gram shingle rows over `aug`. */
+  private val shingleSql = """
+    |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM aug),
+    |sh AS (SELECT DISTINCT doc_id AS id, s AS sh
+    |  FROM (SELECT doc_id, unnest(CASE WHEN len(words) >= 3
+    |    THEN list_transform(range(1, len(words) - 1),
+    |         i -> array_to_string(words[i:i+2], ' '))
+    |    ELSE [] END) AS s FROM w))""".stripMargin
+
+  /** 16-bit md5-prefix hash in pure SQL (nibble decode). */
+  private def hv(e: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" -> s"""
+      |WITH $augmentedSql
+      |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+      |  count(*) AS n_copies
+      |FROM aug GROUP BY md5(text) HAVING count(*) > 1
+      |ORDER BY content_hash""".stripMargin,
+    "d02_jaccard_pairs" -> s"""
+      |WITH $augmentedSql, $shingleSql,
+      |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |pairs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+      |  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+      |SELECT p.a_id, p.b_id, p.inter,
+      |  sa.n AS na, sb.n AS nb,
+      |  round(CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE), 6) AS jaccard
+      |FROM pairs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
+      |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin,
+    "d03_minhash_candidates" -> s"""
+      |WITH $augmentedSql, $shingleSql,
+      |mh AS (SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+      |  FROM sh, unnest(range(0, 12)) t(seed) GROUP BY id, seed),
+      |bands AS (SELECT id, CAST(seed // 3 AS INT) AS band,
+      |    string_agg(mh, ',' ORDER BY seed) AS bandsig
+      |  FROM mh GROUP BY id, CAST(seed // 3 AS INT))
+      |SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      |FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig
+      |WHERE a.id < b.id
+      |ORDER BY a_id, b_id""".stripMargin,
+    "d04_simhash_values" -> s"""
+      |WITH $augmentedSql,
+      |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |dw AS (SELECT DISTINCT doc_id AS id, u AS word
+      |  FROM (SELECT doc_id, unnest(words) AS u FROM w)),
+      |hb AS (SELECT id, ${hv("word")} AS hvv, unnest(range(0, 16)) AS bit FROM dw),
+      |bs AS (SELECT id, bit,
+      |    sum(CAST(floor(hvv / pow(2, bit)) AS BIGINT) % 2 * 2 - 1) AS s
+      |  FROM hb GROUP BY id, bit)
+      |SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT)
+      |  ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bs GROUP BY id ORDER BY id""".stripMargin,
+    "d05_simhash_pairs" -> s"""
+      |WITH $augmentedSql,
+      |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |dw AS (SELECT DISTINCT doc_id AS id, u AS word
+      |  FROM (SELECT doc_id, unnest(words) AS u FROM w)),
+      |hb AS (SELECT id, ${hv("word")} AS hvv, unnest(range(0, 16)) AS bit FROM dw),
+      |bs AS (SELECT id, bit,
+      |    sum(CAST(floor(hvv / pow(2, bit)) AS BIGINT) % 2 * 2 - 1) AS s
+      |  FROM hb GROUP BY id, bit),
+      |sh2 AS (SELECT id, CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT)
+      |  ELSE 0 END) AS BIGINT) AS simhash FROM bs GROUP BY id)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh2 a JOIN sh2 b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |ORDER BY a_id, b_id""".stripMargin,
+    "d06_embedding_near_dups" -> """
+      |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_dot_product(a.v, b.v)
+      |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.v, b.v)
+      |  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+      |ORDER BY a_id, b_id""".stripMargin)
+}

@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+
+/** Oracle-checked text-analysis queries: language ID, quality
+  * scoring, rolling-hash fingerprints over `documents`. */
+object AnalysisPack extends QueryPack {
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val (detected, score) = TextAnalysis.langId(col("text"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), detected.as("lang_detected"),
+        score.cast("long").as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.alphaChars(col("text")).cast("long").as("alpha_chars"),
+        TextAnalysis.punctChars(col("text")).cast("long").as("punct_chars"),
+        TextAnalysis.digitChars(col("text")).cast("long").as("digit_chars"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_lang_id" -> langId,
+    "a02_quality" -> quality,
+    "a03_fingerprint" -> fingerprint)
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private val profiles = TextAnalysis.defaultProfiles
+  private val stopAll = profiles.flatMap(_._2)
+
+  private val wordsCte = """
+    |w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words
+    |  FROM documents)""".stripMargin
+
+  private def hv(e: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "a01_lang_id" -> s"""
+      |WITH $wordsCte,
+      |s AS (SELECT doc_id,
+      |  ${profiles.map { case (n, p) =>
+             s"len(list_filter(words, x -> x IN (${inList(p)}))) AS s_$n"
+           }.mkString(",\n  ")}
+      | FROM w)
+      |SELECT doc_id,
+      | CASE ${profiles.init.map { case (n, _) =>
+             s"WHEN s_$n = greatest(${profiles.map("s_" + _._1).mkString(", ")}) THEN '$n'"
+           }.mkString(" ")}
+      |      ELSE '${profiles.last._1}' END AS lang_detected,
+      | CAST(greatest(${profiles.map("s_" + _._1).mkString(", ")}) AS BIGINT) AS score
+      |FROM s ORDER BY doc_id""".stripMargin,
+    "a02_quality" -> s"""
+      |WITH $wordsCte,
+      |q AS (SELECT doc_id, text, words,
+      |  length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+      |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars,
+      |  length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars,
+      |  len(words) AS n,
+      |  len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS stop_n
+      | FROM w)
+      |SELECT doc_id, CAST(alpha_chars AS BIGINT) AS alpha_chars,
+      |  CAST(punct_chars AS BIGINT) AS punct_chars,
+      |  CAST(digit_chars AS BIGINT) AS digit_chars,
+      |  round(0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+      |      + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+      |          THEN CAST(punct_chars AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+      |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0), 6) AS quality
+      |FROM q ORDER BY doc_id""".stripMargin,
+    "a03_fingerprint" -> s"""
+      |WITH $wordsCte
+      |SELECT doc_id,
+      |  list_reduce([CAST(0 AS BIGINT)] || list_transform(words, x -> CAST(${hv("x")} AS BIGINT)),
+      |    (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint
+      |FROM w ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, document fingerprinting (builder brief; SURVEY.md
+  * §7.4 note 5 ties them to the 100 TB posture).
+  *
+  * Everything is a per-row expression tree — no shuffle, no UDF —
+  * so these run inside the scan stage at full codegen speed, which is
+  * exactly where corpus filtering wants to be at 100 TB (drop rows
+  * before anything shuffles).
+  */
+object TextAnalysis {
+
+  /** Default language profiles: token lists scored by occurrence.
+    * Real deployments swap in per-language stopword lists; the
+    * mechanism (argmax of profile hit counts with deterministic
+    * tie-breaks) is what the engine provides. */
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "db" -> Seq("join", "merge", "sort", "hash", "scan", "filter"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "sp" -> Seq("spark", "stream", "batch", "window"))
+
+  /** Occurrences of any profile token in the word sequence. */
+  def profileScore(words: Column, profile: Seq[String]): Column =
+    aggregate(words, lit(0),
+      (acc, w) => acc + when(w.isin(profile: _*), 1).otherwise(0))
+
+  /** N-gram/stopword-heuristic language ID: (detected, score).
+    * Ties break toward the earlier profile — encode the same CASE
+    * order in any oracle. */
+  def langId(text: Column,
+             profiles: Seq[(String, Seq[String])] = defaultProfiles): (Column, Column) = {
+    val ws = TextOps.words(text)
+    val scores = profiles.map { case (name, p) => name -> profileScore(ws, p) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val detected = scores.init.foldRight(lit(scores.last._1)) {
+      case ((name, s), rest) => when(s === best, name).otherwise(rest)
+    }
+    (detected, best)
+  }
+
+  /** Quality-signal columns (length/punct/stopword ratios). */
+  def alphaChars(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", ""))
+  def punctChars(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+  def digitChars(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", ""))
+
+  /** Composite quality score in [0,1]: stopword presence + low punct
+    * + reasonable length, the reference-style heuristic blend. */
+  def qualityScore(text: Column,
+                   stopwords: Seq[String] = defaultProfiles.flatMap(_._2)): Column = {
+    val ws = TextOps.words(text)
+    val n = size(ws)
+    val stopRatio = when(n > 0,
+      profileScore(ws, stopwords).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+    val punctRatio = when(length(text) > 0,
+      punctChars(text).cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
+    val lenScore = least(lit(1.0), n.cast("double") / 100.0)
+    lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * lenScore
+  }
+
+  /** Polynomial rolling-hash fingerprint over the word sequence
+    * (order-sensitive: reordered documents fingerprint differently,
+    * unlike the simhash/minhash set signatures). */
+  def fingerprint(text: Column, modulus: Long = 2147483647L): Column =
+    aggregate(TextOps.words(text), lit(0L),
+      (acc, w) => pmod(acc * 31 + Dedup.hash16(w), lit(modulus)))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{Dedup, DedupPack}
+import graft.text.TextAnalysis
+
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("exact dedup finds exactly the planted copies") {
+    val groups = DedupPack.exactDedup(spark, sf).collect()
+    assert(groups.length == 50)
+    assert(groups.forall(_.getLong(2) == 2))
+    assert(groups.forall(_.getLong(1) < 50)) // keeper is the original
+  }
+
+  test("jaccard pairs recover planted near-dups with high similarity") {
+    val pairs = DedupPack.jaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(planted.length >= 90) // near-copies of docs 0..99
+    assert(planted.forall(_._3 > 0.8))
+  }
+
+  test("minhash candidates contain the planted near-dups") {
+    val cands = DedupPack.minhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0L until 100L).map(i => (i, i + 100000))
+      .count(cands.contains)
+    assert(planted >= 90)
+  }
+
+  test("simhash of a document equals simhash of its exact copy") {
+    val s = DedupPack.simhashValues(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 50L).foreach { i =>
+      assert(s(i) == s(i + 200000), s"doc $i vs exact copy")
+    }
+  }
+
+  test("fingerprint is order-sensitive where set signatures are not") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")
+      .withColumn("id", monotonically_increasing_id())
+    val fps = df.select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+    val sims = Dedup.simhash(df, col("id"), col("text"))
+      .collect().map(_.getLong(1))
+    assert(sims(0) == sims(1))
+  }
+}

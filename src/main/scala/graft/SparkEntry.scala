@@ -18,7 +18,8 @@ object SparkEntry {
     normalize.NormalizePack,
     vector.VectorPack,
     dedup.DedupPack,
-    text.AnalysisPack)
+    text.AnalysisPack,
+    metrics.MetricsPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -34,10 +34,14 @@ object Calibration {
         (col("sy").cast("double") / col("n").cast("double")).as("accuracy"))
   }
 
-  /** Scalar ECE from the reliability bins (driver gets a 1-row frame). */
+  /** Scalar ECE from the reliability bins (driver gets a 1-row frame).
+    * The per-bin |acc−conf|·n addends are doubles; they go through a
+    * decimal(28,12) cast before summation so the ≤`bins`-term sum is
+    * order-independent (and the oracle can reproduce it exactly). */
   def ece(df: DataFrame, prob: Column, label: Column, bins: Int = 10): DataFrame =
     reliabilityBins(df, prob, label, bins)
       .agg(
-        (sum(col("n") * abs(col("accuracy") - col("confidence"))) /
-          sum(col("n"))).as("ece"))
+        (sum((col("n").cast("double") * abs(col("accuracy") - col("confidence")))
+          .cast("decimal(28,12)")).cast("double") /
+          sum(col("n")).cast("double")).as("ece"))
 }

@@ -1,0 +1,197 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.vector.KnnJoin
+
+/** Oracle-checked evaluation metrics over the kNN classifier's
+  * predictions (SURVEY.md §2.4): confusion matrix, classification
+  * report, doc-level rollup, n-way agreement, reliability bins + ECE,
+  * wide pivot.
+  */
+object MetricsPack extends QueryPack {
+
+  /** top-3 neighbors with the query's own label attached. */
+  private def hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.exactCross(e, e, 3)
+      .join(e.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+  }
+
+  def confusion(spark: SparkSession, dir: String): DataFrame =
+    Classification.confusionMatrix(
+        hits(spark, dir).filter(col("rank") === 1),
+        col("true_label"), col("n_label"))
+      .orderBy(col("true_label"), col("pred_label"))
+
+  def report(spark: SparkSession, dir: String): DataFrame =
+    Classification.classificationReport(
+      hits(spark, dir).filter(col("rank") === 1),
+      col("true_label"), col("n_label"))
+
+  /** A8: groups of 10 consecutive vec_ids act as one "document"; the
+    * doc is correct only if every member row is. */
+  def docRollup(spark: SparkSession, dir: String): DataFrame =
+    Classification.docRollup(
+        hits(spark, dir).filter(col("rank") === 1),
+        floor(col("query_id") / 10).cast("long"),
+        when(col("true_label") === col("n_label"), 1L).otherwise(0L))
+      .orderBy(col("doc"))
+
+  /** A9: do the rank-1/2/3 neighbor labels agree? */
+  def agreement(spark: SparkSession, dir: String): DataFrame = {
+    val wide = hits(spark, dir)
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("rank") === 1, col("n_label"))).as("p1"),
+        max(when(col("rank") === 2, col("n_label"))).as("p2"),
+        max(when(col("rank") === 3, col("n_label"))).as("p3"))
+    Evaluation.agreementRate(wide, Seq(col("p1"), col("p2"), col("p3")))
+  }
+
+  /** Confidence = rescaled top-1 sim; outcome = top-1 correct. */
+  private def calibInput(spark: SparkSession, dir: String): DataFrame =
+    hits(spark, dir).filter(col("rank") === 1)
+      .select(
+        round((lit(1.0) + col("sim")) / 2.0, 6).as("prob"),
+        when(col("true_label") === col("n_label"), 1L).otherwise(0L).as("y"))
+
+  def reliability(spark: SparkSession, dir: String): DataFrame =
+    Calibration.reliabilityBins(calibInput(spark, dir), col("prob"), col("y"))
+      .orderBy(col("bin"))
+
+  def ece(spark: SparkSession, dir: String): DataFrame =
+    Calibration.ece(calibInput(spark, dir), col("prob"), col("y"))
+
+  /** A6: wide pivot with a deterministic `last` (max_by on doc_id). */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables(spark, dir).documents
+      .withColumn("fn", pmod(col("doc_id"), lit(50L)))
+      .groupBy(col("fn"))
+      .pivot("lang", langs)
+      .agg(max_by(col("source"), col("doc_id")))
+      .na.fill("NULL", langs)
+      .orderBy(col("fn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_confusion" -> confusion,
+    "m02_classification_report" -> report,
+    "m03_doc_rollup" -> docRollup,
+    "m04_agreement" -> agreement,
+    "m05_reliability_bins" -> reliability,
+    "m06_ece" -> ece,
+    "m07_pivot_wide" -> pivotWide)
+
+  private val predsCte = """
+    |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    |pr AS (SELECT q.vec_id AS qid, n.vec_id AS nid, n.label AS nlabel,
+    |        q.label AS tlabel, list_dot_product(q.v, n.v) AS sim
+    |      FROM e q JOIN e n ON q.vec_id <> n.vec_id),
+    |r AS (SELECT qid, nid, nlabel, tlabel, sim,
+    |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    |      FROM pr),
+    |p1 AS (SELECT qid, CAST(tlabel AS VARCHAR) AS t, CAST(nlabel AS VARCHAR) AS p, sim
+    |       FROM r WHERE rnk = 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "m01_confusion" -> s"""
+      |WITH $predsCte
+      |SELECT t AS true_label, p AS pred_label, count(*) AS n
+      |FROM p1 GROUP BY t, p ORDER BY true_label, pred_label""".stripMargin,
+    "m02_classification_report" -> s"""
+      |WITH $predsCte,
+      |bt AS (SELECT t AS label, count(*) AS support,
+      |         sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS tp FROM p1 GROUP BY t),
+      |bp AS (SELECT p AS label, count(*) AS pred_n FROM p1 GROUP BY p),
+      |pc AS (SELECT coalesce(bt.label, bp.label) AS label,
+      |         coalesce(support, 0) AS support, coalesce(tp, 0) AS tp,
+      |         coalesce(pred_n, 0) AS pred_n
+      |       FROM bt FULL OUTER JOIN bp ON bt.label = bp.label),
+      |pc2 AS (SELECT label, support, tp,
+      |         CASE WHEN pred_n > 0 THEN CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE) ELSE 0.0 END AS precision,
+      |         CASE WHEN support > 0 THEN CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) ELSE 0.0 END AS recall
+      |       FROM pc),
+      |pc3 AS (SELECT *, CASE WHEN precision + recall > 0.0
+      |         THEN 2.0 * precision * recall / (precision + recall) ELSE 0.0 END AS f1
+      |       FROM pc2),
+      |s AS (SELECT count(*) AS n_classes,
+      |        list_reduce([0.0] || list(precision ORDER BY label), (a, b) -> a + b) AS sp,
+      |        list_reduce([0.0] || list(recall ORDER BY label), (a, b) -> a + b) AS sr,
+      |        list_reduce([0.0] || list(f1 ORDER BY label), (a, b) -> a + b) AS sf,
+      |        CAST(sum(support) AS BIGINT) AS total, CAST(sum(tp) AS BIGINT) AS correct,
+      |        list_reduce([0.0] || list(precision * CAST(support AS DOUBLE) ORDER BY label), (a, b) -> a + b) AS wp,
+      |        list_reduce([0.0] || list(recall * CAST(support AS DOUBLE) ORDER BY label), (a, b) -> a + b) AS wr,
+      |        list_reduce([0.0] || list(f1 * CAST(support AS DOUBLE) ORDER BY label), (a, b) -> a + b) AS wf
+      |      FROM pc3)
+      |SELECT label, precision, recall, f1, CAST(support AS BIGINT) AS support FROM (
+      |  SELECT 0 AS ord, label, precision, recall, f1, support FROM pc3
+      |  UNION ALL SELECT 1, 'accuracy',
+      |    CAST(correct AS DOUBLE) / CAST(total AS DOUBLE),
+      |    CAST(correct AS DOUBLE) / CAST(total AS DOUBLE),
+      |    CAST(correct AS DOUBLE) / CAST(total AS DOUBLE), total FROM s
+      |  UNION ALL SELECT 2, 'macro avg',
+      |    sp / CAST(n_classes AS DOUBLE),
+      |    sr / CAST(n_classes AS DOUBLE),
+      |    sf / CAST(n_classes AS DOUBLE), total FROM s
+      |  UNION ALL SELECT 3, 'weighted avg',
+      |    wp / CAST(total AS DOUBLE),
+      |    wr / CAST(total AS DOUBLE),
+      |    wf / CAST(total AS DOUBLE), total FROM s)
+      |ORDER BY ord, label""".stripMargin,
+    "m03_doc_rollup" -> s"""
+      |WITH $predsCte
+      |SELECT CAST(floor(qid / 10) AS BIGINT) AS doc,
+      |  min(CASE WHEN t = p THEN 1 ELSE 0 END) AS doc_correct,
+      |  count(*) AS n_rows
+      |FROM p1 GROUP BY 1 ORDER BY doc""".stripMargin,
+    "m04_agreement" -> s"""
+      |WITH $predsCte,
+      |wide AS (SELECT qid,
+      |    max(CASE WHEN rnk = 1 THEN nlabel END) AS p1,
+      |    max(CASE WHEN rnk = 2 THEN nlabel END) AS p2,
+      |    max(CASE WHEN rnk = 3 THEN nlabel END) AS p3
+      |  FROM r WHERE rnk <= 3 GROUP BY qid)
+      |SELECT CAST(sum(CASE WHEN p1 = p2 AND p2 = p3 THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+      |  count(*) AS total,
+      |  CAST(sum(CASE WHEN p1 = p2 AND p2 = p3 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS agreement_pct
+      |FROM wide""".stripMargin,
+    "m05_reliability_bins" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT round((1.0 + sim) / 2.0, 6) AS prob,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |b AS (SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+      |        CAST(prob AS DECIMAL(18,6)) AS pd, y FROM ci)
+      |SELECT bin, count(*) AS n,
+      |  CAST(sum(pd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS confidence,
+      |  CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "m06_ece" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT round((1.0 + sim) / 2.0, 6) AS prob,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |b AS (SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+      |        CAST(prob AS DECIMAL(18,6)) AS pd, y FROM ci),
+      |rb AS (SELECT bin, count(*) AS n,
+      |    CAST(sum(pd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS confidence,
+      |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |  FROM b GROUP BY bin)
+      |SELECT CAST(sum(CAST(CAST(n AS DOUBLE) * abs(accuracy - confidence)
+      |    AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ece
+      |FROM rb""".stripMargin,
+    "m07_pivot_wide" -> """
+      |SELECT doc_id % 50 AS fn,
+      |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'de'), 'NULL') AS de,
+      |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'en'), 'NULL') AS en,
+      |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'es'), 'NULL') AS es,
+      |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'fr'), 'NULL') AS fr,
+      |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'zh'), 'NULL') AS zh
+      |FROM documents GROUP BY doc_id % 50 ORDER BY fn""".stripMargin)
+}

@@ -19,7 +19,8 @@ object SparkEntry {
     vector.VectorPack,
     dedup.DedupPack,
     text.AnalysisPack,
-    metrics.MetricsPack)
+    metrics.MetricsPack,
+    llm.LlmPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.metrics.Evaluation
+import graft.normalize.JsonRepair
+import graft.text.TextOps
+import graft.vector.KnnJoin
+
+/** The LLM lifecycles of SURVEY.md §3.3/§3.4 run end-to-end with the
+  * deterministic stub model: extraction → JSON repair → parse →
+  * post-process → evaluate; RAG retrieve → context → vote; SoR
+  * validation-confirmation with the deterministic 2-of-3 rule.
+  *
+  * The stub's behavior is SQL-expressible BY DESIGN, so the DuckDB
+  * oracle replays the entire pipeline — including the "model" — and
+  * the hash compare covers the real `mapPartitions` stage, the repair
+  * chain and the metrics in one pass.
+  */
+object LlmPack extends QueryPack {
+
+  /** Extraction pipeline, long format: one row per (doc, field). */
+  def extractLong(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val responses = LlmStage.complete(docs, col("doc_id"),
+      LlmStage.extractionPrompt(col("doc_id"), col("text")), StubExtractor)
+    val parsed = docs
+      .join(responses.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        coalesce(JsonRepair.field(col("response"), "first_word"), lit("NULL"))
+          .as("pred_first_word"),
+        coalesce(JsonRepair.field(col("response"), "word_count"), lit("NULL"))
+          .as("pred_word_count"))
+    val truth = parsed
+      .withColumn("ws", TextOps.words(col("text")))
+      .withColumn("gt_first_word",
+        when(size(col("ws")) === 0, "NULL").otherwise(element_at(col("ws"), 1)))
+      .withColumn("gt_word_count", size(col("ws")).cast("string"))
+    val fw = truth.select(col("doc_id"), lit("first_word").as("field"),
+      col("pred_first_word").as("predicted_value"),
+      col("gt_first_word").as("ground_truth"))
+    val wc = truth.select(col("doc_id"), lit("word_count").as("field"),
+      col("pred_word_count").as("predicted_value"),
+      col("gt_word_count").as("ground_truth"))
+    fw.unionByName(wc)
+      .withColumn("accuracy",
+        when(trim(col("predicted_value")) === trim(col("ground_truth")), 1L)
+          .otherwise(0L))
+      .orderBy(col("doc_id"), col("field"))
+  }
+
+  /** A5 over the extraction run: per-field accuracy + Overall. */
+  def extractAccuracy(spark: SparkSession, dir: String): DataFrame =
+    Evaluation.accuracyTable(extractLong(spark, dir), col("field"),
+        col("accuracy"))
+      .orderBy(col("field"))
+
+  /** L6 RAG: top-3 docs as context blocks + 2-of-3 label vote. */
+  def ragContext(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = t.embeddings
+    val snippets = t.documents.select(col("doc_id"),
+      concat_ws(" ", slice(TextOps.words(col("text")), 1, 10)).as("snippet"))
+    val hits = KnnJoin.exactCross(e, e, 3)
+      .join(snippets.withColumnRenamed("doc_id", "neighbor_id"), Seq("neighbor_id"))
+      .withColumn("block",
+        concat(lit("[Document "), col("rank"), lit("]: "), col("snippet")))
+    hits.groupBy(col("query_id"))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("rank"), col("block")))),
+          x => x.getField("block"))).as("context"),
+        max(when(col("rank") === 1, col("n_label"))).as("p1"),
+        max(when(col("rank") === 2, col("n_label"))).as("p2"),
+        max(when(col("rank") === 3, col("n_label"))).as("p3"))
+      .select(col("query_id"), md5(col("context")).as("context_md5"),
+        when(col("p2") === col("p3") && col("p2") =!= col("p1"), col("p2"))
+          .otherwise(col("p1")).cast("long").as("voted_label"))
+      .orderBy(col("query_id"))
+  }
+
+  /** §3.4 validation-confirmation: deterministic 2-of-3 rule over
+    * (first name, last name, address tokens) + edit distance. */
+  val confirmVectors: Seq[(String, String, String, String)] = Seq(
+    ("robert smith 123 main st springfield", "Robert", "Smith", "123 Main St"),
+    ("bob smith lives at 123 main st", "Robert", "Smith", "123 Main St"),
+    ("jane doe 99 oak ave", "John", "Doe", "1 Pine Rd"),
+    ("acme llc invoice", "Robert", "Smith", "123 Main"),
+    ("robert smith somewhere", "Robert", "Smith", "456 Elm St"),
+    ("robert j smith po box 55", "robert", "SMITH", "PO Box 55"))
+
+  def confirmation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = confirmVectors.zipWithIndex
+      .map { case ((t, f, l, a), i) => (i, t, f, l, a) }
+      .toDF("id", "full_text", "sor_first", "sor_last", "sor_address")
+    val ws = TextOps.words(lower(col("full_text")))
+    val firstM = array_contains(ws, lower(col("sor_first")))
+    val lastM = array_contains(ws, lower(col("sor_last")))
+    val addrM = forall(TextOps.words(lower(col("sor_address"))),
+      t => array_contains(ws, t))
+    val matches = firstM.cast("int") + lastM.cast("int") + addrM.cast("int")
+    df.select(col("id"),
+        firstM.as("first_match"), lastM.as("last_match"), addrM.as("addr_match"),
+        when(matches >= 2, "yes").otherwise("no").as("decision"),
+        levenshtein(
+          lower(concat_ws(" ", col("sor_first"), col("sor_last"))),
+          concat_ws(" ", slice(ws, 1, 2))).cast("long").as("name_lev"))
+      .orderBy(col("id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l01_extract_long" -> extractLong,
+    "l02_extract_accuracy" -> extractAccuracy,
+    "l03_rag_context" -> ragContext,
+    "l04_confirmation" -> confirmation)
+
+  /** The stub model + repair chain, replayed in SQL. */
+  private val stubCte = """
+    |w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+    |resp AS (SELECT doc_id, words,
+    |    CASE WHEN len(words) = 0 THEN 'NULL' ELSE words[1] END AS fw,
+    |    CAST(len(words) AS VARCHAR) AS wc,
+    |    CASE WHEN doc_id % 13 = 0 THEN '{"first_word": "NULL", "word_count": "NULL"}'
+    |         WHEN doc_id % 7 = 0 THEN '```json' || chr(10) || '{"first_word": "' ||
+    |           (CASE WHEN len(words) = 0 THEN 'NULL' ELSE words[1] END) ||
+    |           '", "word_count": "' || CAST(len(words) AS VARCHAR) || '"' || chr(10) || '```'
+    |         ELSE 'Result: {"first_word": "' ||
+    |           (CASE WHEN len(words) = 0 THEN 'NULL' ELSE words[1] END) ||
+    |           '", "word_count": "' || CAST(len(words) AS VARCHAR) || '"} done'
+    |    END AS response
+    |  FROM w),
+    |rep0 AS (SELECT *, regexp_replace(response, '```(?:json)?\s*|```', '', 'g') AS s0 FROM resp),
+    |rep1 AS (SELECT *, '{' || (CASE WHEN strpos(s0, '{') > 0
+    |    THEN substr(s0, strpos(s0, '{') + 1) ELSE s0 END) AS w1 FROM rep0),
+    |rep AS (SELECT *, CASE WHEN strpos(reverse(w1), '}') = 0 THEN w1 || '}'
+    |    ELSE substr(w1, 1, length(w1) - strpos(reverse(w1), '}') + 1) END AS repaired FROM rep1),
+    |parsed AS (SELECT doc_id, words, fw, wc,
+    |    coalesce(CASE WHEN json_valid(repaired)
+    |      THEN json_extract_string(repaired, '$.first_word') END, 'NULL') AS pfw,
+    |    coalesce(CASE WHEN json_valid(repaired)
+    |      THEN json_extract_string(repaired, '$.word_count') END, 'NULL') AS pwc
+    |  FROM rep),
+    |longf AS (
+    |  SELECT doc_id, 'first_word' AS field, pfw AS predicted_value, fw AS ground_truth,
+    |    CASE WHEN trim(pfw) = trim(fw) THEN 1 ELSE 0 END AS accuracy FROM parsed
+    |  UNION ALL
+    |  SELECT doc_id, 'word_count', pwc, wc,
+    |    CASE WHEN trim(pwc) = trim(wc) THEN 1 ELSE 0 END FROM parsed)""".stripMargin
+
+  private val ragCte = """
+    |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    |pr AS (SELECT q.vec_id AS qid, n.vec_id AS nid, n.label AS nlabel,
+    |        list_dot_product(q.v, n.v) AS sim
+    |      FROM e q JOIN e n ON q.vec_id <> n.vec_id),
+    |r AS (SELECT qid, nid, nlabel, sim,
+    |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    |      FROM pr WHERE true QUALIFY rnk <= 3),
+    |sn AS (SELECT doc_id, array_to_string(
+    |    (CASE WHEN length(trim(text)) = 0 THEN []
+    |     ELSE regexp_split_to_array(trim(text), '\s+') END)[1:10], ' ') AS snippet
+    |  FROM documents),
+    |blocks AS (SELECT r.qid, r.rnk, r.nlabel,
+    |    '[Document ' || CAST(r.rnk AS VARCHAR) || ']: ' || sn.snippet AS block
+    |  FROM r JOIN sn ON sn.doc_id = r.nid)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "l01_extract_long" -> s"""
+      |WITH $stubCte
+      |SELECT doc_id, field, predicted_value, ground_truth,
+      |  CAST(accuracy AS BIGINT) AS accuracy
+      |FROM longf ORDER BY doc_id, field""".stripMargin,
+    "l02_extract_accuracy" -> s"""
+      |WITH $stubCte
+      |SELECT coalesce(field, 'Overall') AS field,
+      |  CAST(sum(accuracy) AS BIGINT) AS correct, count(*) AS support,
+      |  CAST(CAST(sum(accuracy) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM longf GROUP BY ROLLUP(field) ORDER BY field""".stripMargin,
+    "l03_rag_context" -> s"""
+      |WITH $ragCte,
+      |agg AS (SELECT qid,
+      |    string_agg(block, chr(10) ORDER BY rnk) AS context,
+      |    max(CASE WHEN rnk = 1 THEN nlabel END) AS p1,
+      |    max(CASE WHEN rnk = 2 THEN nlabel END) AS p2,
+      |    max(CASE WHEN rnk = 3 THEN nlabel END) AS p3
+      |  FROM blocks GROUP BY qid)
+      |SELECT qid AS query_id, md5(context) AS context_md5,
+      |  CAST(CASE WHEN p2 = p3 AND p2 <> p1 THEN p2 ELSE p1 END AS BIGINT) AS voted_label
+      |FROM agg ORDER BY query_id""".stripMargin,
+    "l04_confirmation" -> s"""
+      |WITH x AS (SELECT * FROM (VALUES ${confirmVectors.zipWithIndex.map {
+           case ((t, f, l, a), i) => s"($i, '$t', '$f', '$l', '$a')"
+         }.mkString(", ")}) t(id, full_text, sor_first, sor_last, sor_address)),
+      |f AS (SELECT id, sor_first, sor_last,
+      |    regexp_split_to_array(trim(lower(full_text)), '\\s+') AS ws,
+      |    regexp_split_to_array(trim(lower(sor_address)), '\\s+') AS addr_ws
+      |  FROM x),
+      |m AS (SELECT id, sor_first, sor_last, ws,
+      |    list_contains(ws, lower(sor_first)) AS first_match,
+      |    list_contains(ws, lower(sor_last)) AS last_match,
+      |    len(list_filter(addr_ws, t -> NOT list_contains(ws, t))) = 0 AS addr_match
+      |  FROM f)
+      |SELECT id, first_match, last_match, addr_match,
+      |  CASE WHEN CAST(first_match AS INT) + CAST(last_match AS INT)
+      |    + CAST(addr_match AS INT) >= 2 THEN 'yes' ELSE 'no' END AS decision,
+      |  CAST(levenshtein(lower(sor_first || ' ' || sor_last),
+      |    array_to_string(ws[1:2], ' ')) AS BIGINT) AS name_lev
+      |FROM m ORDER BY id""".stripMargin)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm._
+
+class LlmSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("retrying client survives transient failures with backoff") {
+    FlakyClient.reset()
+    val client = new RetryingClient(new FlakyClient(StubExtractor, 2), maxRetries = 3)
+    val out = client.complete("EXTRACT|1|hello world")
+    assert(out.contains("\"first_word\": \"hello\""))
+    assert(FlakyClient.attempts.get("EXTRACT|1|hello world").get() == 3)
+  }
+
+  test("retrying client gives up after maxRetries") {
+    FlakyClient.reset()
+    val client = new RetryingClient(new FlakyClient(StubExtractor, 10), maxRetries = 2)
+    intercept[RuntimeException] {
+      client.complete("EXTRACT|2|a b c")
+    }
+  }
+
+  test("stage memoizes duplicate (id, prompt) rows within a partition") {
+    FlakyClient.reset()
+    import spark.implicits._
+    // same id+prompt twice in ONE partition: client must fire once
+    val df = Seq((1L, "EXTRACT|1|x y"), (1L, "EXTRACT|1|x y")).toDF("id", "p")
+      .coalesce(1)
+    val client = new FlakyClient(StubExtractor, 0) // counts invocations
+    val n = LlmStage.complete(df, col("id"), col("p"), client).count()
+    assert(n == 2)
+    assert(FlakyClient.attempts.get("EXTRACT|1|x y").get() == 1)
+  }
+
+  test("extraction pipeline: malformed modes parse, sentinel mode fails accuracy") {
+    val rows = LlmPack.extractLong(spark, sf)
+      .filter(col("field") === "word_count").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(4)))
+    val by = rows.map(r => r._1 -> r).toMap
+    // doc 7: fenced+unclosed JSON repaired → correct
+    assert(by(7L)._3 == 1L, s"doc 7 got ${by(7L)}")
+    // doc 13: "NULL" sentinel → wrong vs real count
+    assert(by(13L)._2 == "NULL" && by(13L)._3 == 0L)
+    // doc 91 = 7·13: the %13 branch wins
+    assert(by(91L)._2 == "NULL")
+    // plain mode correct
+    assert(by(1L)._3 == 1L)
+  }
+
+  test("confirmation applies the 2-of-3 rule") {
+    val d = LlmPack.confirmation(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(d(0) == "yes") // all three match
+    assert(d(1) == "yes") // last + address
+    assert(d(2) == "no")  // last only
+    assert(d(3) == "no")  // none
+    assert(d(4) == "yes") // first + last
+  }
+}

@@ -20,7 +20,8 @@ object SparkEntry {
     dedup.DedupPack,
     text.AnalysisPack,
     metrics.MetricsPack,
-    llm.LlmPack)
+    llm.LlmPack,
+    streaming.StreamPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -26,6 +26,7 @@ object GraftSession {
       // unparseable → None); legacy cast-null matches the oracle's
       // explicit TRY_CASTs.
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -19,7 +19,24 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  def events: DataFrame = t("events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
+    * as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
+    * every engine session). Truncating-divide to micros matches how
+    * DuckDB (µs-precision timestamps) reads the same file. */
+  def events: DataFrame = {
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer `div`, not `/`: epoch-nanos exceed 2^53 and a double
+        // division would corrupt the low bits.
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

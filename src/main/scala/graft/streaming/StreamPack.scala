@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+
+/** Batch-side oracle checks for the streaming transforms: the same
+  * functions run in the streaming specs; DuckDB verifies the event-
+  * time semantics here (tumbling, sliding, session gap, JSON props). */
+object StreamPack extends QueryPack {
+
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Streams.tumblingCounts(Tables(spark, dir).events)
+      .orderBy(col("window_start"), col("event_type"))
+
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Streams.slidingCounts(Tables(spark, dir).events)
+      .orderBy(col("window_start"), col("event_type"))
+
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Streams.sessions(Tables(spark, dir).events)
+      .orderBy(col("user_id"), col("session_start"))
+
+  def props(spark: SparkSession, dir: String): DataFrame =
+    Streams.propsRollup(Tables(spark, dir).events)
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_tumbling_counts" -> tumbling,
+    "s02_sliding_counts" -> sliding,
+    "s03_session_windows" -> sessionWindows,
+    "s04_props_rollup" -> props)
+
+  val oracles: Map[String, String] = Map(
+    "s01_tumbling_counts" -> """
+      |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+      |ORDER BY window_start, event_type""".stripMargin,
+    "s02_sliding_counts" -> """
+      |WITH s AS (SELECT event_type,
+      |  unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+      |  FROM events)
+      |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+      |  count(*) AS n
+      |FROM s GROUP BY ws, event_type
+      |ORDER BY window_start, event_type""".stripMargin,
+    "s03_session_windows" -> """
+      |WITH o AS (SELECT user_id, ts,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      >= INTERVAL '10 minutes' OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |g AS (SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  count(*) AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin,
+    "s04_props_rollup" -> """
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

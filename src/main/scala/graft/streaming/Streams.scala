@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.core.Exact
+
+/** Structured Streaming surface (SURVEY.md §2.10).
+  *
+  * The reference has no streaming runtime — its streaming-shaped needs
+  * are a watched-folder auto-ingest, scheduled runs, and run-summary
+  * metrics (`ocr_agent_8_29.py:19-35`). Here: a file-source stream
+  * feeding the SAME transform functions the batch engine uses — every
+  * aggregation below takes a plain DataFrame and works unchanged on a
+  * streaming one, so correctness is established batch-side (DuckDB
+  * oracle) and the streaming specs only assert stream==batch.
+  *
+  * Scale notes: event-time windows + watermarks bound state; the
+  * watched folder scales by `maxFilesPerTrigger`; `Trigger.AvailableNow`
+  * replaces the reference's cron story.
+  */
+object Streams {
+
+  /** Watched-folder source (`ocr_agent_8_29.py:21-27`): stream new
+    * files appearing under `dir`. */
+  def watchedFolder(spark: SparkSession, dir: String, schema: StructType,
+                    maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling event-time window aggregation; batch- and stream-safe. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Exact.toOut(Exact.sum2(col("value"))).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding (1h every 30m) variant — each event lands in 2 windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"))
+
+  /** Session windows with a 10-minute gap per user (the stateful op
+    * the reference's feedback loop would need). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        col("n_events"))
+
+  /** JSON side-channel parse (`props` column) + rollup. */
+  def propsRollup(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  /** Watermarked variant for append-mode streaming runs. */
+  def tumblingCountsWatermarked(events: DataFrame): DataFrame =
+    tumblingCountsInner(events.withWatermark("ts", "1 hour"))
+  private def tumblingCountsInner(events: DataFrame): DataFrame =
+    tumblingCounts(events)
+}

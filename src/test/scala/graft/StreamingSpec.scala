@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    Tables(spark, sf).events.repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val eventsSchema = Tables(spark, sf).events.schema
+
+  test("watched-folder stream reproduces the batch tumbling aggregation") {
+    val stream = Streams.watchedFolder(spark, streamDir, eventsSchema, 2)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("tumbling_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Streams.tumblingCounts(Tables(spark, sf).events)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("stateful per-user running count matches batch counts") {
+    import spark.implicits._
+    val stream = Streams.watchedFolder(spark, streamDir, eventsSchema, 2)
+    val counted = stream.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user_id", "n")
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("state_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user == total batch count
+    val finalCounts = spark.table("state_out")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Tables(spark, sf).events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalCounts == batch)
+  }
+
+  test("foreachBatch drives the LLM stage incrementally") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val stream = Streams.watchedFolder(spark, streamDir, eventsSchema, 2)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the per-microbatch hook the reference's LLM stages plug into
+        seen.addAndGet(batch.count())
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.get() == Tables(spark, sf).events.count())
+  }
+
+  test("append-mode watermarked aggregation emits finalized windows") {
+    val stream = Streams.watchedFolder(spark, streamDir, eventsSchema, 2)
+    val q = Streams.tumblingCountsWatermarked(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("wm_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // all but the trailing watermark-held windows are finalized
+    val emitted = spark.table("wm_out").count()
+    val total = Streams.tumblingCounts(Tables(spark, sf).events).count()
+    assert(emitted > 0 && emitted <= total)
+  }
+}

@@ -21,7 +21,8 @@ object SparkEntry {
     text.AnalysisPack,
     metrics.MetricsPack,
     llm.LlmPack,
-    streaming.StreamPack)
+    streaming.StreamPack,
+    multimodal.MultimodalPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

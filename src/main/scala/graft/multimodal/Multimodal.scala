@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (builder brief): image/audio/video as
+  * opaque `binary` columns with typed metadata, decoded / feature-
+  * extracted / resized / frame-sampled through batch stages.
+  *
+  * The decode step itself is STUBBED — no image/audio libraries exist
+  * in this environment — with [[FakeDecoder]], a deterministic fake
+  * that reads a synthetic header. Everything around it is real Spark
+  * plumbing: binary columns through parquet, Dataset[Array[Byte]]
+  * encoders, mapPartitions batch shape (one decoder instance per
+  * partition — where a real libjpeg/ffmpeg handle would live), and
+  * 1→N frame explosion that stays shuffle-free.
+  *
+  * At 100 TB: binary payloads dominate row size, so metadata-only
+  * operations must prune the content column (Catalyst column pruning
+  * drops `content` from scans when untouched), and frame sampling
+  * happens BEFORE any shuffle.
+  */
+object Multimodal {
+
+  /** Deterministic synthetic media: 64 opaque bytes derived from a
+    * text seed (4 chained md5 blocks) — the test-mode stand-in for
+    * real image bytes. */
+  def syntheticContent(seed: Column): Column =
+    unhex(concat(
+      md5(seed), md5(concat(seed, lit("1"))),
+      md5(concat(seed, lit("2"))), md5(concat(seed, lit("3")))))
+
+  /** Hex view of a binary column, lowercase on every engine. */
+  def hexOf(content: Column): Column = lower(hex(content))
+
+  /** Byte at 0-based `pos` as an int (via the hex view — expression-
+    * only, codegen-friendly). */
+  def byteAt(content: Column, pos: Int): Column =
+    conv(substring(hexOf(content), pos * 2 + 1, 2), 16, 10).cast("int")
+
+  /** Header decode as pure expressions: width/height/format from the
+    * first bytes — the EXPRESSION twin of [[FakeDecoder]]. */
+  def widthOf(content: Column): Column = lit(16) + pmod(byteAt(content, 0), lit(240))
+  def heightOf(content: Column): Column = lit(16) + pmod(byteAt(content, 1), lit(240))
+  def formatOf(content: Column): Column =
+    element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+      pmod(byteAt(content, 2), lit(3)) + 1)
+
+  /** "Resize": keep the first `bytes` bytes (stub transform with the
+    * real binary-in/binary-out shape). */
+  def resize(content: Column, bytes: Int): Column =
+    substring(content, 1, bytes)
+
+  /** Frame sampling: view content as 4-byte frames, keep every
+    * `step`-th; returns array<struct<frame_idx,frame_val>> for a
+    * posexplode — 1→N with no shuffle. */
+  def sampleFrames(content: Column, step: Int): Column = {
+    val h = hexOf(content)
+    val nFrames = (length(h) / 8).cast("int")
+    transform(
+      sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(step)),
+      i => struct(i.as("frame_idx"),
+        conv(substring(h, i * 8 + 1, lit(4)), 16, 10).cast("long").as("frame_val")))
+  }
+}
+
+/** The stub decoder — the seam where a real image library plugs in.
+  * Deterministic fake: reads the 3-byte synthetic header exactly like
+  * the expression twin in [[Multimodal]]. */
+object FakeDecoder extends Serializable {
+  final case class Meta(width: Int, height: Int, format: String)
+  def decode(bytes: Array[Byte]): Meta = {
+    def u(b: Byte): Int = b & 0xff
+    Meta(
+      16 + u(bytes(0)) % 240,
+      16 + u(bytes(1)) % 240,
+      Seq("jpeg", "png", "webp")(u(bytes(2)) % 3))
+  }
+}
+
+/** Batch decode stage: mapPartitions so a real decoder would
+  * initialize once per partition, not per row. */
+object MediaStage {
+  final case class Decoded(media_id: Long, width: Int, height: Int,
+                           format: String, n_bytes: Int)
+
+  def decode(df: DataFrame, id: Column, content: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(id.cast("long").as("id"), content.as("c"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init point for a real decoder handle
+        rows.map { case (mid, bytes) =>
+          val m = FakeDecoder.decode(bytes)
+          Decoded(mid, m.width, m.height, m.format, bytes.length)
+        }
+      }
+      .toDF()
+  }
+}

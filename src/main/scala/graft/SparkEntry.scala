@@ -22,7 +22,9 @@ object SparkEntry {
     metrics.MetricsPack,
     llm.LlmPack,
     streaming.StreamPack,
-    multimodal.MultimodalPack)
+    multimodal.MultimodalPack,
+    ingest.IngestPack,
+    vector.MlPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -175,6 +175,46 @@ object NormalizePack extends QueryPack {
         JsonRepair.field(col("s"), "a").as("field_a"))
       .orderBy(col("id"))
 
+  val w2Vectors: Seq[Seq[String]] = Seq(
+    Seq("D", "Union Dues, 5.00, SDI, $12.34"),
+    Seq("CI", "Uniform, 99, extra"),
+    Seq("AA", "OnlyDesc"),
+    Seq("no", "a, b, 3.50"),
+    Seq("Z", ""),
+    Seq("HH", "x, 1.5, y, $7.00"))
+
+  def w2Refine(spark: SparkSession, dir: String): DataFrame =
+    df(spark, w2Vectors, Seq("code", "box14"))
+      .select(col("id"),
+        W2Refine.box12Code(col("code")).as("box12_code"),
+        when(W2Refine.refineEmpty(col("box14")) === "NULL", lit("NULL"))
+          .otherwise(array_join(W2Refine.box14Group(col("box14")), "|"))
+          .as("box14_grouped"))
+      .orderBy(col("id"))
+
+  val answerVectors: Seq[String] = Seq(
+    """{"document_type": "Paystub", "is_first_page": true} trailing""",
+    "The doc is a Bank Statement, first page: true",
+    "W2 second page",
+    "no idea",
+    """### Answer {"document_type": "Other", "is_first_page": false}""",
+    """{"nested": {"document_type": "W2"}} x""")
+
+  def answerExtract(spark: SparkSession, dir: String): DataFrame =
+    df1(spark, answerVectors)
+      .select(col("id"), W2Refine.answerExtract(col("s")).as("composite"))
+      .orderBy(col("id"))
+
+  val synonymMap: Map[String, String] = Map(
+    "fast" -> "quick", "big" -> "large", "small" -> "tiny",
+    "data" -> "information")
+
+  def queryExpansion(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables(spark, dir).documents
+      .select(col("doc_id"),
+        md5(W2Refine.expandQuery(col("text"), synonymMap)).as("expanded_md5"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_money_norm" -> moneyNorm,
     "n02_money_credits" -> moneyCredits,
@@ -185,7 +225,10 @@ object NormalizePack extends QueryPack {
     "n07_money_compare" -> moneyCompare,
     "n08_validation_status" -> validationStatus,
     "n09_ref_format" -> refFormat,
-    "n10_json_repair" -> jsonRepair)
+    "n10_json_repair" -> jsonRepair,
+    "n11_w2_refine" -> w2Refine,
+    "n12_answer_extract" -> answerExtract,
+    "n13_query_expansion" -> queryExpansion)
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -326,5 +369,68 @@ object NormalizePack extends QueryPack {
       |  ELSE substr(w, 1, length(w) - strpos(reverse(w), '}') + 1) END AS repaired FROM a)
       |SELECT id, CASE WHEN json_valid(repaired)
       |  THEN json_extract_string(repaired, '$$.a') END AS field_a
-      |FROM b ORDER BY id""".stripMargin)
+      |FROM b ORDER BY id""".stripMargin,
+    "n11_w2_refine" -> s"""
+      |WITH x AS (SELECT * FROM ${valuesSql(w2Vectors, Seq("code", "box14"))}),
+      |e AS (SELECT id,
+      |  CASE WHEN code IS NULL OR code IN ('no', 'No', '', '""') THEN 'NULL' ELSE code END AS code_e,
+      |  CASE WHEN box14 IS NULL OR box14 IN ('no', 'No', '', '""') THEN 'NULL' ELSE box14 END AS b14_e,
+      |  box14 FROM x),
+      |g AS (SELECT id, code_e, b14_e,
+      |  list_filter(list_transform(string_split(box14, ','), s -> trim(s)), s -> s <> '') AS items
+      | FROM e),
+      |f AS (SELECT id, code_e, b14_e,
+      |  list_reduce(
+      |    [{'o': []::VARCHAR[], 'p': ''}] ||
+      |      list_transform(items, v -> {'o': []::VARCHAR[], 'p': v}),
+      |    (acc, v) -> CASE
+      |      WHEN acc.p = '' THEN {'o': acc.o, 'p': v.p}
+      |      WHEN regexp_matches(v.p, '^\\$$?[0-9]+(\\.[0-9]{2})?$$')
+      |        THEN {'o': list_append(acc.o, acc.p || ' ' || v.p), 'p': ''}
+      |      ELSE {'o': list_append(acc.o, acc.p), 'p': v.p} END) AS acc
+      | FROM g WHERE len(items) > 0)
+      |SELECT e.id,
+      |  CASE WHEN e.code_e = 'NULL' THEN 'NULL'
+      |       WHEN e.code_e IN (${W2Refine.allowedBox12.map(c => s"'$c'").mkString(", ")}) THEN e.code_e
+      |       ELSE 'NULL' END AS box12_code,
+      |  CASE WHEN e.b14_e = 'NULL' THEN 'NULL'
+      |       ELSE array_to_string(CASE WHEN f.acc.p <> ''
+      |         THEN list_append(f.acc.o, f.acc.p) ELSE f.acc.o END, '|')
+      |  END AS box14_grouped
+      |FROM e LEFT JOIN f ON e.id = f.id ORDER BY e.id""".stripMargin,
+    "n12_answer_extract" -> s"""
+      |WITH x AS (SELECT * FROM ${valuesSql(answerVectors.map(Seq(_)), Seq("s"))}),
+      |b AS (SELECT id, s, regexp_extract(s, '(?s)(\\{.*?\\})', 1) AS blob FROM x),
+      |j AS (SELECT *, (blob <> '' AND json_valid(blob)) AS ok FROM b)
+      |SELECT id,
+      | CASE WHEN s IS NULL THEN NULL
+      |      WHEN ok THEN coalesce(json_extract_string(blob, '$$.document_type'), 'Unknown')
+      |        || ':' ||
+      |        (CASE WHEN lower(coalesce(json_extract_string(blob, '$$.is_first_page'), 'false')) = 'true'
+      |         THEN 'true' ELSE 'false' END)
+      |      WHEN blob <> '' THEN 'Unknown:false'
+      |      ELSE (CASE WHEN contains(s, 'Bank Statement') THEN 'Bank Statement'
+      |                 WHEN contains(s, 'Paystub') THEN 'Paystub'
+      |                 WHEN contains(s, 'W2') THEN 'W2'
+      |                 WHEN contains(s, 'Other') THEN 'Other'
+      |                 ELSE 'Unknown' END)
+      |        || ':' ||
+      |        (CASE WHEN contains(lower(s), 'true') THEN 'true' ELSE 'false' END)
+      | END AS composite
+      |FROM j ORDER BY id""".stripMargin,
+    "n13_query_expansion" -> s"""
+      |WITH w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),
+      |s AS (SELECT doc_id, text,
+      |  list_filter(list_transform(words, x -> CASE
+      |    ${synonymMap.toSeq.sortBy(_._1).map { case (k, v) =>
+             s"WHEN x = '$k' THEN '$v'"
+           }.mkString(" ")}
+      |    ELSE NULL END), x -> x IS NOT NULL) AS syns
+      | FROM w)
+      |SELECT doc_id,
+      |  md5(CASE WHEN len(syns) > 0
+      |    THEN text || ' ' || array_to_string(syns, ' ')
+      |    ELSE text END) AS expanded_md5
+      |FROM s ORDER BY doc_id""".stripMargin)
 }

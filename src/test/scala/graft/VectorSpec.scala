@@ -64,3 +64,14 @@ class VectorSpec extends AnyFunSuite {
     assert(counts.forall(_ == 10))
   }
 }
+
+class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+
+  test("MLP head trains and beats random guessing on its train set") {
+    val preds = graft.vector.MlPack.mlpClassify(spark, sf).collect()
+    val acc = preds.count(r => r.getLong(1) == r.getLong(2)).toDouble / preds.length
+    assert(preds.length == 500)
+    assert(acc > 0.2, s"train accuracy $acc should beat 10-class chance")
+  }
+}

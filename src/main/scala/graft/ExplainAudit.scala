@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan auditor: prints the formatted physical plan for representative
+  * queries and flags the scale-critical properties — parquet filter
+  * pushdown, pruned read schemas, broadcast joins, whole-stage
+  * codegen coverage. Run per-round after correctness is green:
+  * `sbt "runMain graft.ExplainAudit <sfDir> [queryName...]"`. */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("r01_pricing_summary", "r02_revenue_topk", "r04_filter_range",
+        "t01_chunk_stats", "d02_jaccard_pairs", "s01_tumbling_counts")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => println(s"== $name: NOT FOUND ==")
+        case Some(fn) =>
+          println(s"\n===== $name =====")
+          val df = fn(spark, sfDir)
+          val formatted = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          println(formatted)
+          val pushed = "PushedFilters: \\[[^\\]]+\\]".r
+            .findAllIn(formatted).toSeq.distinct
+          val schemas = "ReadSchema: [^\\n]+".r.findAllIn(formatted).toSeq.distinct
+          val bcasts = formatted.linesIterator.count(_.contains("BroadcastHashJoin"))
+          // codegen spans only exist in the FINAL (post-AQE) plan, and
+          // only on the QueryExecution that actually ran — collect()
+          // drives THIS one (df.write would plan a fresh QE)
+          df.collect()
+          val finalPlan = df.queryExecution.executedPlan.toString
+          val wsc = "\\*\\((\\d+)\\)".r
+            .findAllMatchIn(finalPlan).map(_.group(1)).toSet.size
+          println(s"--- audit: pushedFilters=${pushed.size} broadcastHashJoins=$bcasts wholeStageCodegenSpans=$wsc")
+          pushed.foreach(p => println(s"    $p"))
+          schemas.foreach(s => println(s"    $s"))
+      }
+    }
+    spark.stop()
+  }
+}

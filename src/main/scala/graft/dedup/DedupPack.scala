@@ -63,16 +63,11 @@ object DedupPack extends QueryPack {
 
   /** Embedding-cosine near-dup pairs (vectors have no planted dups;
     * threshold sits below the top-neighbor band so real pairs emerge). */
-  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
-    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cos", VectorOps.cosine(col("ea"), col("eb")))
-      .filter(col("cos") >= 0.3)
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.KnnJoin.cosinePairsAbove(spark,
+        Tables(spark, dir).embeddings, 0.3)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> exactDedup,

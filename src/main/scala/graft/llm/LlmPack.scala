@@ -64,7 +64,7 @@ object LlmPack extends QueryPack {
     val e = t.embeddings
     val snippets = t.documents.select(col("doc_id"),
       concat_ws(" ", slice(TextOps.words(col("text")), 1, 10)).as("snippet"))
-    val hits = KnnJoin.exactCross(e, e, 3)
+    val hits = KnnJoin.exact(spark, e, e, 3)
       .join(snippets.withColumnRenamed("doc_id", "neighbor_id"), Seq("neighbor_id"))
       .withColumn("block",
         concat(lit("[Document "), col("rank"), lit("]: "), col("snippet")))

@@ -18,7 +18,7 @@ object MetricsPack extends QueryPack {
   /** top-3 neighbors with the query's own label attached. */
   private def hits(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.exactCross(e, e, 3)
+    KnnJoin.exact(spark, e, e, 3)
       .join(e.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), Seq("query_id"))
   }

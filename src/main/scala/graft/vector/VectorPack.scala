@@ -22,7 +22,7 @@ object VectorPack extends QueryPack {
 
   /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN. */
   def knnTop3(spark: SparkSession, dir: String): DataFrame =
-    KnnJoin.exactCross(Tables(spark, dir).embeddings,
+    KnnJoin.exact(spark, Tables(spark, dir).embeddings,
         Tables(spark, dir).embeddings, K)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
@@ -31,7 +31,7 @@ object VectorPack extends QueryPack {
   /** L4: top-1 neighbor's label as the prediction (leave-self-out). */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.exactCross(e, e, 1)
+    KnnJoin.exact(spark, e, e, 1)
       .join(e.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), Seq("query_id"))
       .select(col("query_id").as("vec_id"),
@@ -92,7 +92,7 @@ object VectorPack extends QueryPack {
     // boundary: rounding an already-rounded value creates exact
     // half-way ties where the engines' round() implementations
     // legitimately disagree.
-    val hits = KnnJoin.exactCross(e, e, K)
+    val hits = KnnJoin.exact(spark, e, e, K)
       .withColumn("simd", round(col("sim"), 6).cast("decimal(18,6)"))
     val w = Window.partitionBy(col("query_id"))
     hits

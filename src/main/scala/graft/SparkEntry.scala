@@ -24,7 +24,8 @@ object SparkEntry {
     streaming.StreamPack,
     multimodal.MultimodalPack,
     ingest.IngestPack,
-    vector.MlPack)
+    vector.MlPack,
+    metrics.FeedbackPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,147 @@
+package graft.metrics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.QueryPack
+import graft.core.Tables
+import graft.llm.LlmPack
+import graft.normalize.Normalize
+import graft.vector.KnnJoin
+
+/** The feedback-loop job (`feebback agent_8_29.py:32-71`: Capture →
+  * Compare → Cluster → Suggest) plus the remaining §2 odds and ends:
+  * J2 positional attach, L8/F21 composite two-head evaluation, O2
+  * order-by-|corr| shape.
+  */
+object FeedbackPack extends QueryPack {
+
+  /** Feedback repo schema (`feebback agent_8_29.py:42`): field-level
+    * diffs of the extraction run — only the disagreements. */
+  def fieldDiffs(spark: SparkSession, dir: String): DataFrame =
+    LlmPack.extractLong(spark, dir)
+      .filter(col("accuracy") === 0)
+      .select(col("doc_id"), col("field"),
+        col("predicted_value"), col("ground_truth"),
+        Evaluation.validationStatus(col("predicted_value"),
+          col("ground_truth")).as("status"))
+      .orderBy(col("doc_id"), col("field"))
+
+  /** Error clustering: bucket disagreements by (field, status) with
+    * an example doc per cluster — the "Cluster → Suggest" step. */
+  def errorClusters(spark: SparkSession, dir: String): DataFrame =
+    fieldDiffs(spark, dir)
+      .groupBy(col("field"), col("status"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("example_doc"))
+      .orderBy(col("field"), col("status"))
+
+  /** Accuracy trend over doc_id buckets (the pseudo-time axis the
+    * synthetic corpus has) — the feedback loop's trend metric. */
+  def accuracyTrend(spark: SparkSession, dir: String): DataFrame =
+    LlmPack.extractLong(spark, dir)
+      .withColumn("bucket", (col("doc_id") / 100).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("accuracy")).as("correct"), count(lit(1)).as("support"))
+      .select(col("bucket"), col("correct"), col("support"),
+        (col("correct").cast("double") / col("support").cast("double"))
+          .as("accuracy"))
+      .orderBy(col("bucket"))
+
+  /** L8/F21: two-headed evaluation — label head (top-1 kNN) and a
+    * first-page head (parity rule on the neighbor id), scored jointly
+    * through the composite "label:first_pg" key exactly like the
+    * reference's combined classifier eval. */
+  def compositeEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    val preds = KnnJoin.exact(spark, e, e, 1)
+      .join(e.select(col("vec_id").as("query_id"),
+        col("label").as("true_label")), Seq("query_id"))
+      .select(col("query_id"),
+        Normalize.compositeKey(col("true_label"),
+          pmod(col("query_id"), lit(2L)) === 0).as("actual"),
+        Normalize.compositeKey(col("n_label"),
+          pmod(col("neighbor_id"), lit(2L)) === 0).as("predicted"))
+    Evaluation.accuracyTable(preds, col("actual"),
+        (col("actual") === col("predicted")).cast("int"))
+      .orderBy(col("field"))
+  }
+
+  /** J2: positional attach — a computed frame zip-joined back to its
+    * source by an explicit row id carried from BEFORE the fan-out
+    * (pandas `concat(axis=1)` without implicit-order hazards). */
+  def positionalAttach(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+    // the "computed results" frame — separate lineage, same row ids
+    val computed = docs.select(col("doc_id").as("row_id"),
+      length(col("text")).cast("long").as("computed_len"))
+    docs.join(computed, col("doc_id") === col("row_id"))
+      .select(col("doc_id"), col("computed_len"),
+        (col("computed_len") === length(col("text")).cast("long")).as("aligned"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f01_field_diffs" -> fieldDiffs,
+    "f02_error_clusters" -> errorClusters,
+    "f03_accuracy_trend" -> accuracyTrend,
+    "f04_composite_eval" -> compositeEval,
+    "f05_positional_attach" -> positionalAttach)
+
+  private val diffsCte = LlmPack.oracles("l01_extract_long")
+    .replaceAll("(?s)SELECT doc_id, field.*$", "").stripTrailing() + s""",
+    |diffs AS (SELECT doc_id, field, predicted_value, ground_truth,
+    |    CASE WHEN (predicted_value IS NULL OR predicted_value = 'NULL' OR predicted_value = '')
+    |           AND (ground_truth IS NULL OR ground_truth = 'NULL' OR ground_truth = '') THEN 'MATCH'
+    |         WHEN NOT (predicted_value IS NULL OR predicted_value = 'NULL' OR predicted_value = '')
+    |           AND (ground_truth IS NULL OR ground_truth = 'NULL' OR ground_truth = '') THEN 'FALSE_POSITIVE'
+    |         WHEN (predicted_value IS NULL OR predicted_value = 'NULL' OR predicted_value = '')
+    |           THEN 'MISSING'
+    |         WHEN trim(predicted_value) = trim(ground_truth) THEN 'MATCH'
+    |         ELSE 'MISMATCH' END AS status
+    |  FROM longf WHERE accuracy = 0)""".stripMargin
+
+  private val knnCte = """
+    |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+    |pr AS (SELECT q.vec_id AS qid, n.vec_id AS nid, n.label AS nlabel,
+    |        q.label AS tlabel, list_dot_product(q.v, n.v) AS sim
+    |      FROM e q JOIN e n ON q.vec_id <> n.vec_id),
+    |r AS (SELECT qid, nid, nlabel, tlabel,
+    |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+    |      FROM pr)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "f01_field_diffs" -> s"""
+      |$diffsCte
+      |SELECT doc_id, field, predicted_value, ground_truth, status
+      |FROM diffs ORDER BY doc_id, field""".stripMargin,
+    "f02_error_clusters" -> s"""
+      |$diffsCte
+      |SELECT field, status, count(*) AS n, min(doc_id) AS example_doc
+      |FROM diffs GROUP BY field, status ORDER BY field, status""".stripMargin,
+    "f03_accuracy_trend" -> (LlmPack.oracles("l01_extract_long")
+      .replaceAll("(?s)SELECT doc_id, field.*$", "").stripTrailing() + """,
+      |t AS (SELECT CAST(doc_id // 100 AS BIGINT) AS bucket, accuracy FROM longf)
+      |SELECT bucket, CAST(sum(accuracy) AS BIGINT) AS correct,
+      |  count(*) AS support,
+      |  CAST(CAST(sum(accuracy) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin),
+    "f04_composite_eval" -> s"""
+      |WITH $knnCte,
+      |c AS (SELECT qid,
+      |    CAST(tlabel AS VARCHAR) || ':' ||
+      |      (CASE WHEN qid % 2 = 0 THEN 'true' ELSE 'false' END) AS actual,
+      |    CAST(nlabel AS VARCHAR) || ':' ||
+      |      (CASE WHEN nid % 2 = 0 THEN 'true' ELSE 'false' END) AS predicted
+      |  FROM r WHERE rnk = 1)
+      |SELECT coalesce(actual, 'Overall') AS field,
+      |  CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+      |  count(*) AS support,
+      |  CAST(CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS accuracy
+      |FROM c GROUP BY ROLLUP(actual) ORDER BY field""".stripMargin,
+    "f05_positional_attach" -> """
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS computed_len,
+      |  true AS aligned
+      |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.normalize.Normalize
+import graft.text.TextOps
+
+/** ScalaCheck-generated properties for the normalizer/chunker core
+  * (SURVEY.md §5): money idempotence + sign rules, date
+  * keep-original, chunker coverage/count formula. Samples come from
+  * scalacheck Gens; evaluation batches through the engine (one
+  * DataFrame per property — not per-sample Spark jobs). */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def runMoney(inputs: Seq[String]): Seq[(String, String)] = {
+    import spark.implicits._
+    inputs.toDF("s")
+      .select(col("s"), Normalize.moneyOrNull(col("s")).as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  test("money normalization is idempotent on its own output") {
+    val gen = Gen.chooseNum(0L, 99999999L)
+    val cents = Gen.listOfN(300, gen).sample.get
+    val inputs = cents.zipWithIndex.map { case (c, i) =>
+      val base = f"${c / 100}%d.${c % 100}%02d"
+      i % 4 match {
+        case 0 => base
+        case 1 => s"($$$base)"
+        case 2 => s"$base-"
+        case _ => s"-$$$base"
+      }
+    }
+    val once = runMoney(inputs).map(_._2)
+    val twice = runMoney(once).map(_._2)
+    // a second pass may only flip parser-introduced negatives; the
+    // MAGNITUDE and format must be stable
+    once.zip(twice).foreach { case (a, b) =>
+      assert(b == a || b == a.stripPrefix("-"),
+        s"not stable: $a -> $b")
+    }
+    // and positive outputs are strictly idempotent
+    once.filter(v => v != null && !v.startsWith("-")).zip(
+      runMoney(once.filter(v => v != null && !v.startsWith("-"))).map(_._2))
+      .foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("money sign rules: any negative notation yields a leading minus") {
+    val notations = Seq("(7.25)", "($7.25)", "7.25-", "-7.25", "-$7.25")
+    runMoney(notations).foreach { case (in, out) =>
+      assert(out == "-$7.25", s"$in -> $out")
+    }
+  }
+
+  test("chunk count follows ceil((n - overlap) / (size - overlap))") {
+    import spark.implicits._
+    val cases = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(1, 500), Gen.chooseNum(2, 60), Gen.chooseNum(0, 30)))
+      .sample.get
+      .map { case (n, size, ov) => (n, size, math.min(ov, size - 1)) }
+    val df = cases.zipWithIndex.map { case ((n, size, ov), i) =>
+      (i, (1 to n).map(w => s"w$w").mkString(" "), n, size, ov)
+    }.toDF("id", "text", "n", "size", "ov")
+    cases.zipWithIndex.foreach { case ((n, size, ov), i) =>
+      val step = size - ov
+      val expected = (n + step - 1) / step // = count of starts 0,step.. < n
+      val got = df.filter(col("id") === i)
+        .select(size2(TextOps.chunkTexts(col("text"), size, ov)))
+        .collect()(0).getInt(0)
+      assert(got == expected, s"n=$n size=$size ov=$ov: $got != $expected")
+    }
+  }
+
+  private def size2(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.size(c)
+
+  test("chunker covers every word and respects overlap") {
+    import spark.implicits._
+    val words = (1 to 137).map(i => s"w$i")
+    val chunks = Seq(words.mkString(" ")).toDF("text")
+      .select(TextOps.chunkTexts(col("text"), 30, 7).as("c"))
+      .collect()(0).getSeq[String](0)
+    val covered = chunks.flatMap(_.split(" ")).toSet
+    assert(covered == words.toSet)
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        val aw = a.split(" ")
+        // consecutive chunks share exactly `overlap` words unless the
+        // successor is the tail remainder
+        if (aw.length == 30) {
+          assert(aw.takeRight(7).toSeq == b.split(" ").take(7).toSeq)
+        }
+      case _ => ()
+    }
+  }
+
+  test("dateSane never alters a value it keeps") {
+    import spark.implicits._
+    val vs = Seq("09/01/2025", "9/1/2025", "Sep 1, 2025", "2025-09-01",
+      "garbage", "13/13/2013")
+    vs.toDF("s")
+      .select(col("s"), Normalize.dateSane(col("s")).as("d"))
+      .collect().foreach { r =>
+        val (in, out) = (r.getString(0), r.getString(1))
+        assert(out == null || out == in.trim)
+      }
+  }
+
+  test("cleanse is idempotent") {
+    import spark.implicits._
+    val vs = Gen.listOfN(100, Gen.asciiPrintableStr).sample.get
+    val once = vs.toDF("s").select(Normalize.cleanse(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    val twice = once.toDF("s").select(Normalize.cleanse(col("s")))
+      .collect().map(_.getString(0)).toSeq
+    assert(once == twice)
+  }
+}

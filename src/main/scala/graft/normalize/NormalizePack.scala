@@ -209,6 +209,15 @@ object NormalizePack extends QueryPack {
     "fast" -> "quick", "big" -> "large", "small" -> "tiny",
     "data" -> "information")
 
+  /** n01's semantics through the NATIVE Catalyst expression — the
+    * codegen path under the same DuckDB oracle as the declarative
+    * formulation. */
+  def moneyNormNative(spark: SparkSession, dir: String): DataFrame =
+    df1(spark, moneyVectors)
+      .select(col("id"), col("s"),
+        graft.plans.MoneyNorm.moneyNormNative(col("s")).as("money_norm"))
+      .orderBy(col("id"))
+
   def queryExpansion(spark: SparkSession, dir: String): DataFrame =
     graft.core.Tables(spark, dir).documents
       .select(col("doc_id"),
@@ -228,7 +237,8 @@ object NormalizePack extends QueryPack {
     "n10_json_repair" -> jsonRepair,
     "n11_w2_refine" -> w2Refine,
     "n12_answer_extract" -> answerExtract,
-    "n13_query_expansion" -> queryExpansion)
+    "n13_query_expansion" -> queryExpansion,
+    "n14_money_norm_native" -> moneyNormNative)
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -238,7 +248,7 @@ object NormalizePack extends QueryPack {
 
   private def fmt(amtExpr: String): String = moneyFmt.replace("AMT", amtExpr)
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "n01_money_norm" -> s"""
       |WITH x AS (SELECT * FROM ${valuesSql(moneyVectors.map(Seq(_)), Seq("s"))}),
       |a AS (SELECT id, s, trim(s) AS s0 FROM x),
@@ -433,4 +443,9 @@ object NormalizePack extends QueryPack {
       |    THEN text || ' ' || array_to_string(syns, ' ')
       |    ELSE text END) AS expanded_md5
       |FROM s ORDER BY doc_id""".stripMargin)
+
+  /** n14 shares n01's oracle verbatim: same semantics, native
+    * Catalyst execution path. */
+  val oracles: Map[String, String] =
+    oracles0 + ("n14_money_norm_native" -> oracles0("n01_money_norm"))
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.normalize.{Normalize, NormalizePack}
+import graft.plans.MoneyNorm
+
+class CatalystExtensionSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("native MoneyNorm expression matches the declarative formulation") {
+    import spark.implicits._
+    val fuzz = (0 until 500).map { i =>
+      val c = (i * 2654435761L) % 100000000L
+      val base = f"${c / 100}%d.${c % 100}%02d"
+      i % 8 match {
+        case 0 => base
+        case 1 => s"($$$base)"
+        case 2 => s"$base-"
+        case 3 => s"-$$$base"
+        case 4 => s"$$$base"
+        case 5 => "junk" + base
+        case 6 => ""
+        case _ => "NULL"
+      }
+    }
+    val df = (NormalizePack.moneyVectors ++ fuzz).toDF("s")
+    val mismatches = df.select(
+        Normalize.moneyOrNull(col("s")).as("declarative"),
+        MoneyNorm.moneyNormNative(col("s")).as("native"))
+      .filter(!(col("declarative") <=> col("native")))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("native expression survives inside whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq.fill(100)("($1,053.75)").toDF("s")
+      .select(MoneyNorm.moneyNormNative(col("s")).as("m"))
+      .groupBy("m").count()
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "-$1,053.75"
+      && rows(0).getLong(1) == 100)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+  }
+
+  test("SQL registration: money_norm and chunk work in plain SQL") {
+    // GraftExtensions attaches at builder time (spark.sql.extensions);
+    // the shared test session already exists, so inject the same
+    // builders straight into a child session's registry.
+    val s2 = spark.newSession()
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "money_norm", exprs => MoneyNorm(exprs.head), "built-in")
+    s2.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chunk",
+      exprs => graft.plans.ChunkWords(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+    val m = s2.sql("SELECT money_norm('($1,053.75)') AS m").collect()(0).getString(0)
+    assert(m == "-$1,053.75")
+    val chunks = s2.sql(
+      """SELECT chunk_idx, start_word, chunk_text
+        |FROM (SELECT 'a b c d e f g' AS t)
+        |LATERAL VIEW chunk(t, 3, 1) AS chunk_idx, start_word, chunk_text""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(chunks.toSeq == Seq((0, 0, "a b c"), (1, 2, "c d e"),
+      (2, 4, "e f g"), (3, 6, "g")))
+  }
+
+  test("chunk generator agrees with the array-expression chunker") {
+    import spark.implicits._
+    val texts = (1 to 30).map(n => (1 to n).map(i => s"w$i").mkString(" "))
+    val df = texts.toDF("t")
+    val viaGen = df.select(
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.plans.ChunkWords(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("t")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(7)),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(lit(2)))))
+      .select(col("chunk_text"))
+      .collect().map(_.getString(0)).toSeq.sorted
+    val viaExpr = df.select(explode(
+        graft.text.TextOps.chunkTexts(col("t"), 7, 2)))
+      .collect().map(_.getString(0)).toSeq.sorted
+    assert(viaGen == viaExpr)
+  }
+}

@@ -113,10 +113,21 @@ object DedupPack extends QueryPack {
       |ORDER BY a_id, b_id""".stripMargin,
     "d03_minhash_candidates" -> s"""
       |WITH $augmentedSql, $shingleSql,
-      |mh AS (SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
-      |  FROM sh, unnest(range(0, 12)) t(seed) GROUP BY id, seed),
+      |hb AS (SELECT id, CAST((strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) AS BIGINT) * 268435456
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 16777216
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 1048576
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 4, 1)) - 1) * 65536
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 5, 1)) - 1) * 4096
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 6, 1)) - 1) * 256
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 7, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(sh), 8, 1)) - 1) AS base
+      |  FROM sh),
+      |mh AS (SELECT id, seed,
+      |    min(((1000003 + 222222 * seed) * base + 777767 * seed + 12345)
+      |      % ${Dedup.MinhashP}) AS mh
+      |  FROM hb, unnest(range(0, 12)) t(seed) GROUP BY id, seed),
       |bands AS (SELECT id, CAST(seed // 3 AS INT) AS band,
-      |    string_agg(mh, ',' ORDER BY seed) AS bandsig
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bandsig
       |  FROM mh GROUP BY id, CAST(seed // 3 AS INT))
       |SELECT DISTINCT a.id AS a_id, b.id AS b_id
       |FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig

@@ -1,0 +1,48 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation and layout helpers for the 100 TB posture
+  * (SURVEY.md §7.4 note 5; builder brief "salting for skew").
+  *
+  * AQE's skew-join split handles sort-merge skew automatically; the
+  * explicit salt here is for the cases AQE can't rewrite (aggregations
+  * over a hot key, storage-partition-level hot spots) and for engines
+  * pinned to static plans.
+  */
+object Skew {
+
+  /** Salted join of a skewed fact side against a dimension: the fact
+    * key gains a deterministic salt in [0, saltFactor), the dimension
+    * replicates once per salt value, and the join key becomes
+    * (key, salt) — a hot key now spreads over `saltFactor` reducers.
+    * Result rows are identical to the unsalted join (spec-checked). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    val salted = fact.withColumn("_salt",
+      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Two-phase skew-safe aggregation: partial-aggregate on
+    * (key, salt), then final-aggregate on key. For algebraic
+    * aggregates (sum/count/min/max) the result equals the direct
+    * groupBy; a hot key's partials spread over `saltFactor` tasks. */
+  def saltedSum(df: DataFrame, key: Column, value: Column,
+                saltFactor: Int): DataFrame =
+    df.select(key.as("k"),
+        pmod(hash(monotonically_increasing_id()), lit(saltFactor)).as("_salt"),
+        value.as("v"))
+      .groupBy(col("k"), col("_salt")).agg(sum(col("v")).as("pv"))
+      .groupBy(col("k")).agg(sum(col("pv")).as("sum_v"))
+
+  /** Partition-layout writer: the channel/ingest-date layout the
+    * reference's corpus wants (SURVEY §4) — predicates on the
+    * partition columns prune whole directories at scan. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Tables
+import graft.relational.Skew
+
+class SkewSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("salted join returns exactly the rows of the plain join") {
+    val t = Tables(spark, sf)
+    val fact = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+    val dim = t.orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_totalprice"))
+    val plain = fact.join(dim, Seq("l_orderkey"))
+      .groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedJoin(fact, dim, "l_orderkey", 8)
+      .groupBy("l_orderkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("salted two-phase sum equals direct groupBy sum") {
+    val t = Tables(spark, sf)
+    val direct = t.lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val salted = Skew.saltedSum(t.lineitem, col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)"), 16)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, v) =>
+      assert(salted(k).compareTo(v) == 0, s"key $k")
+    }
+  }
+
+  test("partitioned layout prunes non-matching partitions from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Tables(spark, sf).documents
+      .withColumn("channel",
+        element_at(array(lit("EML"), lit("FAX"), lit("WIN"), lit("SCN")),
+          pmod(col("doc_id"), lit(4)).cast("int") + 1))
+    Skew.writePartitioned(docs, dir, Seq("channel", "lang"))
+    val back = spark.read.parquet(dir)
+      .filter(col("channel") === "EML" && col("lang") === "de")
+    // partition filters prune at planning: the scan's selected
+    // partitions shrink, and no Filter on channel/lang remains
+    val scan = back.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") &&
+      (scan.contains("channel#") || scan.contains("isnotnull(channel")),
+      s"no partition filters in scan:\n$scan")
+    val expected = docs.filter(col("channel") === "EML" && col("lang") === "de").count()
+    assert(back.count() == expected && expected > 0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.Ingest
+import graft.metrics.Evaluation
+import graft.normalize.{JsonRepair, Normalize}
+import graft.sample.Sampling
+import graft.vector.VectorOps
+
+/** Direct specs for helpers not pinned by an oracle query. */
+class HelperSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Any = {
+    import spark.implicits._
+    Seq(Option(input)).toDF("s").select(c.as("r")).collect()(0).get(0)
+  }
+
+  test("repairCommon fixes trailing commas and single quotes") {
+    val f = (s: String) => one(
+      get_json_object(JsonRepair.repairCommon(col("s")), "$.a"), s)
+    assert(f("""{"a": "1",}""") == "1")
+    assert(f("{'a': '2'}") == "2")
+    assert(f("""{"a": "it's fine"}""") == "it's fine")
+  }
+
+  test("safeParseList parses, repairs, or wraps") {
+    val f = (s: String) => one(JsonRepair.safeParseList(col("s"), StringType), s)
+    assert(f("""["a", "b"]""") == Seq("a", "b"))
+    assert(f("""["a", "b"""") == Seq("a", "b")) // missing ] repaired
+    assert(f("plain") == Seq("plain"))          // wrapped as singleton
+  }
+
+  test("matchRate computes percentage") {
+    import spark.implicits._
+    val df = Seq(true, true, false, true).toDF("m")
+    val r = Evaluation.matchRate(df, col("m")).collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 4 && r.getDouble(2) == 75.0)
+  }
+
+  test("conformTo renames, reorders and null-fills to the target schema") {
+    import spark.implicits._
+    val df = Seq(("x", 1)).toDF("document_name", "n")
+    val out = Ingest.conformTo(df, Map("document_name" -> "label"),
+      Seq("label", "missing_col"))
+    assert(out.columns.toSeq == Seq("label", "missing_col"))
+    val row = out.collect()(0)
+    assert(row.getString(0) == "x" && row.isNullAt(1))
+  }
+
+  test("normalizeColumnNames lowercases and trims") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF(" Field ", "VALUE")
+    assert(Ingest.normalizeColumnNames(df).columns.toSeq == Seq("field", "value"))
+  }
+
+  test("cosineFromIpDistance and formatMoney behave per reference") {
+    import spark.implicits._
+    val r = Seq((0.25, -1234.5)).toDF("d", "v")
+      .select(VectorOps.cosineFromIpDistance(col("d")),
+        VectorOps.rescale01(lit(0.5)),
+        Normalize.formatMoney(col("v")))
+      .collect()(0)
+    assert(r.getDouble(0) == 0.75 && r.getDouble(1) == 0.75)
+    assert(r.getString(2) == "-$1,234.50")
+  }
+
+  test("fixedSample is deterministic and bounded") {
+    val d = graft.core.Tables(spark, sf).documents
+    val a = Sampling.fixedSample(d, 25, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.fixedSample(d.repartition(5), 25, col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a.length == 25 && a == b)
+  }
+
+  test("keepLines duplicates short docs like the reference") {
+    val f = (s: String) => one(graft.text.TextOps.keepLines(col("s"), 2), s)
+    assert(f("a\nb\nc\nd\ne") == "a\nb\nd\ne")
+    assert(f("only") == "only\nonly")
+  }
+}

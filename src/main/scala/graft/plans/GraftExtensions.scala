@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => KnnJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("money_norm"),
       new ExpressionInfo(classOf[MoneyNorm].getName, "money_norm"),

@@ -105,7 +105,22 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v01 through the CUSTOM PLAN NODE (KnnJoinPlan/KnnJoinExec) —
+    * the physical operator under the same oracle as the helper
+    * implementations. Registers the planner strategy idempotently. */
+  def knnPlanNode(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.KnnJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.KnnJoinStrategy
+    val e = Tables(spark, dir).embeddings
+    graft.plans.KnnJoinPlan.knnJoin(spark, e, e, K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v09_knn_plan_node" -> knnPlanNode,
     "v01_knn_top3" -> knnTop3,
     "v02_knn_classify" -> knnClassify,
     "v03_knn_accuracy_by_label" -> knnAccuracyByLabel,
@@ -124,7 +139,7 @@ object VectorPack extends QueryPack {
     |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
     |      FROM p)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     "v01_knn_top3" -> s"""
       |WITH $knnCte
       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
@@ -187,4 +202,8 @@ object VectorPack extends QueryPack {
       |  round((1.0 + k.sim) / 2.0, 6) AS sim_rescaled
       |FROM k JOIN t ON k.qid = t.qid
       |ORDER BY query_id, rank""".stripMargin)
+
+  /** v09 shares v01's oracle: same semantics, custom plan-node path. */
+  val oracles: Map[String, String] =
+    oracles0 + ("v09_knn_plan_node" -> oracles0("v01_knn_top3"))
 }

@@ -83,3 +83,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted > 0 && emitted <= total)
   }
 }
+
+class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.streaming.OutputMode
+
+  test("streaming dropDuplicates removes replayed events exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
+    val events = graft.core.Tables(spark, sf).events.limit(500)
+    // write the same events TWICE — a replayed/at-least-once source
+    events.write.mode("overwrite").parquet(dir)
+    events.write.mode("append").parquet(dir)
+    val stream = graft.streaming.Streams.watchedFolder(
+      spark, dir, graft.core.Tables(spark, sf).events.schema, 3)
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_out").collect()(0).getLong(0)
+    assert(n == events.count(), s"expected exactly-once count, got $n")
+  }
+}

@@ -134,6 +134,58 @@ object KnnJoin {
       .toDF("a_id", "b_id", "cos")
   }
 
+  /** IVF-style approximate kNN (builder brief: "IVF or LSH-bucketed
+    * variant as the scale path"): a coarse quantizer of `nCentroids`
+    * deterministically-seeded centroids (hash-order sample of the
+    * index — at scale a k-means refinement slots in here) partitions
+    * the index into inverted lists; each query probes its `nProbe`
+    * nearest centroids and reranks exactly within those lists only.
+    *
+    * Unlike the broadcast-exact path this never needs the full index
+    * per executor — the candidate join shuffles on centroid id, so
+    * the index can be arbitrarily large as long as single inverted
+    * lists stay bounded (centroid count scales with √N as usual).
+    */
+  def approxIvf(spark: SparkSession, queries: DataFrame, index: DataFrame,
+                k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                seed: String = "42"): DataFrame = {
+    import graft.sample.Sampling
+    val centroids = Sampling.fixedSample(
+        index.select(col("vec_id"), col("embedding")), nCentroids, col("vec_id"), seed)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // inverted lists: every index vector → nearest centroid
+    val assignments = exactBroadcast(spark,
+        index.select(col("vec_id"), col("embedding")),
+        centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
+        1, excludeSelf = false)
+      .toDF("vec_id", "centroid_id", "r", "s")
+      .select(col("vec_id"), col("centroid_id"))
+    val lists = index.join(assignments, Seq("vec_id"))
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+    // probe: each query → its nProbe nearest centroids
+    val probes = exactBroadcast(spark,
+        queries.select(col("vec_id"), col("embedding")),
+        centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
+        nProbe, excludeSelf = false)
+      .toDF("query_id", "centroid_id", "r", "s")
+      .select(col("query_id"), col("centroid_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    // candidates = union of probed lists; exact rerank within them
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes
+      .join(lists, Seq("centroid_id"))
+      .join(q, Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorOps.dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+  }
+
   /** Approximate kNN via MLlib random-projection LSH over the
     * L2-normalized vectors (Euclidean on the unit sphere orders like
     * cosine: dist² = 2 − 2·sim). The 100 TB path when the index side

@@ -75,3 +75,28 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(acc > 0.2, s"train accuracy $acc should beat 10-class chance")
   }
 }
+
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("IVF approx kNN reaches usable recall and never exceeds k") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    val exact = graft.vector.KnnJoin.exactCross(e, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.vector.KnnJoin.approxIvf(spark, e, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ivf.groupBy(_._1).values.forall(_.length <= 3))
+    val recall = (exact intersect ivf.toSet).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall $recall too low")
+  }
+
+  test("IVF is deterministic across runs") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    def run() = graft.vector.KnnJoin.approxIvf(spark, e, e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+}

@@ -69,7 +69,17 @@ object DedupPack extends QueryPack {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** d02 with the stop-shingle cap: shingles in more than 20 docs are
+    * dropped from candidate generation AND set sizes — the skew guard
+    * that bounds inverted-index fan-out at corpus scale, here under
+    * the same oracle discipline as the uncapped variant. */
+  def jaccardStopShingle(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(augmented(spark, dir), col("doc_id"), col("text"),
+        k = 3, threshold = 0.5, maxShingleDocFreq = 20)
+      .orderBy(col("a_id"), col("b_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d07_jaccard_stopshingle" -> jaccardStopShingle,
     "d01_exact_dedup" -> exactDedup,
     "d02_jaccard_pairs" -> jaccard,
     "d03_minhash_candidates" -> minhash,
@@ -94,6 +104,20 @@ object DedupPack extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    "d07_jaccard_stopshingle" -> s"""
+      |WITH $augmentedSql, $shingleSql,
+      |rare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM sh GROUP BY sh)
+      |  WHERE df_ <= 20),
+      |shf AS (SELECT id, sh FROM sh JOIN rare ON sh.sh = rare.rsh),
+      |sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+      |pairs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+      |  FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+      |SELECT p.a_id, p.b_id, p.inter,
+      |  sa.n AS na, sb.n AS nb,
+      |  round(CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE), 6) AS jaccard
+      |FROM pairs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
+      |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin,
     "d01_exact_dedup" -> s"""
       |WITH $augmentedSql
       |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

@@ -119,8 +119,19 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF approximate kNN (rows-only driver check; recall asserted in
+    * IvfSpec — an approximate result has no SQL oracle). */
+  def ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.approxIvf(spark, e, e, K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v09_knn_plan_node" -> knnPlanNode,
+    "v10_knn_ivf" -> ivf,
     "v01_knn_top3" -> knnTop3,
     "v02_knn_classify" -> knnClassify,
     "v03_knn_accuracy_by_label" -> knnAccuracyByLabel,

@@ -24,16 +24,34 @@ object Bench {
     // numbers measure the queries, not JVM startup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // a failed query records -1 (NOT a normal-looking elapsed time) and
+    // goes to stderr, so the bench JSON distinguishes crash from fast
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: $e")
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness captures only the last ~2 KB of stdout: keys are
+    // abbreviated to the unique family prefix (m01_confusion -> m01)
+    // and seconds rounded to 3 decimals to keep this line well under
+    // that window (full names are in CORRECTNESS/COVERAGE).
+    def short(n: String): String = n.indexOf('_') match {
+      case -1 => n
+      case i  => n.substring(0, i)
+    }
+    val keys = results.map { case (n, _) => short(n) }
+    require(keys.distinct.size == keys.size, "bench key abbreviation collision")
+    val qs = results.map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -10,8 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** All operator-family packs. Order matters only for duplicate-key
-    * detection (later packs must not reuse a name). */
+  /** All operator-family packs. Query/oracle names must be globally
+    * unique — asserted below, since `flatMap(...).toMap` would
+    * otherwise let a later pack silently shadow an earlier one. */
   val packs: Seq[QueryPack] = Seq(
     relational.RelationalPack,
     text.TextPack,
@@ -30,6 +31,13 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     relational.RelationalPack.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def assertUnique(kind: String, keys: Seq[String]): Unit = {
+    val dups = keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate $kind name(s) across packs: ${dups.mkString(", ")}")
+  }
+  assertUnique("query", packs.flatMap(_.queries.keys.toSeq))
+  assertUnique("oracle", packs.flatMap(_.oracles.keys.toSeq))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -61,10 +61,9 @@ object LlmPack extends QueryPack {
   /** L6 RAG: top-3 docs as context blocks + 2-of-3 label vote. */
   def ragContext(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val e = t.embeddings
     val snippets = t.documents.select(col("doc_id"),
       concat_ws(" ", slice(TextOps.words(col("text")), 1, 10)).as("snippet"))
-    val hits = KnnJoin.exact(spark, e, e, 3)
+    val hits = KnnJoin.exactSelfTop3(spark, dir)
       .join(snippets.withColumnRenamed("doc_id", "neighbor_id"), Seq("neighbor_id"))
       .withColumn("block",
         concat(lit("[Document "), col("rank"), lit("]: "), col("snippet")))

@@ -15,10 +15,11 @@ import graft.vector.KnnJoin
   */
 object MetricsPack extends QueryPack {
 
-  /** top-3 neighbors with the query's own label attached. */
+  /** top-3 neighbors with the query's own label attached (shared
+    * session-memoized artifact — computed once for m01..m06). */
   private def hits(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.exact(spark, e, e, 3)
+    KnnJoin.exactSelfTop3(spark, dir)
       .join(e.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), Seq("query_id"))
   }

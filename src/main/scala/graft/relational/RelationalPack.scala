@@ -282,8 +282,9 @@ object RelationalPack extends QueryPack {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
     "r09_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_totalprice > 300000.0 AND o.o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin,
     "r10_union_segments" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'

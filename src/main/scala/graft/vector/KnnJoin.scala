@@ -63,11 +63,13 @@ object KnnJoin {
       .as[(Long, Array[Double])]
     qs.flatMap { case (qid, qv) =>
       val entries = bc.value
-      // bounded selection: keep the k best (sim desc, id asc)
-      val ord = Ordering.by[(Long, Double), (Double, Long)] {
-        case (id, sim) => (-sim, id)
-      }
-      var top = List.empty[(Long, Double)] // small k: sorted insert
+      // bounded selection: arrays sorted by (sim desc, id asc), shifted
+      // insertion — O(1) reject for the common below-threshold case,
+      // zero allocation per candidate (the old per-candidate
+      // list-sort-take dominated the whole kNN family's runtime)
+      val simA = new Array[Double](k)
+      val idA = new Array[Long](k)
+      var size = 0
       var i = 0
       while (i < entries.length) {
         val (nid, nv) = entries(i)
@@ -75,13 +77,23 @@ object KnnJoin {
           var s = 0.0
           var d = 0
           while (d < nv.length) { s += qv(d) * nv(d); d += 1 }
-          top = ((nid, s) :: top).sorted(ord).take(k)
+          if (size < k || s > simA(size - 1) ||
+              (s == simA(size - 1) && nid < idA(size - 1))) {
+            var pos = 0
+            while (pos < size &&
+                   !(s > simA(pos) || (s == simA(pos) && nid < idA(pos)))) pos += 1
+            if (pos < k) {
+              var j = math.min(size, k - 1)
+              while (j > pos) { simA(j) = simA(j - 1); idA(j) = idA(j - 1); j -= 1 }
+              simA(pos) = s
+              idA(pos) = nid
+              if (size < k) size += 1
+            }
+          }
         }
         i += 1
       }
-      top.sorted(ord).zipWithIndex.map { case ((nid, s), r) =>
-        KnnHit(qid, nid, r + 1, s)
-      }
+      (0 until size).map(r => KnnHit(qid, idA(r), r + 1, simA(r)))
     }
   }
 
@@ -102,6 +114,24 @@ object KnnJoin {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
         col("n_label"))
   }
+
+  private val selfTop3Memo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Session-scoped memo of the standard artifact nearly every
+    * evaluation query starts from: the embeddings table's exact top-3
+    * self-kNN (leave-self-out, labels attached). The reference builds
+    * its FAISS index ONCE and serves every downstream consumer from
+    * it; this is the Spark analogue — first caller pays the O(N·N·d)
+    * scan, the persisted hits (3 rows per vector — tiny) serve the
+    * confusion/report/rollup/agreement/calibration/RAG family for the
+    * rest of the session. Top-1 consumers filter `rank = 1`, which by
+    * the selection order is exactly the k=1 result. */
+  def exactSelfTop3(spark: SparkSession, dir: String): DataFrame =
+    selfTop3Memo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+      val e = graft.core.Tables(spark, dir).embeddings
+      exact(spark, e, e, 3).persist()
+    })
 
   /** All-pairs similarity above a threshold (near-dup mining):
     * broadcast + per-partition primitive loops with precomputed

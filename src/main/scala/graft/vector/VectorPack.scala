@@ -20,18 +20,19 @@ object VectorPack extends QueryPack {
 
   private val K = 3
 
-  /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN. */
+  /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN,
+    * served from the session-memoized self-join artifact. */
   def knnTop3(spark: SparkSession, dir: String): DataFrame =
-    KnnJoin.exact(spark, Tables(spark, dir).embeddings,
-        Tables(spark, dir).embeddings, K)
+    KnnJoin.exactSelfTop3(spark, dir)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rank"))
 
-  /** L4: top-1 neighbor's label as the prediction (leave-self-out). */
+  /** L4: top-1 neighbor's label as the prediction (leave-self-out);
+    * rank 1 of the memoized top-3 IS the k=1 result. */
   def knnClassify(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.exact(spark, e, e, 1)
+    KnnJoin.exactSelfTop3(spark, dir).filter(col("rank") === 1)
       .join(e.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), Seq("query_id"))
       .select(col("query_id").as("vec_id"),
@@ -87,12 +88,11 @@ object VectorPack extends QueryPack {
   /** F23: per-query softmax-ish score normalization over top-k, via
     * exact decimal sums so the denominator is order-independent. */
   def topkSoftmax(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
     // rescale works on the FULL-precision sim and rounds once at the
     // boundary: rounding an already-rounded value creates exact
     // half-way ties where the engines' round() implementations
     // legitimately disagree.
-    val hits = KnnJoin.exact(spark, e, e, K)
+    val hits = KnnJoin.exactSelfTop3(spark, dir)
       .withColumn("simd", round(col("sim"), 6).cast("decimal(18,6)"))
     val w = Window.partitionBy(col("query_id"))
     hits

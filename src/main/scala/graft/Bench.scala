@@ -26,13 +26,24 @@ object Bench {
     catch { case _: Throwable => () }
     // a failed query records -1 (NOT a normal-looking elapsed time) and
     // goes to stderr, so the bench JSON distinguishes crash from fast
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=d02,f01 limits the run for local iteration
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
+      val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
+        None
+      } catch { case e: Throwable => Some(e) }
+      // release per-query caches (e.g. the dedup pack's shingle
+      // tables) so one query's working set doesn't GC-tax the next;
+      // cleanup cost counts against the query that incurred it
+      spark.catalog.clearCache()
+      err match {
+        case None => name -> (System.nanoTime() - t0) / 1e9
+        case Some(e) =>
           System.err.println(s"BENCH FAIL $name: $e")
           name -> -1.0
       }

@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MoneyNorm(exprs.head)))
     e.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
       FunctionIdentifier("chunk"),
       new ExpressionInfo(classOf[ChunkWords].getName, "chunk"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

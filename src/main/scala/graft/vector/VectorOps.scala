@@ -16,8 +16,16 @@ object VectorOps {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Inner product ⟨a,b⟩ in double. */
+  /** Inner product ⟨a,b⟩ in double — the native codegen expression
+    * ([[graft.plans.ArrayDot]]); one fused primitive loop per row. */
   def dot(a: Column, b: Column): Column =
+    graft.plans.ArrayDot.dotNative(a, b)
+
+  /** The higher-order-function formulation of [[dot]] — kept as the
+    * declarative cross-check (a spec asserts bitwise equality with the
+    * native expression); ~10× slower: per-row array allocation + two
+    * lambda evals per element, outside whole-stage codegen. */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 

@@ -46,6 +46,40 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"no codegen span in:\n$plan")
   }
 
+  test("native ArrayDot matches the declarative zip_with fold bitwise") {
+    import spark.implicits._
+    import graft.vector.VectorOps
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 300).map { i =>
+      val n = if (i % 11 == 0) 7 else 8 // some length mismatches
+      (Array.fill(n)(rnd.nextFloat()), Array.fill(8)(rnd.nextFloat()))
+    }
+    val df = vecs.toDF("a", "b")
+    val mismatches = df.select(
+        VectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dotDeclarative(col("a"), col("b")).as("declarative"))
+      .filter(!(col("native") <=> col("declarative")))
+      .count()
+    assert(mismatches == 0)
+    // null element propagates to NULL like zip_with padding
+    val withNull = spark.sql(
+      "SELECT CAST(array(1.0, NULL, 2.0) AS ARRAY<DOUBLE>) AS a, " +
+        "CAST(array(1.0, 1.0, 1.0) AS ARRAY<DOUBLE>) AS b")
+    assert(withNull.select(VectorOps.dot(col("a"), col("b"))).collect()(0).isNullAt(0))
+  }
+
+  test("native ArrayDot survives inside whole-stage codegen") {
+    import spark.implicits._
+    val df = Seq.fill(50)((Array(1.0f, 2.0f, 3.0f), Array(2.0f, 0.5f, 1.0f)))
+      .toDF("a", "b")
+      .select(graft.vector.VectorOps.dot(col("a"), col("b")).as("d"))
+      .groupBy("d").count()
+    val rows = df.collect()
+    assert(rows.length == 1 && rows(0).getDouble(0) == 6.0 && rows(0).getLong(1) == 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+  }
+
   test("SQL registration: money_norm and chunk work in plain SQL") {
     // GraftExtensions attaches at builder time (spark.sql.extensions);
     // the shared test session already exists, so inject the same

@@ -103,12 +103,25 @@ object DedupPack extends QueryPack {
     s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
   }
 
+  /** 60-bit md5-prefix hash (15-nibble decode) — mirrors
+    * `Dedup.hash60`, the Jaccard join-key representation. */
+  private def hv60(e: String): String =
+    (1 to 15).map { i =>
+      val mult = java.math.BigInteger.valueOf(16).pow(15 - i)
+      s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(", " + ", ")")
+
+  /** Distinct (id, hashed shingle) — the join-key relation both
+    * Jaccard oracles read. */
+  private val hashedShingleSql =
+    s"""hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh)"""
+
   val oracles: Map[String, String] = Map(
     "d07_jaccard_stopshingle" -> s"""
-      |WITH $augmentedSql, $shingleSql,
-      |rare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM sh GROUP BY sh)
+      |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
+      |rare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM hsh GROUP BY sh)
       |  WHERE df_ <= 20),
-      |shf AS (SELECT id, sh FROM sh JOIN rare ON sh.sh = rare.rsh),
+      |shf AS (SELECT id, sh FROM hsh JOIN rare ON hsh.sh = rare.rsh),
       |sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
       |pairs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
       |  FROM shf a JOIN shf b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
@@ -125,10 +138,10 @@ object DedupPack extends QueryPack {
       |FROM aug GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin,
     "d02_jaccard_pairs" -> s"""
-      |WITH $augmentedSql, $shingleSql,
-      |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
+      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
       |pairs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
-      |  FROM sh a JOIN sh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
+      |  FROM hsh a JOIN hsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2)
       |SELECT p.a_id, p.b_id, p.inter,
       |  sa.n AS na, sb.n AS nb,
       |  round(CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE), 6) AS jaccard

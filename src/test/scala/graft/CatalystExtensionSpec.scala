@@ -80,6 +80,24 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(plan.contains("*("), s"no codegen span in:\n$plan")
   }
 
+  test("native WordShingles matches the declarative transform chain") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val texts: Seq[String] = Seq(
+      null, "", "   ", "one", "one two", "one two three",
+      "a b c d e f g", "  leading and   internal\truns\nnewlines  ",
+      (1 to 40).map(i => s"w${i % 7}").mkString(" "))
+    for (k <- Seq(1, 2, 3, 5)) {
+      val df = texts.toDF("t")
+      val mismatches = df.select(
+          Dedup.shingles(col("t"), k).as("native"),
+          Dedup.shinglesDeclarative(col("t"), k).as("declarative"))
+        .filter(!(col("native") <=> col("declarative")))
+        .count()
+      assert(mismatches == 0, s"k=$k")
+    }
+  }
+
   test("SQL registration: money_norm and chunk work in plain SQL") {
     // GraftExtensions attaches at builder time (spark.sql.extensions);
     // the shared test session already exists, so inject the same

@@ -26,7 +26,8 @@ object SparkEntry {
     multimodal.MultimodalPack,
     ingest.IngestPack,
     vector.MlPack,
-    metrics.FeedbackPack)
+    metrics.FeedbackPack,
+    relational.TemporalPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

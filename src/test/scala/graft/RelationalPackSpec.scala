@@ -23,6 +23,27 @@ object SparkTestSession {
 class RelationalPackSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("as-of backward join: latest at-or-before, ties, and misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clicks = Seq(
+      (1L, 10L, 100L), // after two views at ts 5 and 10 -> tie at 10? no: view at 10 matches (at-or-before)
+      (1L, 4L, 101L),  // before any view -> null
+      (2L, 50L, 102L), // two views at ts 50 -> larger view_id wins
+      (3L, 99L, 103L)  // user with no views at all -> null
+      ).toDF("user_id", "tsu", "click_id")
+    val views = Seq(
+      (1L, 5L, 900L), (1L, 10L, 901L), (1L, 11L, 902L),
+      (2L, 50L, 903L), (2L, 50L, 904L), (2L, 40L, 905L)
+      ).toDF("user_id", "tsu", "view_id")
+    val out = graft.relational.AsOfJoin
+      .backward(clicks, views, Seq("user_id"), "tsu", "view_id")
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(100L -> 901L, 101L -> -1L, 102L -> 904L, 103L -> -1L))
+  }
+
   test("every declared query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

@@ -76,11 +76,9 @@ case class KnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
       // iterator reuses/invalidates its row buffer, and a downstream
       // consumer interleaving hasNext calls across our sub-iterators
       // would otherwise read freed memory
+      val top = new graft.vector.KnnJoin.TopK(kk)
       rows.map(row => (row.getLong(0), vecOf(row))).flatMap { case (qid, qv) =>
-        var top = List.empty[(Long, Double)]
-        val ord = Ordering.by[(Long, Double), (Double, Long)] {
-          case (id, s) => (-s, id)
-        }
+        top.reset()
         var i = 0
         while (i < idx.length) {
           val (nid, nv) = idx(i)
@@ -88,12 +86,12 @@ case class KnnJoinExec(left: SparkPlan, right: SparkPlan, k: Int,
             var s = 0.0
             var d = 0
             while (d < nv.length) { s += qv(d) * nv(d); d += 1 }
-            top = ((nid, s) :: top).sorted(ord).take(kk)
+            top.offer(nid, s)
           }
           i += 1
         }
-        top.sorted(ord).zipWithIndex.iterator.map { case ((nid, s), r) =>
-          proj(InternalRow(qid, (r + 1).toLong, nid, s)).copy()
+        (0 until top.size).map { r =>
+          proj(InternalRow(qid, (r + 1).toLong, top.ids(r), top.sims(r))).copy()
         }
       }
     }

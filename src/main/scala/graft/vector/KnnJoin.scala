@@ -31,6 +31,33 @@ object KnnJoin {
 
   final case class KnnHit(query_id: Long, neighbor_id: Long, rank: Int, sim: Double)
 
+  /** Bounded top-k selection by (sim desc, id asc): arrays kept sorted
+    * with shifted insertion — O(1) reject for the common below-
+    * threshold candidate, zero allocation per candidate. The total
+    * order makes the result independent of candidate iteration order,
+    * so every execution path (helper, custom exec) selects identically. */
+  final class TopK(k: Int) {
+    val sims = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var size = 0
+    def reset(): Unit = size = 0
+    def offer(nid: Long, s: Double): Unit = {
+      if (size < k || s > sims(size - 1) ||
+          (s == sims(size - 1) && nid < ids(size - 1))) {
+        var pos = 0
+        while (pos < size &&
+               !(s > sims(pos) || (s == sims(pos) && nid < ids(pos)))) pos += 1
+        if (pos < k) {
+          var j = math.min(size, k - 1)
+          while (j > pos) { sims(j) = sims(j - 1); ids(j) = ids(j - 1); j -= 1 }
+          sims(pos) = s
+          ids(pos) = nid
+          if (size < k) size += 1
+        }
+      }
+    }
+  }
+
   /** Declarative exact kNN: top-k by inner product (callers L2
     * normalize first for cosine semantics). */
   def exactCross(queries: DataFrame, index: DataFrame, k: Int,
@@ -61,39 +88,24 @@ object KnnJoin {
     val qs = queries
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .as[(Long, Array[Double])]
-    qs.flatMap { case (qid, qv) =>
+    qs.mapPartitions { it =>
       val entries = bc.value
-      // bounded selection: arrays sorted by (sim desc, id asc), shifted
-      // insertion — O(1) reject for the common below-threshold case,
-      // zero allocation per candidate (the old per-candidate
-      // list-sort-take dominated the whole kNN family's runtime)
-      val simA = new Array[Double](k)
-      val idA = new Array[Long](k)
-      var size = 0
-      var i = 0
-      while (i < entries.length) {
-        val (nid, nv) = entries(i)
-        if (!(excludeSelf && nid == qid)) {
-          var s = 0.0
-          var d = 0
-          while (d < nv.length) { s += qv(d) * nv(d); d += 1 }
-          if (size < k || s > simA(size - 1) ||
-              (s == simA(size - 1) && nid < idA(size - 1))) {
-            var pos = 0
-            while (pos < size &&
-                   !(s > simA(pos) || (s == simA(pos) && nid < idA(pos)))) pos += 1
-            if (pos < k) {
-              var j = math.min(size, k - 1)
-              while (j > pos) { simA(j) = simA(j - 1); idA(j) = idA(j - 1); j -= 1 }
-              simA(pos) = s
-              idA(pos) = nid
-              if (size < k) size += 1
-            }
+      val top = new TopK(k)
+      it.flatMap { case (qid, qv) =>
+        top.reset()
+        var i = 0
+        while (i < entries.length) {
+          val (nid, nv) = entries(i)
+          if (!(excludeSelf && nid == qid)) {
+            var s = 0.0
+            var d = 0
+            while (d < nv.length) { s += qv(d) * nv(d); d += 1 }
+            top.offer(nid, s)
           }
+          i += 1
         }
-        i += 1
+        (0 until top.size).map(r => KnnHit(qid, top.ids(r), r + 1, top.sims(r)))
       }
-      (0 until size).map(r => KnnHit(qid, idA(r), r + 1, simA(r)))
     }
   }
 

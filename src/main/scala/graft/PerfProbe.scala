@@ -48,6 +48,28 @@ object PerfProbe {
         .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter")))
     }
     time("full jaccardPairs")(noop(DedupPack.jaccard(spark, sfDir)))
+    val s = Dedup.simhash(aug, col("doc_id"), col("text")).cache()
+    time("simhash values")(s.count())
+    val sc = Dedup.simhash(aug, col("doc_id"), col("text")).cache()
+    sc.count()
+    time("banded joins from cached simhash") {
+      val bounds = (0 to 3).map(i => i * 16 / 3)
+      val cands = (0 until 3).map { i =>
+        val lo = bounds(i); val width = bounds(i + 1) - lo
+        val band = shiftright(col("simhash"), lo).bitwiseAND(lit((1L << width) - 1))
+        val a2 = sc.select(col("id").as("a_id"), col("simhash").as("ha"), band.as("bv"))
+        val b2 = sc.select(col("id").as("b_id"), col("simhash").as("hb"), band.as("bv"))
+        a2.join(broadcast(b2), Seq("bv")).filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+      }.reduce(_ unionByName _)
+      noop(cands.groupBy(col("a_id"), col("b_id"))
+        .agg(min(col("ha")).as("ha"), min(col("hb")).as("hb"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 2))
+    }
+    sc.unpersist()
+    time("all-pairs from scratch")(noop(
+      Dedup.simhashPairsAllPairs(aug, col("doc_id"), col("text"), 2)))
     spark.stop()
   }
 }

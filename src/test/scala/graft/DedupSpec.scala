@@ -40,6 +40,21 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("banded simhash pairs equal the all-pairs scan exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (maxDist <- Seq(1, 2, 3)) {
+      val banded = collectPairs(
+        Dedup.simhashPairsBanded(docs, col("doc_id"), col("text"), maxDist))
+      val allPairs = collectPairs(
+        Dedup.simhashPairsAllPairs(docs, col("doc_id"), col("text"), maxDist))
+      assert(banded == allPairs, s"maxDist=$maxDist")
+    }
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => KnnJoinStrategy)
+    e.injectOptimizerRule(_ => KnnRewriteRule)
     e.injectFunction((
       FunctionIdentifier("money_norm"),
       new ExpressionInfo(classOf[MoneyNorm].getName, "money_norm"),

@@ -119,6 +119,32 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v01 written the NAIVE way (cross join + window rank) and left to
+    * [[graft.plans.KnnRewriteRule]] to rewrite into the broadcast-heap
+    * operator — the optimizer rule under the same oracle as v01. */
+  def knnRuleRewrite(spark: SparkSession, dir: String): DataFrame = {
+    if (!spark.experimental.extraStrategies.contains(graft.plans.KnnJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.KnnJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.KnnRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.KnnRewriteRule
+    val e = Tables(spark, dir).embeddings
+    val q = e.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val n = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", VectorOps.dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF approximate kNN (rows-only driver check; recall asserted in
     * IvfSpec — an approximate result has no SQL oracle). */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
@@ -132,6 +158,7 @@ object VectorPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v09_knn_plan_node" -> knnPlanNode,
     "v10_knn_ivf" -> ivf,
+    "v11_knn_rule_rewrite" -> knnRuleRewrite,
     "v01_knn_top3" -> knnTop3,
     "v02_knn_classify" -> knnClassify,
     "v03_knn_accuracy_by_label" -> knnAccuracyByLabel,
@@ -214,7 +241,10 @@ object VectorPack extends QueryPack {
       |FROM k JOIN t ON k.qid = t.qid
       |ORDER BY query_id, rank""".stripMargin)
 
-  /** v09 shares v01's oracle: same semantics, custom plan-node path. */
+  /** v09/v11 share v01's oracle: same semantics through the custom
+    * plan node and the optimizer-rule rewrite respectively. */
   val oracles: Map[String, String] =
-    oracles0 + ("v09_knn_plan_node" -> oracles0("v01_knn_top3"))
+    oracles0 +
+      ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
+      ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3"))
 }

@@ -70,6 +70,33 @@ object PerfProbe {
     sc.unpersist()
     time("all-pairs from scratch")(noop(
       Dedup.simhashPairsAllPairs(aug, col("doc_id"), col("text"), 2)))
+
+    // d07 shape: stop-shingle cap 20 — current join path vs posting lists
+    time("d07 current (rare join + self-join)")(noop(
+      Dedup.jaccardPairs(aug, col("doc_id"), col("text"), 3, 0.5, 20)))
+    time("d07 posting-list variant") {
+      val allRows = aug.select(col("doc_id").as("id"),
+          explode(Dedup.shingles(col("text"), 3)).as("sh"))
+        .select(col("id"), Dedup.hash60(col("sh")).as("sh"))
+        .distinct()
+      val lists = allRows.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) <= 20).cache()
+      val sizes = lists.select(explode(col("ids")).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n"))
+      val pairs = lists.filter(size(col("ids")) > 1)
+        .select(posexplode(col("ids")).as(Seq("i", "a_id")), col("ids"))
+        .select(col("a_id"), explode(slice(col("ids"), col("i") + 2,
+          size(col("ids")))).as("b_id"))
+      val inter = pairs.groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      noop(inter
+        .join(sizes.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jaccard") >= 0.5))
+    }
     spark.stop()
   }
 }

@@ -39,13 +39,20 @@ object LlmPack extends QueryPack {
       .withColumn("gt_first_word",
         when(size(col("ws")) === 0, "NULL").otherwise(element_at(col("ws"), 1)))
       .withColumn("gt_word_count", size(col("ws")).cast("string"))
-    val fw = truth.select(col("doc_id"), lit("first_word").as("field"),
-      col("pred_first_word").as("predicted_value"),
-      col("gt_first_word").as("ground_truth"))
-    val wc = truth.select(col("doc_id"), lit("word_count").as("field"),
-      col("pred_word_count").as("predicted_value"),
-      col("gt_word_count").as("ground_truth"))
-    fw.unionByName(wc)
+    // long format via ONE explode, not a union of two branches — a
+    // union would execute the whole extraction stage (mapPartitions
+    // LLM calls included) once per branch
+    truth
+      .select(col("doc_id"), explode(array(
+        struct(lit("first_word").as("field"),
+          col("pred_first_word").as("predicted_value"),
+          col("gt_first_word").as("ground_truth")),
+        struct(lit("word_count").as("field"),
+          col("pred_word_count").as("predicted_value"),
+          col("gt_word_count").as("ground_truth")))).as("r"))
+      .select(col("doc_id"), col("r.field").as("field"),
+        col("r.predicted_value").as("predicted_value"),
+        col("r.ground_truth").as("ground_truth"))
       .withColumn("accuracy",
         when(trim(col("predicted_value")) === trim(col("ground_truth")), 1L)
           .otherwise(0L))

@@ -139,11 +139,17 @@ object KnnJoin {
     * confusion/report/rollup/agreement/calibration/RAG family for the
     * rest of the session. Top-1 consumers filter `rank = 1`, which by
     * the selection order is exactly the k=1 result. */
-  def exactSelfTop3(spark: SparkSession, dir: String): DataFrame =
-    selfTop3Memo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+  def exactSelfTop3(spark: SparkSession, dir: String): DataFrame = {
+    val df = selfTop3Memo.getOrElseUpdate((System.identityHashCode(spark), dir), {
       val e = graft.core.Tables(spark, dir).embeddings
-      exact(spark, e, e, 3).persist()
+      exact(spark, e, e, 3)
     })
+    // (re-)persist if an external clearCache dropped it — consumers
+    // like the classification report fan out into several branches
+    // that each re-execute the scan otherwise
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
 
   /** All-pairs similarity above a threshold (near-dup mining):
     * broadcast + per-partition primitive loops with precomputed

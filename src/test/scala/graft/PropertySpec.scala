@@ -118,4 +118,41 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(once == twice)
   }
+
+  test("TopK bounded selection equals full sort-take under fuzz") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 200) {
+      val k = 1 + rnd.nextInt(5)
+      val n = rnd.nextInt(40)
+      // duplicate sims on purpose: tie-breaking is the hard part
+      val cands = Seq.fill(n)((rnd.nextInt(20).toLong, rnd.nextInt(6).toDouble))
+      val top = new graft.vector.KnnJoin.TopK(k)
+      cands.foreach { case (id, s) => top.offer(id, s) }
+      val got = (0 until top.size).map(r => (top.ids(r), top.sims(r)))
+      val want = cands.sortBy { case (id, s) => (-s, id) }.take(k)
+      assert(got == want, s"trial $trial k=$k cands=$cands")
+    }
+  }
+
+  test("as-of join equals the brute-force definition under fuzz") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val leftRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val rightRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, (1000 + i).toLong))
+    val left = leftRows.toDF("user_id", "tsu", "click_id")
+    val right = rightRows.toDF("user_id", "tsu", "view_id")
+    val got = graft.relational.AsOfJoin
+      .backward(left, right, Seq("user_id"), "tsu", "view_id")
+      .collect()
+      .map(r => r.getLong(2) -> (if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    val want = leftRows.map { case (u, ts, cid) =>
+      val matches = rightRows.filter { case (ru, rts, _) => ru == u && rts <= ts }
+      cid -> (if (matches.isEmpty) -1L
+              else matches.maxBy { case (_, rts, rid) => (rts, rid) }._3)
+    }.toMap
+    assert(got == want)
+  }
 }

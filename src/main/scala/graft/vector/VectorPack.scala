@@ -145,8 +145,11 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** IVF approximate kNN (rows-only driver check; recall asserted in
-    * IvfSpec — an approximate result has no SQL oracle). */
+  /** IVF approximate kNN. "Approximate" refers to recall vs exact
+    * kNN, not to nondeterminism — every stage (hash-ordered centroid
+    * sample, argmax assignment, probing, rerank) is deterministic, so
+    * the full pipeline replays in SQL and v10 is oracle-checked like
+    * the exact variants (recall itself is asserted in IvfSpec). */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
     KnnJoin.approxIvf(spark, e, e, K)
@@ -241,10 +244,35 @@ object VectorPack extends QueryPack {
       |FROM k JOIN t ON k.qid = t.qid
       |ORDER BY query_id, rank""".stripMargin)
 
+  /** The IVF pipeline replayed in SQL: same centroid sample (md5
+    * order), same argmax assignment and probe tie-breaks (dot desc,
+    * id asc), same rerank — mirrors `KnnJoin.approxIvf` defaults
+    * (16 centroids, 4 probes, seed 42). */
+  private val ivfSql = s"""
+    |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    |c AS (SELECT vec_id AS cid, v AS cv FROM e
+    |      ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    |scored AS (SELECT e.vec_id, c.cid,
+    |    row_number() OVER (PARTITION BY e.vec_id
+    |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+    |  FROM e, c),
+    |asg AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    |probes AS (SELECT vec_id AS qid, cid FROM scored WHERE rn <= 4),
+    |cand AS (SELECT p.qid, a.vec_id AS nid
+    |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+    |r AS (SELECT cand.qid, cand.nid, list_dot_product(q.v, n.v) AS sim,
+    |    row_number() OVER (PARTITION BY cand.qid
+    |      ORDER BY list_dot_product(q.v, n.v) DESC, cand.nid) AS rnk
+    |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.nid)
+    |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
+    |  round(sim, 6) AS sim
+    |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
+
   /** v09/v11 share v01's oracle: same semantics through the custom
     * plan node and the optimizer-rule rewrite respectively. */
   val oracles: Map[String, String] =
     oracles0 +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
-      ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3"))
+      ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
+      ("v10_knn_ivf" -> ivfSql)
 }

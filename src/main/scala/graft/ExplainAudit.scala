@@ -12,7 +12,8 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("r01_pricing_summary", "r02_revenue_topk", "r04_filter_range",
-        "t01_chunk_stats", "d02_jaccard_pairs", "s01_tumbling_counts")
+        "t01_chunk_stats", "d02_jaccard_pairs", "s01_tumbling_counts",
+        "x01_asof_join", "x02_range_band_join", "v11_knn_rule_rewrite")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -104,8 +104,8 @@ object DedupPack extends QueryPack {
   }
 
   /** 60-bit md5-prefix hash (15-nibble decode) — mirrors
-    * `Dedup.hash60`, the Jaccard join-key representation. */
-  private def hv60(e: String): String =
+    * `Dedup.hash60` (Jaccard join keys, KMV sketch hashes). */
+  private[graft] def hv60(e: String): String =
     (1 to 15).map { i =>
       val mult = java.math.BigInteger.valueOf(16).pow(15 - i)
       s"CAST(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1 AS BIGINT) * $mult"

@@ -199,12 +199,40 @@ object RelationalPack extends QueryPack {
   }
 
   /** approx_count_distinct — the 100 TB alternative to exact nunique.
-    * No SQL oracle (sketch); driver records the rows-only check. */
+    * No SQL oracle (HLL sketch internals); driver records the
+    * rows-only check. [[kmvDistinct]] is the oracle-gated sketch. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).lineitem
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
       .orderBy(col("l_returnflag"))
+
+  /** KMV (k-minimum-values) distinct sketch — a deterministic
+    * estimator both engines can compute bit-for-bit, unlike HLL:
+    * hash every key to [0, 2⁶⁰), keep the k smallest per group; the
+    * kth minimum h₍ₖ₎ estimates distinct ≈ (k−1)/(h₍ₖ₎/2⁶⁰). Groups
+    * with fewer than k distinct keys report exactly. Per-group state
+    * is bounded at k values — at 100 TB this runs as a bounded-heap
+    * partial aggregate; here the window formulation keeps it
+    * declarative (boundary ties on h leave max(h≤ₖ) unchanged, so
+    * the result is partitioning-independent). */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val pow60 = 1152921504606846976.0 // 2^60, exact in double
+    val d = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .withColumn("h", graft.dedup.Dedup.hash60(col("l_orderkey")))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("h"), col("l_orderkey"))
+    d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_seen"), max(col("h")).as("hk"))
+      .select(col("l_returnflag"),
+        when(col("n_seen") < k, col("n_seen").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / (col("hk").cast("double") / pow60))
+          .as("est_distinct"))
+      .orderBy(col("l_returnflag"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> pricingSummary,
@@ -219,7 +247,8 @@ object RelationalPack extends QueryPack {
     "r10_union_segments" -> unionSegments,
     "r11_describe_quantity" -> describeQuantity,
     "r12_corr_price_discount" -> corrPriceDiscount,
-    "r13_approx_distinct" -> approxDistinct)
+    "r13_approx_distinct" -> approxDistinct,
+    "r14_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)))
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -311,5 +340,20 @@ object RelationalPack extends QueryPack {
         |  CAST(sum(CAST(x*x AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sxx,
         |  CAST(sum(CAST(y*y AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS syy
         |  FROM (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS x,
-        |               CAST(l_discount AS DECIMAL(18,2)) AS y FROM lineitem))""".stripMargin)
+        |               CAST(l_discount AS DECIMAL(18,2)) AS y FROM lineitem))""".stripMargin,
+    "r14_kmv_distinct" -> s"""
+      |WITH d AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+      |h AS (SELECT l_returnflag, l_orderkey,
+      |        ${graft.dedup.DedupPack.hv60("CAST(l_orderkey AS VARCHAR)")} AS h
+      |      FROM d),
+      |r AS (SELECT l_returnflag, h, row_number() OVER (
+      |        PARTITION BY l_returnflag ORDER BY h, l_orderkey) AS rn
+      |      FROM h),
+      |g AS (SELECT l_returnflag, count(*) AS n_seen, max(h) AS hk
+      |      FROM r WHERE rn <= 64 GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+      |       ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
+      |  END AS est_distinct
+      |FROM g ORDER BY l_returnflag""".stripMargin)
 }

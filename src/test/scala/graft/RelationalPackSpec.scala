@@ -44,6 +44,21 @@ class RelationalPackSpec extends AnyFunSuite {
     assert(out == Map(100L -> 901L, 101L -> -1L, 102L -> 904L, 103L -> -1L))
   }
 
+  test("KMV sketch estimates distinct counts within sketch error") {
+    import org.apache.spark.sql.functions._
+    val est = graft.relational.RelationalPack.kmvDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = graft.core.Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (flag, n) =>
+      val e = est(flag)
+      // k=64 -> relative stderr ~1/sqrt(k-2) ~ 13%; allow 4 sigma
+      assert(math.abs(e - n) / n < 0.5, s"$flag: est $e vs exact $n")
+    }
+  }
+
   test("every declared query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

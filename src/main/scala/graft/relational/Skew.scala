@@ -45,4 +45,15 @@ object Skew {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed-layout writer: pays the shuffle ONCE at write time so
+    * every subsequent join/aggregation on the bucket key plans with
+    * no Exchange (co-located join) — the standard play for a fact
+    * table joined on the same key query after query at 100 TB. A spec
+    * asserts the shuffle-free plan. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    bucketCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

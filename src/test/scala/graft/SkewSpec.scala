@@ -56,4 +56,30 @@ class SkewSpec extends AnyFunSuite {
     val expected = docs.filter(col("channel") === "EML" && col("lang") === "de").count()
     assert(back.count() == expected && expected > 0)
   }
+
+  test("bucketed co-located join plans without a shuffle") {
+    val orders = Tables(spark, sf).orders
+    val lineitem = Tables(spark, sf).lineitem
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    Skew.writeBucketed(orders, "b_orders", 8, "o_orderkey")
+    Skew.writeBucketed(lineitem, "b_lineitem", 8, "o_orderkey")
+    val oldThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path: the point is that bucketing makes
+      // the shuffle unnecessary, not that broadcast avoids it
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+        .select(col("o_orderkey"), col("l_quantity"))
+      val n = j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"shuffle in bucketed join:\n$plan")
+      val expected = orders.join(lineitem, "o_orderkey").count()
+      assert(n == expected && n > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
 }

@@ -19,6 +19,9 @@ object GraftSession {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // the engine's SQL surface (money_norm, array_dot, chunk), the
+      // kNN planner strategy and the top-k rewrite rule
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

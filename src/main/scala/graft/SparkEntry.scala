@@ -27,7 +27,8 @@ object SparkEntry {
     ingest.IngestPack,
     vector.MlPack,
     metrics.FeedbackPack,
-    relational.TemporalPack)
+    relational.TemporalPack,
+    pipeline.PipelinePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

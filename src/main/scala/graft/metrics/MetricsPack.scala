@@ -101,13 +101,11 @@ object MetricsPack extends QueryPack {
     |p1 AS (SELECT qid, CAST(tlabel AS VARCHAR) AS t, CAST(nlabel AS VARCHAR) AS p, sim
     |       FROM r WHERE rnk = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "m01_confusion" -> s"""
-      |WITH $predsCte
-      |SELECT t AS true_label, p AS pred_label, count(*) AS n
-      |FROM p1 GROUP BY t, p ORDER BY true_label, pred_label""".stripMargin,
-    "m02_classification_report" -> s"""
-      |WITH $predsCte,
+  /** sklearn-style report SQL over any CTE chain ending in
+    * `p1(qid, t, p)` — shared with the pipeline pack's flagship
+    * lifecycle oracle. */
+  private[graft] def reportSqlFrom(cte: String): String = s"""
+      |WITH $cte,
       |bt AS (SELECT t AS label, count(*) AS support,
       |         sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS tp FROM p1 GROUP BY t),
       |bp AS (SELECT p AS label, count(*) AS pred_n FROM p1 GROUP BY p),
@@ -145,7 +143,14 @@ object MetricsPack extends QueryPack {
       |    wp / CAST(total AS DOUBLE),
       |    wr / CAST(total AS DOUBLE),
       |    wf / CAST(total AS DOUBLE), total FROM s)
-      |ORDER BY ord, label""".stripMargin,
+      |ORDER BY ord, label""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "m01_confusion" -> s"""
+      |WITH $predsCte
+      |SELECT t AS true_label, p AS pred_label, count(*) AS n
+      |FROM p1 GROUP BY t, p ORDER BY true_label, pred_label""".stripMargin,
+    "m02_classification_report" -> reportSqlFrom(predsCte),
     "m03_doc_rollup" -> s"""
       |WITH $predsCte
       |SELECT CAST(floor(qid / 10) AS BIGINT) AS doc,

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Lifecycles
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("flagship lifecycle report has the sklearn summary rows") {
+    val rows = Lifecycles.classifyAndReport(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows.contains("accuracy"))
+    assert(rows.contains("macro avg"))
+    assert(rows.contains("weighted avg"))
+    // summary rows carry the full test-side support
+    assert(rows("accuracy") == rows("weighted avg") && rows("accuracy") > 0)
+  }
+
+  test("confirm operator matches the l04 golden-vector decisions") {
+    import spark.implicits._
+    val df = graft.llm.LlmPack.confirmVectors.zipWithIndex
+      .map { case ((t, f, l, a), i) => (i.toLong, t, f, l, a) }
+      .toDF("id", "full_text", "sor_first", "sor_last", "sor_address")
+    val viaLifecycle = Lifecycles.confirm(df, col("full_text"),
+        col("sor_first"), col("sor_last"), col("sor_address"))
+      .select(col("id"), col("decision"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaPack = graft.llm.LlmPack.confirmation(spark, sf)
+      .select(col("id"), col("decision"))
+      .collect().map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    assert(viaLifecycle == viaPack)
+    val (stp, hitl) = Lifecycles.routeStp(
+      Lifecycles.confirm(df, col("full_text"), col("sor_first"),
+        col("sor_last"), col("sor_address")))
+    assert(stp.count() + hitl.count() == df.count())
+  }
+
+  test("extraction lifecycle equals the l02 accuracy table") {
+    val a = Lifecycles.extractAndEvaluate(spark, sf).collect().map(_.toSeq)
+    val b = SparkEntry.queries("l02_extract_accuracy")(spark, sf)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+}

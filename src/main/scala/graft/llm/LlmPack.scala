@@ -22,8 +22,30 @@ import graft.vector.KnnJoin
   */
 object LlmPack extends QueryPack {
 
-  /** Extraction pipeline, long format: one row per (doc, field). */
+  private val extractMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  /** Extraction pipeline, long format: one row per (doc, field).
+    *
+    * Session-scoped artifact, same discipline as
+    * [[graft.vector.KnnJoin.exactSelfTop3]]: the first caller pays the
+    * model stage once and persists the (tiny — 2 rows per doc) long
+    * frame; l01/l02 and the whole feedback family (f01–f03) then read
+    * the artifact instead of re-running the `mapPartitions` LLM stage.
+    * With a real remote model that re-execution is a 5× cost bug, not
+    * just wall-time (`ext_3_4.py:150-188` checkpoints for the same
+    * reason). [[LlmStage.ResultCache]] is the per-executor retry tier
+    * underneath; this memo is the per-session artifact tier.
+    */
   def extractLong(spark: SparkSession, dir: String): DataFrame = {
+    val df = extractMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), extractLongPlan(spark, dir))
+    // (re-)persist if an external clearCache dropped it
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
+    df
+  }
+
+  private def extractLongPlan(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
     val responses = LlmStage.complete(docs, col("doc_id"),
       LlmStage.extractionPrompt(col("doc_id"), col("text")), StubExtractor)

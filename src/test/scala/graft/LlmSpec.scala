@@ -26,6 +26,7 @@ class LlmSpec extends AnyFunSuite {
 
   test("stage memoizes duplicate (id, prompt) rows within a partition") {
     FlakyClient.reset()
+    LlmStage.ResultCache.clear()
     import spark.implicits._
     // same id+prompt twice in ONE partition: client must fire once
     val df = Seq((1L, "EXTRACT|1|x y"), (1L, "EXTRACT|1|x y")).toDF("id", "p")
@@ -34,6 +35,47 @@ class LlmSpec extends AnyFunSuite {
     val n = LlmStage.complete(df, col("id"), col("p"), client).count()
     assert(n == 2)
     assert(FlakyClient.attempts.get("EXTRACT|1|x y").get() == 1)
+  }
+
+  /** Counts every invocation in FlakyClient.attempts; throws on the
+    * FIRST attempt of any prompt containing `marker`, succeeds after. */
+  private final class CountingFailOnce(marker: String) extends LlmClient {
+    def complete(prompt: String): String = {
+      val n = FlakyClient.attempts
+        .computeIfAbsent(prompt, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+        .incrementAndGet()
+      if (prompt.contains(marker) && n == 1)
+        throw new RuntimeException("transient failure")
+      StubExtractor.complete(prompt)
+    }
+  }
+
+  test("result cache survives a failed attempt: succeeded rows never re-prompted") {
+    FlakyClient.reset()
+    LlmStage.ResultCache.clear()
+    import spark.implicits._
+    // one partition, row 1 first: attempt 1 completes row 1, dies on
+    // row 2 — the retried execution must serve row 1 from the cache
+    val df = Seq((1L, "EXTRACT|1|alpha beta"), (2L, "EXTRACT|2|BOOM gamma"))
+      .toDF("id", "p").coalesce(1)
+    val client = new CountingFailOnce("BOOM")
+    intercept[Exception] {
+      LlmStage.complete(df, col("id"), col("p"), client).count()
+    }
+    val n = LlmStage.complete(df, col("id"), col("p"), client).count()
+    assert(n == 2)
+    assert(FlakyClient.attempts.get("EXTRACT|1|alpha beta").get() == 1,
+      "succeeded row was re-prompted on the retried attempt")
+    assert(FlakyClient.attempts.get("EXTRACT|2|BOOM gamma").get() == 2)
+  }
+
+  test("extraction artifact: consumers reuse the persisted run, no new model calls") {
+    LlmPack.extractLong(spark, sf).count() // materialize + persist the artifact
+    LlmStage.ResultCache.clear()
+    graft.metrics.FeedbackPack.accuracyTrend(spark, sf).count()
+    LlmPack.extractAccuracy(spark, sf).count()
+    assert(LlmStage.ResultCache.size == 0,
+      "a consumer re-executed the extraction model stage")
   }
 
   test("extraction pipeline: malformed modes parse, sentinel mode fails accuracy") {

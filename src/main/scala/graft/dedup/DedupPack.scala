@@ -56,16 +56,44 @@ object DedupPack extends QueryPack {
     Dedup.simhash(augmented(spark, dir), col("doc_id"), col("text"))
       .orderBy(col("id"))
 
-  /** SimHash near-dup pairs at Hamming ≤ 2. */
+  /** SimHash near-dup pairs at Hamming ≤ 2 — through the banded-LSH
+    * path (pigeonhole bands → equi-join candidates → exact Hamming
+    * filter), the scale-safe default; the all-pairs twin remains as
+    * the spec cross-check ([[Dedup.simhashPairsAllPairs]]). */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(augmented(spark, dir), col("doc_id"), col("text"), 2)
+    Dedup.simhashPairsBanded(augmented(spark, dir), col("doc_id"), col("text"), 2)
       .orderBy(col("a_id"), col("b_id"))
 
-  /** Embedding-cosine near-dup pairs (vectors have no planted dups;
-    * threshold sits below the top-neighbor band so real pairs emerge). */
+  /** embeddings ∪ planted near-copies (vec_id+100000, first component
+    * bumped by 0.1 → cos ≈ 0.995 against the base on these unit
+    * vectors). Mirrors [[augmented]]'s planted-dup design: the raw
+    * synthetic vectors are an isotropic cloud (measured: mean pair
+    * cos 4e-4, max 0.51 at sf0.01 — and 879 of the 990 pairs above
+    * 0.3 are CROSS-label noise), so they contain no near-dups to
+    * find; planting makes the mining task real. */
+  def augmentedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val near = e.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.1)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1)).as("embedding"))
+    e.unionByName(near)
+  }
+
+  /** Embedding-cosine near-dup pairs over the augmented vectors, at a
+    * true near-dup threshold (0.98: planted pairs sit at ~0.995, the
+    * isotropic background tops out at ~0.6 at every SF — a wide
+    * margin on BOTH sides). Declared path is banded SRP-LSH + exact
+    * rerank ([[graft.vector.KnnJoin.cosinePairsAboveBanded]]) — no
+    * broadcast of the vector set, no n² scan; a spec pins its output
+    * equal to the all-pairs twin. Low-threshold tail enumeration
+    * (the old 0.3 form) is NOT a near-dup task and keeps the exact
+    * scan as its only honest implementation — see the scaladoc on
+    * [[graft.vector.KnnJoin.cosinePairsAbove]]. */
   def embeddingNearDups(spark: SparkSession, dir: String): DataFrame =
-    graft.vector.KnnJoin.cosinePairsAbove(spark,
-        Tables(spark, dir).embeddings, 0.3)
+    graft.vector.KnnJoin.cosinePairsAboveBanded(spark,
+        augmentedVectors(spark, dir), 0.98)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
       .orderBy(col("a_id"), col("b_id"))
 
@@ -201,12 +229,15 @@ object DedupPack extends QueryPack {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
       |ORDER BY a_id, b_id""".stripMargin,
     "d06_embedding_near_dups" -> """
-      |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS (SELECT vec_id, v FROM e0
+      |  UNION ALL SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:])
+      |    FROM e0 WHERE vec_id < 100)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  round(list_dot_product(a.v, b.v)
       |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.v, b.v)
-      |  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+      |  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.98
       |ORDER BY a_id, b_id""".stripMargin)
 }

@@ -55,6 +55,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("banded SRP cosine pairs equal the all-pairs scan exactly") {
+    val vecs = DedupPack.augmentedVectors(spark, sf)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val banded = collectPairs(
+      graft.vector.KnnJoin.cosinePairsAboveBanded(spark, vecs, 0.98))
+    val allPairs = collectPairs(
+      graft.vector.KnnJoin.cosinePairsAbove(spark, vecs, 0.98))
+    assert(banded == allPairs)
+    assert(banded.nonEmpty) // the planted near-copies
+  }
+
+  test("SRP candidate stage is sparse: no hidden all-pairs fan-out") {
+    val vecs = DedupPack.augmentedVectors(spark, sf)
+    val n = vecs.count()
+    val cands = graft.vector.KnnJoin.srpCandidates(spark, vecs, 16, 16, 42L)
+      .count()
+    // isotropic background collides at ~bands/2^bits per pair; allow
+    // a generous 5% of n(n-1)/2 before calling it quadratic
+    assert(cands < n * (n - 1) / 2 / 20,
+      s"$cands candidates from $n vectors looks quadratic")
+  }
+
+  test("d06 finds exactly the planted embedding near-copies") {
+    val pairs = DedupPack.embeddingNearDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b, c) => b == a + 100000 && c > 0.99 })
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -31,6 +31,45 @@ object KnnJoin {
 
   final case class KnnHit(query_id: Long, neighbor_id: Long, rank: Int, sim: Double)
 
+  /** Index-search strategy selector, so entry points (the lifecycles,
+    * user pipelines) choose the 100 TB posture per call site instead
+    * of hard-coding the broadcast-exact path:
+    *  - [[Exact]]: FAISS-flat semantics, index must fit in executor
+    *    memory (~100 MB per million 64-dim doubles);
+    *  - [[Ivf]]: centroid-sharded candidate join — index can exceed
+    *    broadcast size, exact rerank within probed lists;
+    *  - [[Lsh]]: MLlib bucketed-random-projection join — recall for
+    *    speed at corpus scale. */
+  sealed trait Strategy
+  case object Exact extends Strategy
+  final case class Ivf(nCentroids: Int = 16, nProbe: Int = 4) extends Strategy
+  final case class Lsh(threshold: Double = 1.5, bucketLength: Double = 0.5,
+                       numHashTables: Int = 4) extends Strategy
+
+  /** Strategy-dispatched top-k search with the neighbor label
+    * attached — one signature for every execution path. `excludeSelf`
+    * is honored by the exact path; the approximate paths always
+    * exclude self-matches (harmless for disjoint query/index sets,
+    * e.g. a train/test split). */
+  def search(spark: SparkSession, queries: DataFrame, index: DataFrame,
+             k: Int, strategy: Strategy,
+             excludeSelf: Boolean = true): DataFrame = strategy match {
+    case Exact => exact(spark, queries, index, k, excludeSelf)
+    case other =>
+      val hits = other match {
+        case Ivf(nCentroids, nProbe) =>
+          approxIvf(spark, queries, index, k, nCentroids, nProbe)
+        case Lsh(threshold, bucketLength, numHashTables) =>
+          approxLsh(spark, queries, index, k, threshold, bucketLength,
+            numHashTables)
+        case Exact => throw new IllegalStateException("unreachable")
+      }
+      hits.join(broadcast(index.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
+          col("n_label"))
+  }
+
   /** Bounded top-k selection by (sim desc, id asc): arrays kept sorted
     * with shifted insertion — O(1) reject for the common below-
     * threshold candidate, zero allocation per candidate. The total
@@ -120,6 +159,40 @@ object KnnJoin {
       col("label").as("n_label"))
     exactBroadcast(spark, queries, index, k, excludeSelf)
       .toDF("query_id", "neighbor_id", "rank", "sim")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
+      .join(broadcast(labels), Seq("neighbor_id"))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
+        col("n_label"))
+  }
+
+  /** Exact kNN past broadcast size (the documented PERF.md 100-TB
+    * path): the index hash-partitioned into `nShards` by id, each
+    * shard broadcast independently with its own per-partition top-k
+    * heap pass, then a global re-rank of the ≤ nShards·k candidates
+    * per query. Selection order (sim desc, id asc) matches [[exact]]
+    * and the per-shard dot products use the same sequential fold, so
+    * the result is bitwise-identical to the unsharded path
+    * (spec-asserted). Executor memory now bounds the SHARD size, not
+    * the index size; the candidate re-rank shuffles only S·k tiny
+    * rows per query. */
+  def exactSharded(spark: SparkSession, queries: DataFrame, index: DataFrame,
+                   k: Int, nShards: Int,
+                   excludeSelf: Boolean = true): DataFrame = {
+    require(nShards > 0)
+    val perShard = (0 until nShards).map { s =>
+      val shard = index.filter(pmod(col("vec_id"), lit(nShards)) === s)
+      exactBroadcast(spark, queries, shard, k, excludeSelf)
+        .toDF("query_id", "neighbor_id", "shard_rank", "sim")
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val labels = index.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"))
+    perShard
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
       .join(broadcast(labels), Seq("neighbor_id"))

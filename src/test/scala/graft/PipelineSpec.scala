@@ -18,6 +18,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows("accuracy") == rows("weighted avg") && rows("accuracy") > 0)
   }
 
+  test("IVF-backed lifecycle stays within a recall bound of exact") {
+    import graft.vector.KnnJoin
+    def overallAcc(strategy: KnnJoin.Strategy): Double =
+      Lifecycles.classifyAndReport(spark, sf, strategy = strategy)
+        .filter(col("label") === "accuracy")
+        .collect()(0).getDouble(3) // f1 column carries accuracy in the sklearn row
+    val exact = overallAcc(KnnJoin.Exact)
+    val ivf = overallAcc(KnnJoin.Ivf())
+    assert(exact > 0.0)
+    assert(ivf >= exact - 0.15,
+      s"IVF-backed lifecycle accuracy $ivf too far below exact $exact")
+  }
+
   test("confirm operator matches the l04 golden-vector decisions") {
     import spark.implicits._
     val df = graft.llm.LlmPack.confirmVectors.zipWithIndex

@@ -59,6 +59,21 @@ class RelationalPackSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL approx distinct is within 5% of exact countDistinct") {
+    import org.apache.spark.sql.functions._
+    val est = graft.relational.RelationalPack.approxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = graft.core.Tables(spark, sf).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (flag, n) =>
+      val e = est(flag)
+      // rsd 0.01 requested; 5% is a ~5-sigma bound
+      assert(math.abs(e - n) / n < 0.05, s"$flag: est $e vs exact $n")
+    }
+  }
+
   test("every declared query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)

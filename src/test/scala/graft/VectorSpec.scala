@@ -74,6 +74,51 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(preds.length == 500)
     assert(acc > 0.2, s"train accuracy $acc should beat 10-class chance")
   }
+
+  test("sharded exact kNN equals the unsharded broadcast path exactly") {
+    val e = Tables(spark, sf).embeddings
+    def collectHits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
+          col("n_label"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getAs[Number](4).longValue)).toSet
+    val unsharded = collectHits(graft.vector.KnnJoin.exact(spark, e, e, 3))
+    for (nShards <- Seq(2, 4)) {
+      val sharded = collectHits(
+        graft.vector.KnnJoin.exactSharded(spark, e, e, 3, nShards))
+      assert(sharded == unsharded, s"nShards=$nShards")
+    }
+  }
+
+  test("first_pg head learns the content-derived signal") {
+    val preds = graft.vector.MlPack.firstPgClassify(spark, sf).collect()
+    val acc = preds.count(r => r.getLong(1) == r.getLong(2)).toDouble / preds.length
+    assert(preds.length == 500)
+    assert(acc > 0.9, s"first_pg train accuracy $acc — signal is linear in the features")
+  }
+
+  test("joint two-head eval: Overall row consistent, exact-match composite") {
+    val rows = graft.vector.MlPack.jointEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val overall = rows.find(_._1 == "Overall").get
+    val perClass = rows.filterNot(_._1 == "Overall")
+    assert(perClass.map(_._2).sum == overall._2)
+    assert(perClass.map(_._3).sum == overall._3)
+    assert(overall._3 == 500)
+    // joint exact-match can never beat either single head
+    val labelAcc = {
+      val p = graft.vector.MlPack.mlpClassify(spark, sf).collect()
+      p.count(r => r.getLong(1) == r.getLong(2)).toDouble / p.length
+    }
+    assert(overall._4 <= labelAcc + 1e-9)
+  }
+
+  test("both heads are deterministic across invocations") {
+    def run() = graft.vector.MlPack.jointEval(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
 }
 
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {

@@ -366,10 +366,20 @@ object KnnJoin {
 
   /** IVF-style approximate kNN (builder brief: "IVF or LSH-bucketed
     * variant as the scale path"): a coarse quantizer of `nCentroids`
-    * deterministically-seeded centroids (hash-order sample of the
-    * index — at scale a k-means refinement slots in here) partitions
-    * the index into inverted lists; each query probes its `nProbe`
-    * nearest centroids and reranks exactly within those lists only.
+    * centroids — a deterministic hash-order sample of the index,
+    * refined by `lloydIters` seeded Lloyd (k-means) iterations —
+    * partitions the index into inverted lists; each query probes its
+    * `nProbe` nearest centroids and reranks exactly within those
+    * lists only.
+    *
+    * Every stage is deterministic AND replayable in SQL, k-means
+    * included: assignment tie-breaks are (dot desc, centroid id asc)
+    * and the per-dimension centroid means sum through exact decimals
+    * (order-independent), so the refined centroids are bitwise
+    * reproducible on any partitioning and the v10 oracle replays the
+    * full pipeline. Lloyd iterations are linear scans (one bounded
+    * shuffle each: per-(centroid, dim) partial sums); empty clusters
+    * drop out, identically in both engines.
     *
     * Unlike the broadcast-exact path this never needs the full index
     * per executor — the candidate join shuffles on centroid id, so
@@ -378,11 +388,27 @@ object KnnJoin {
     */
   def approxIvf(spark: SparkSession, queries: DataFrame, index: DataFrame,
                 k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                seed: String = "42"): DataFrame = {
+                seed: String = "42", lloydIters: Int = 2): DataFrame = {
     import graft.sample.Sampling
-    val centroids = Sampling.fixedSample(
-        index.select(col("vec_id"), col("embedding")), nCentroids, col("vec_id"), seed)
+    val vecs = index
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    var centroids = Sampling.fixedSample(vecs, nCentroids, col("vec_id"), seed)
       .select(col("vec_id").as("centroid_id"), col("embedding"))
+    for (_ <- 0 until lloydIters) {
+      val asg = exactBroadcast(spark, vecs,
+          centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
+          1, excludeSelf = false)
+        .toDF("vec_id", "centroid_id", "r", "s")
+        .select(col("vec_id"), col("centroid_id"))
+      centroids = vecs.join(asg, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => x.getField("m")).as("embedding"))
+    }
     // inverted lists: every index vector → nearest centroid
     val assignments = exactBroadcast(spark,
         index.select(col("vec_id"), col("embedding")),

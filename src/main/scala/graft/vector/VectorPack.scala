@@ -244,18 +244,36 @@ object VectorPack extends QueryPack {
       |FROM k JOIN t ON k.qid = t.qid
       |ORDER BY query_id, rank""".stripMargin)
 
-  /** The IVF pipeline replayed in SQL: same centroid sample (md5
-    * order), same argmax assignment and probe tie-breaks (dot desc,
-    * id asc), same rerank — mirrors `KnnJoin.approxIvf` defaults
-    * (16 centroids, 4 probes, seed 42). */
+  /** The IVF pipeline replayed in SQL, k-means included: same centroid
+    * sample (md5 order), two Lloyd iterations with per-dimension means
+    * summed through exact DECIMAL(28,18) (order-independent — the same
+    * casts the Spark side uses), same argmax/probe tie-breaks (dot
+    * desc, id asc), same rerank — mirrors `KnnJoin.approxIvf` defaults
+    * (16 centroids, 4 probes, seed 42, 2 Lloyd iterations). */
+  private def lloydIterSql(inCentroids: String, i: Int): String = s"""
+    |s$i AS (SELECT e.vec_id, c.cid,
+    |    row_number() OVER (PARTITION BY e.vec_id
+    |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+    |  FROM e, $inCentroids c),
+    |a$i AS (SELECT vec_id, cid FROM s$i WHERE rn = 1),
+    |x$i AS (SELECT a.cid, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS d
+    |  FROM a$i a JOIN e ON e.vec_id = a.vec_id),
+    |m$i AS (SELECT cid, d,
+    |    CAST(sum(CAST(x AS DECIMAL(28,18))) AS DOUBLE)
+    |      / CAST(count(*) AS DOUBLE) AS m
+    |  FROM x$i GROUP BY cid, d),
+    |c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM m$i GROUP BY cid)""".stripMargin
+
   private val ivfSql = s"""
     |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    |c AS (SELECT vec_id AS cid, v AS cv FROM e
+    |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
     |      ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    |${lloydIterSql("c0", 1)},
+    |${lloydIterSql("c1", 2)},
     |scored AS (SELECT e.vec_id, c.cid,
     |    row_number() OVER (PARTITION BY e.vec_id
     |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
-    |  FROM e, c),
+    |  FROM e, c2 c),
     |asg AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
     |probes AS (SELECT vec_id AS qid, cid FROM scored WHERE rn <= 4),
     |cand AS (SELECT p.qid, a.vec_id AS nid

@@ -135,7 +135,10 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(ivf.groupBy(_._1).values.forall(_.length <= 3))
     val recall = (exact intersect ivf.toSet).size.toDouble / exact.size
-    assert(recall > 0.3, s"IVF recall $recall too low")
+    // pre-k-means (hash-sampled centroids) this floor was 0.3; the
+    // two Lloyd iterations lift measured recall to ~0.61 at sf0.001
+    assert(recall > 0.5, s"IVF recall $recall too low")
+    info(s"IVF recall vs exact: $recall")
   }
 
   test("IVF is deterministic across runs") {

@@ -78,6 +78,13 @@ class DedupSpec extends AnyFunSuite {
       s"$cands candidates from $n vectors looks quadratic")
   }
 
+  test("d06 physical plan has no quadratic join operator") {
+    val plan = DedupPack.embeddingNearDups(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+  }
+
   test("d06 finds exactly the planted embedding near-copies") {
     val pairs = DedupPack.embeddingNearDups(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

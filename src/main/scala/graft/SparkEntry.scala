@@ -25,6 +25,7 @@ object SparkEntry {
     streaming.StreamPack,
     multimodal.MultimodalPack,
     ingest.IngestPack,
+    ingest.WebScrapePack,
     vector.MlPack,
     metrics.FeedbackPack,
     relational.TemporalPack,

@@ -26,6 +26,7 @@ object SparkEntry {
     multimodal.MultimodalPack,
     ingest.IngestPack,
     ingest.WebScrapePack,
+    ingest.XlsxPack,
     vector.MlPack,
     metrics.FeedbackPack,
     relational.TemporalPack,

@@ -13,7 +13,8 @@ object ExplainAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("r01_pricing_summary", "r02_revenue_topk", "r04_filter_range",
         "t01_chunk_stats", "d02_jaccard_pairs", "s01_tumbling_counts",
-        "x01_asof_join", "x02_range_band_join", "v11_knn_rule_rewrite")
+        "x01_asof_join", "x02_range_band_join", "v11_knn_rule_rewrite",
+        "d06_embedding_near_dups", "i03_web_scrape", "v10_knn_ivf")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

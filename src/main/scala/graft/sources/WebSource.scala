@@ -84,17 +84,50 @@ final class WebTable(properties: util.Map[String, String])
 }
 
 final class WebScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, In, StringContains, StringEndsWith, StringStartsWith}
+
   private var required: StructType = WebSource.Schema
+  private var urlFilters: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands the pruned shape; an empty prune (count(*)) keeps
     // zero fields and the reader emits empty rows without fetching
     required = requiredSchema
 
+  /** URL predicates are evaluated against the URL LIST at planning
+    * time — source-side partition pruning: a filtered-out page is
+    * never planned into a partition, never fetched. Only filters
+    * decidable from the url string alone are accepted; everything
+    * else stays with Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo(WebSource.UrlField, _: String) => true
+      case In(WebSource.UrlField, _) => true
+      case StringStartsWith(WebSource.UrlField, _) => true
+      case StringEndsWith(WebSource.UrlField, _) => true
+      case StringContains(WebSource.UrlField, _) => true
+      case _ => false
+    }
+    urlFilters = accepted
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = urlFilters
+
+  private def keep(url: String): Boolean = urlFilters.forall {
+    case EqualTo(_, v: String) => url == v
+    case In(_, vs) => vs.exists(v => v.isInstanceOf[String] && v == url)
+    case StringStartsWith(_, p) => url.startsWith(p)
+    case StringEndsWith(_, s) => url.endsWith(s)
+    case StringContains(_, s) => url.contains(s)
+    case _ => true
+  }
+
   override def build(): Scan = {
     val urls = Option(options.get("urls")).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty)
+      .filter(keep)
     val batchSize = math.max(1, options.getInt("batchSize", 8))
     val fetcher = Option(options.get("fetcher")).getOrElse("file")
     new WebScan(urls, batchSize, fetcher, required)

@@ -67,6 +67,21 @@ class WebSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 3) // ceil(20 / 8)
   }
 
+  test("url filters prune at planning time: unmatched pages never fetch") {
+    val urls = writePages(10)
+    CountingFetcher.reset()
+    val df = spark.read.format("graft-web")
+      .option("urls", urls.mkString(","))
+      .option("fetcher", classOf[CountingFetcher].getName).load()
+      .filter(col("url").endsWith("p7.html"))
+    val rows = df.collect()
+    assert(rows.length == 1)
+    assert(CountingFetcher.fetches.get() == 1,
+      s"filtered scan fetched ${CountingFetcher.fetches.get()} pages, expected 1")
+    // and the pruned url list shrinks the partition plan itself
+    assert(df.rdd.getNumPartitions == 1)
+  }
+
   test("i03 parse recovers words and lengths from the fixture site") {
     val rows = ingest.WebScrapePack.webScrape(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -106,7 +106,18 @@ object DedupPack extends QueryPack {
         k = 3, threshold = 0.5, maxShingleDocFreq = 20)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Pairs → groups: transitive closure of the d02 Jaccard pairs.
+    * The planted structure makes the components non-trivial — for
+    * doc_id < 50 the exact copy AND the near copy chain into one
+    * 3-doc group {i, i+100000, i+200000} whose keeper is i. */
+  def dedupGroupsQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(
+        Dedup.jaccardPairs(augmented(spark, dir), col("doc_id"), col("text"),
+          k = 3, threshold = 0.5))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d08_dedup_groups" -> dedupGroupsQuery,
     "d07_jaccard_stopshingle" -> jaccardStopShingle,
     "d01_exact_dedup" -> exactDedup,
     "d02_jaccard_pairs" -> jaccard,
@@ -145,6 +156,21 @@ object DedupPack extends QueryPack {
     s"""hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh)"""
 
   val oracles: Map[String, String] = Map(
+    "d08_dedup_groups" -> s"""
+      |WITH RECURSIVE $augmentedSql, $shingleSql, $hashedShingleSql,
+      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+      |prs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+      |  FROM hsh a JOIN hsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+      |jp AS (SELECT p.a_id, p.b_id
+      |  FROM prs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
+      |  WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5),
+      |bi AS (SELECT a_id AS s, b_id AS d FROM jp
+      |  UNION SELECT b_id, a_id FROM jp),
+      |reach AS (SELECT s, d FROM bi
+      |  UNION SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s WHERE b.d <> r.s),
+      |lab AS (SELECT s AS doc_id, least(s, min(d)) AS keeper_id
+      |  FROM reach GROUP BY s)
+      |SELECT doc_id, keeper_id FROM lab ORDER BY doc_id""".stripMargin,
     "d07_jaccard_stopshingle" -> s"""
       |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
       |rare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM hsh GROUP BY sh)

@@ -92,6 +92,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, c) => b == a + 100000 && c > 0.99 })
   }
 
+  test("dedup groups resolve transitive chains to one keeper") {
+    import spark.implicits._
+    // a 4-chain and an isolated pair: closure must cross the chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.dedupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("d08 groups the planted copies under the original keeper") {
+    val labels = DedupPack.dedupGroupsQuery(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs with BOTH planted copies form {i, i+100000, i+200000}
+    (0L until 50L).filter(i => labels.contains(i + 200000)).foreach { i =>
+      assert(labels(i + 200000) == labels.getOrElse(i + 100000, i),
+        s"component of doc $i split")
+    }
+    assert(labels.values.forall(k => labels.getOrElse(k, k) == k),
+      "a keeper must be its own keeper")
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

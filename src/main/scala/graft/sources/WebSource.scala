@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,6 +60,22 @@ object WebSource {
     if (name == null || name.isEmpty || name == "file") new FileFetcher
     else Class.forName(name).getDeclaredConstructor().newInstance()
       .asInstanceOf[PageFetcher]
+
+  /** URL universe at this moment: the static `urls` option, or — the
+    * streaming watch-loop shape — an APPEND-ONLY `manifest` text file
+    * (one URL per line) re-read per call, so lines appended between
+    * triggers become the next micro-batch. */
+  private[sources] def currentUrls(options: CaseInsensitiveStringMap): Array[String] = {
+    val manifest = options.get("manifest")
+    if (manifest != null && manifest.nonEmpty) {
+      val p = java.nio.file.Paths.get(manifest)
+      if (!java.nio.file.Files.exists(p)) Array.empty
+      else new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+    } else Option(options.get("urls")).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+  }
 }
 
 class WebSourceProvider extends TableProvider with DataSourceRegister {
@@ -75,7 +92,7 @@ final class WebTable(properties: util.Map[String, String])
   override def name(): String = "graft-web"
   override def schema(): StructType = WebSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](properties)
     options.forEach((k, v) => merged.put(k, v))
@@ -125,25 +142,48 @@ final class WebScanBuilder(options: CaseInsensitiveStringMap)
   }
 
   override def build(): Scan = {
-    val urls = Option(options.get("urls")).getOrElse("")
-      .split(",").map(_.trim).filter(_.nonEmpty)
-      .filter(keep)
     val batchSize = math.max(1, options.getInt("batchSize", 8))
     val fetcher = Option(options.get("fetcher")).getOrElse("file")
-    new WebScan(urls, batchSize, fetcher, required)
+    new WebScan(options, keep, batchSize, fetcher, required)
   }
 }
 
 final case class WebPartition(urls: Array[String]) extends InputPartition
 
-final class WebScan(urls: Array[String], batchSize: Int, fetcherName: String,
-                    required: StructType) extends Scan with Batch {
+/** Batch: scan the current URL universe. Micro-batch: offsets index
+  * into the append-only universe, so each trigger fetches exactly the
+  * URLs that appeared since the last committed offset — the watch
+  * loop (`ocr_agent_8_29.py:19-35` polling + `webscrapping.py` fetch)
+  * with streaming exactly-once bookkeeping instead of cron. */
+final class WebScan(options: CaseInsensitiveStringMap, keep: String => Boolean,
+                    batchSize: Int, fetcherName: String,
+                    required: StructType) extends Scan with Batch with MicroBatchStream {
+  private def urls(): Array[String] = WebSource.currentUrls(options).filter(keep)
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    urls.grouped(batchSize).map(b => WebPartition(b): InputPartition).toArray
+    urls().grouped(batchSize).map(b => WebPartition(b): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new WebReaderFactory(fetcherName, required)
+
+  // --- MicroBatchStream: offset = count of urls already processed ---
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = this
+  override def initialOffset(): Offset = WebOffset(0)
+  override def latestOffset(): Offset = WebOffset(urls().length)
+  override def deserializeOffset(json: String): Offset = WebOffset(json.trim.toInt)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[WebOffset].index
+    val to = end.asInstanceOf[WebOffset].index
+    urls().slice(from, to).grouped(batchSize)
+      .map(b => WebPartition(b): InputPartition).toArray
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class WebOffset(index: Int) extends Offset {
+  override def json(): String = index.toString
 }
 
 final class WebReaderFactory(fetcherName: String, required: StructType)

@@ -82,6 +82,30 @@ class WebSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 1)
   }
 
+  test("micro-batch stream fetches only newly appended manifest urls") {
+    val urls = writePages(5)
+    val manifest = Paths.get("target/fixtures_websource/manifest.txt")
+    Files.writeString(manifest, urls.take(3).mkString("\n") + "\n")
+    CountingFetcher.reset()
+    val ckpt = Files.createTempDirectory(Paths.get("target"), "web_ckpt")
+    val stream = spark.readStream.format("graft-web")
+      .option("manifest", manifest.toAbsolutePath.toString)
+      .option("fetcher", classOf[CountingFetcher].getName).load()
+    val q = stream.writeStream.format("memory").queryName("web_stream")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("web_stream").count() == 3)
+      // the watch loop: appended manifest lines become the next batch
+      Files.writeString(manifest, urls.mkString("\n") + "\n")
+      q.processAllAvailable()
+      assert(spark.table("web_stream").count() == 5)
+      assert(CountingFetcher.fetches.get() == 5,
+        s"expected 5 single fetches, saw ${CountingFetcher.fetches.get()}")
+    } finally q.stop()
+  }
+
   test("i03 parse recovers words and lengths from the fixture site") {
     val rows = ingest.WebScrapePack.webScrape(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -134,6 +134,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("SRP banded near-dup pairs equal brute force under fuzz") {
+    import spark.implicits._
+    // random unit-ish vectors + planted near-copies: banded LSH +
+    // rerank must recover exactly the brute-force threshold pairs
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val dim = 16 + trial * 8
+      val base = Seq.tabulate(60) { i =>
+        val v = Array.fill(dim)(rnd.nextGaussian())
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (i.toLong, v.map(_ / n))
+      }
+      val planted = base.take(15).map { case (id, v) =>
+        val w = v.clone(); w(0) += 0.15
+        (id + 1000L, w)
+      }
+      val df = (base ++ planted).toDF("vec_id", "embedding")
+      def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val banded = pairs(graft.vector.KnnJoin
+        .cosinePairsAboveBanded(spark, df, 0.95))
+      val brute = pairs(graft.vector.KnnJoin
+        .cosinePairsAbove(spark, df, 0.95))
+      assert(banded == brute, s"trial $trial dim=$dim")
+      assert(brute.size >= 15, s"trial $trial planted pairs missing from brute force")
+    }
+  }
+
   test("as-of join equals the brute-force definition under fuzz") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)

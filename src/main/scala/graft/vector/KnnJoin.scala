@@ -442,6 +442,89 @@ object KnnJoin {
         col("neighbor_id"), col("sim"))
   }
 
+  /** Product-quantization approximate kNN (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): the 100 TB
+    * INDEX-COMPRESSION member of the ladder — vectors quantize to
+    * `m` sub-codes (nearest per-subspace centroid by L2), so the
+    * searchable index is m small integers per vector instead of the
+    * raw floats (64 dims × 8 B → 4 codes here: 128× smaller), and
+    * query scoring is table lookups (asymmetric distance: the sum of
+    * query-subvector · centroid dots), not full-dimension dots.
+    *
+    * Every stage is deterministic and SQL-replayable, same
+    * discipline as IVF: md5-ordered per-subspace seed sample, ONE
+    * Lloyd refinement through exact-decimal means, (dist asc, cid
+    * asc) assignment tie-breaks, fixed-order sum of the m lookup
+    * terms, (approx desc, id asc) candidate rank, exact rerank of the
+    * top `nCandidates`. The declared form is fully relational so the
+    * v12 oracle replays it; a production executor would broadcast the
+    * packed codes + per-query lookup tables into a per-partition scan
+    * (the [[exactBroadcast]] shape with 128× less memory).
+    */
+  def approxPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
+               k: Int, m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
+               nCandidates: Int = 30, seed: String = "42"): DataFrame = {
+    val v = index.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def subspaces(df: DataFrame, idAs: String, xAs: String): DataFrame =
+      df.select(col(df.columns.head).as(idAs), posexplode(array((0 until m).map(s =>
+          slice(col(df.columns(1)), s * subDim + 1, subDim)): _*))
+        .as(Seq("s", xAs)))
+    val sub = subspaces(v, "vec_id", "x")
+    def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      VectorOps.dot(x, x) - lit(2.0) * VectorOps.dot(x, c) + VectorOps.dot(c, c)
+    val wSeed = Window.partitionBy(col("s")).orderBy(
+      md5(concat_ws("_", lit(seed), col("s"), col("vec_id"))), col("vec_id"))
+    val seeds = sub.withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= centroidsPerSub)
+      .select(col("s"), col("vec_id").as("cid"), col("x").as("cv"))
+    val wAsg = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("cid"))
+    def assign(cents: DataFrame): DataFrame = sub
+      .join(broadcast(cents), Seq("s"))
+      .withColumn("dist", l2(col("x"), col("cv")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+    // one Lloyd refinement: seed assignment → exact-decimal means
+    val cents = sub.join(assign(seeds), Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("x")).as(Seq("d", "xd")))
+      .groupBy(col("s"), col("cid"), col("d"))
+      .agg((sum(col("xd").cast("decimal(28,18)")).cast("double") /
+        count(lit(1)).cast("double")).as("mn"))
+      .groupBy(col("s"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+        x => x.getField("mn")).as("cv"))
+    val codes = assign(cents)
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    val qsub = subspaces(qv, "qid", "qx")
+    val qdots = qsub.join(broadcast(cents), Seq("s"))
+      .select(col("qid"), col("s"), col("cid"),
+        VectorOps.dot(col("qx"), col("cv")).as("qd"))
+    // asymmetric approx score: fixed-order sum of the m lookup terms
+    val approx = codes.join(qdots, Seq("s", "cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg((0 until m).map(s => max(when(col("s") === s, col("qd"))))
+        .reduce(_ + _).as("approx_ip"))
+    val wCand = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_ip").desc, col("vec_id"))
+    val cand = approx.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= nCandidates)
+      .select(col("qid"), col("vec_id"))
+    // exact rerank of the candidate set only
+    val nv = index.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(qv, Seq("qid")).join(nv, Seq("vec_id"))
+      .withColumn("sim", VectorOps.dot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
   /** Approximate kNN via MLlib random-projection LSH over the
     * L2-normalized vectors (Euclidean on the unit sphere orders like
     * cosine: dist² = 2 − 2·sim). The 100 TB path when the index side

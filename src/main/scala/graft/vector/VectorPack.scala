@@ -158,9 +158,23 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** PQ approximate kNN — like v10, "approximate" means recall vs
+    * exact, not nondeterminism: the full pipeline (per-subspace seed
+    * sample, Lloyd refinement, code assignment, asymmetric-distance
+    * candidates, exact rerank) replays in SQL and v12 is
+    * oracle-checked; recall is asserted in PqSpec. */
+  def pq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.approxPq(spark, e, e, K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v09_knn_plan_node" -> knnPlanNode,
     "v10_knn_ivf" -> ivf,
+    "v12_knn_pq" -> pq,
     "v11_knn_rule_rewrite" -> knnRuleRewrite,
     "v01_knn_top3" -> knnTop3,
     "v02_knn_classify" -> knnClassify,
@@ -286,11 +300,65 @@ object VectorPack extends QueryPack {
     |  round(sim, 6) AS sim
     |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** The PQ pipeline replayed in SQL — mirrors `KnnJoin.approxPq`
+    * defaults (4 subspaces × 16 dims, 16 centroids/subspace, one
+    * Lloyd refinement through DECIMAL(28,18) means, 30 candidates,
+    * seed 42). The asymmetric score sums its 4 lookup terms in fixed
+    * subspace order on both engines. */
+  private val pqSql = {
+    val m = 4
+    val subDim = 16
+    val l2 = "list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)"
+    val approxSum = (0 until m)
+      .map(s => s"max(CASE WHEN q.s = $s THEN q.qd END)").mkString(" + ")
+    s"""
+    |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    |sub AS (SELECT vec_id, s, v[CAST(s*$subDim+1 AS INT):CAST(s*$subDim+$subDim AS INT)] AS x
+    |  FROM e, unnest(range(0, $m)) t(s)),
+    |seeds AS (SELECT s, cid, cv FROM (
+    |    SELECT s, vec_id AS cid, x AS cv, row_number() OVER (PARTITION BY s
+    |      ORDER BY md5('42_' || CAST(s AS VARCHAR) || '_' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+    |    FROM sub) WHERE rn <= 16),
+    |a0 AS (SELECT vec_id, s, cid FROM (
+    |    SELECT sub.vec_id, sub.s, seeds.cid, row_number() OVER (
+    |      PARTITION BY sub.vec_id, sub.s
+    |      ORDER BY ${l2.replace("cv", "seeds.cv")}, seeds.cid) AS rn
+    |    FROM sub JOIN seeds ON sub.s = seeds.s) WHERE rn = 1),
+    |xp AS (SELECT s, cid, generate_subscripts(x, 1) AS d, unnest(x) AS xd
+    |  FROM sub JOIN a0 USING (vec_id, s)),
+    |cm AS (SELECT s, cid, d,
+    |    CAST(sum(CAST(xd AS DECIMAL(28,18))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mn
+    |  FROM xp GROUP BY s, cid, d),
+    |cent AS (SELECT s, cid, list(mn ORDER BY d) AS cv FROM cm GROUP BY s, cid),
+    |codes AS (SELECT vec_id, s, cid FROM (
+    |    SELECT sub.vec_id, sub.s, cent.cid, row_number() OVER (
+    |      PARTITION BY sub.vec_id, sub.s
+    |      ORDER BY ${l2.replace("cv", "cent.cv")}, cent.cid) AS rn
+    |    FROM sub JOIN cent ON sub.s = cent.s) WHERE rn = 1),
+    |qds AS (SELECT sub.vec_id AS qid, sub.s, cent.cid,
+    |    list_dot_product(sub.x, cent.cv) AS qd
+    |  FROM sub JOIN cent ON sub.s = cent.s),
+    |approx AS (SELECT q.qid, c.vec_id, $approxSum AS approx_ip
+    |  FROM codes c JOIN qds q ON c.s = q.s AND c.cid = q.cid
+    |  WHERE q.qid <> c.vec_id GROUP BY q.qid, c.vec_id),
+    |cand AS (SELECT qid, vec_id FROM (
+    |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+    |      ORDER BY approx_ip DESC, vec_id) AS crn FROM approx) WHERE crn <= 30),
+    |r AS (SELECT cand.qid, cand.vec_id AS nid, list_dot_product(q.v, n.v) AS sim,
+    |    row_number() OVER (PARTITION BY cand.qid
+    |      ORDER BY list_dot_product(q.v, n.v) DESC, cand.vec_id) AS rnk
+    |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.vec_id)
+    |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
+    |  round(sim, 6) AS sim
+    |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   /** v09/v11 share v01's oracle: same semantics through the custom
     * plan node and the optimizer-rule rewrite respectively. */
   val oracles: Map[String, String] =
     oracles0 +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
-      ("v10_knn_ivf" -> ivfSql)
+      ("v10_knn_ivf" -> ivfSql) +
+      ("v12_knn_pq" -> pqSql)
 }

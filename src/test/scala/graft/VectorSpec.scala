@@ -121,6 +121,32 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+class PqSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("PQ approx kNN reaches usable recall and never exceeds k") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    val exact = graft.vector.KnnJoin.exactCross(e, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.vector.KnnJoin.approxPq(spark, e, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.groupBy(_._1).values.forall(_.length <= 3))
+    val recall = (exact intersect pq.toSet).size.toDouble / exact.size
+    assert(recall > 0.3, s"PQ recall $recall too low")
+    info(s"PQ recall vs exact: $recall")
+  }
+
+  test("PQ is deterministic across runs") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    def run() = graft.vector.KnnJoin.approxPq(spark, e, e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+}
+
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
   import SparkTestSession._
   import org.apache.spark.sql.functions._

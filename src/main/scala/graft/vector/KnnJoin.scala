@@ -501,17 +501,70 @@ object KnnJoin {
     val qdots = qsub.join(broadcast(cents), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
         VectorOps.dot(col("qx"), col("cv")).as("qd"))
-    // asymmetric approx score: fixed-order sum of the m lookup terms
-    val approx = codes.join(qdots, Seq("s", "cid"))
-      .filter(col("qid") =!= col("vec_id"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg((0 until m).map(s => max(when(col("s") === s, col("qd"))))
-        .reduce(_ + _).as("approx_ip"))
-    val wCand = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_ip").desc, col("vec_id"))
-    val cand = approx.withColumn("crn", row_number().over(wCand))
-      .filter(col("crn") <= nCandidates)
-      .select(col("qid"), col("vec_id"))
+    // asymmetric scoring in the PRODUCTION shape the PQ paper implies:
+    // per-query lookup tables (Q·centroids·m dots — ~1 MB/1k queries)
+    // broadcast once, then each partition scans its PACKED CODE rows
+    // and maintains bounded per-query heaps; a second bounded pass
+    // merges partition partials. No Q×N relational intermediate at
+    // all. The sum stays in fixed subspace order and selection uses
+    // TopK's total order (score desc, id asc) in both phases, so the
+    // candidate set — and the oracle hash — match the declarative
+    // window form exactly.
+    val aggs = (1 until m).map(s => max(when(col("s") === s, col("cid"))).as(s"c$s"))
+    val codesWide = codes.groupBy(col("vec_id"))
+      .agg(max(when(col("s") === 0, col("cid"))).as("c0"), aggs: _*)
+    val cand = {
+      import spark.implicits._
+      val qids: Array[Long] = qv.select(col("qid")).as[Long].collect().sorted
+      val qIdx = qids.zipWithIndex.toMap
+      val luts: Array[Map[Long, Array[Double]]] = {
+        val acc = Array.fill(m)(scala.collection.mutable.HashMap.empty[Long, Array[Double]])
+        qdots.select(col("s"), col("cid"), col("qid"), col("qd"))
+          .as[(Int, Long, Long, Double)].collect()
+          .foreach { case (s, cid, qid, qd) =>
+            acc(s).getOrElseUpdate(cid, new Array[Double](qids.length))(qIdx(qid)) = qd
+          }
+        acc.map(_.toMap)
+      }
+      val bcLut = spark.sparkContext.broadcast((qids, luts))
+      val nc = nCandidates
+      val mm = m
+      val codesArr = codesWide
+        .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("cs"))
+        .as[(Long, Seq[Long])]
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      val partials = codesArr.mapPartitions { it =>
+        val (qs, lut) = bcLut.value
+        val heaps = Array.fill(qs.length)(new TopK(nc))
+        it.foreach { case (vid, cs) =>
+          val tabs = Array.tabulate(mm)(s => lut(s)(cs(s)))
+          var qi = 0
+          while (qi < qs.length) {
+            var sc = tabs(0)(qi)
+            var s = 1
+            while (s < mm) { sc += tabs(s)(qi); s += 1 }
+            if (qs(qi) != vid) heaps(qi).offer(vid, sc)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (top, qi) =>
+          (0 until top.size).map(r => (qs(qi), top.ids(r), top.sims(r)))
+        }
+      }
+      partials.toDF("qid", "vec_id", "sc")
+        .repartition(col("qid"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          val heaps = scala.collection.mutable.LinkedHashMap.empty[Long, TopK]
+          it.foreach { case (q, vid, sc) =>
+            heaps.getOrElseUpdate(q, new TopK(nc)).offer(vid, sc)
+          }
+          heaps.iterator.flatMap { case (q, top) =>
+            (0 until top.size).map(r => (q, top.ids(r)))
+          }
+        }
+        .toDF("qid", "vec_id")
+    }
     // exact rerank of the candidate set only
     val nv = index.select(col("vec_id"),
       col("embedding").cast("array<double>").as("nv"))

@@ -42,19 +42,22 @@ object KnnJoin {
     *    speed at corpus scale. */
   sealed trait Strategy
   case object Exact extends Strategy
+  final case class Sharded(nShards: Int) extends Strategy
   final case class Ivf(nCentroids: Int = 16, nProbe: Int = 4) extends Strategy
   final case class Lsh(threshold: Double = 1.5, bucketLength: Double = 0.5,
                        numHashTables: Int = 4) extends Strategy
 
   /** Strategy-dispatched top-k search with the neighbor label
     * attached — one signature for every execution path. `excludeSelf`
-    * is honored by the exact path; the approximate paths always
+    * is honored by the exact paths; the approximate paths always
     * exclude self-matches (harmless for disjoint query/index sets,
     * e.g. a train/test split). */
   def search(spark: SparkSession, queries: DataFrame, index: DataFrame,
              k: Int, strategy: Strategy,
              excludeSelf: Boolean = true): DataFrame = strategy match {
     case Exact => exact(spark, queries, index, k, excludeSelf)
+    case Sharded(nShards) =>
+      exactSharded(spark, queries, index, k, nShards, excludeSelf)
     case other =>
       val hits = other match {
         case Ivf(nCentroids, nProbe) =>
@@ -62,7 +65,7 @@ object KnnJoin {
         case Lsh(threshold, bucketLength, numHashTables) =>
           approxLsh(spark, queries, index, k, threshold, bucketLength,
             numHashTables)
-        case Exact => throw new IllegalStateException("unreachable")
+        case _ => throw new IllegalStateException("unreachable")
       }
       hits.join(broadcast(index.select(col("vec_id").as("neighbor_id"),
           col("label").as("n_label"))), Seq("neighbor_id"))

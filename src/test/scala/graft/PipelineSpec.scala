@@ -29,6 +29,8 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact > 0.0)
     assert(ivf >= exact - 0.15,
       s"IVF-backed lifecycle accuracy $ivf too far below exact $exact")
+    // the sharded strategy is exact by construction
+    assert(overallAcc(KnnJoin.Sharded(3)) == exact)
   }
 
   test("confirm operator matches the l04 golden-vector decisions") {

@@ -459,10 +459,13 @@ object KnnJoin {
     * Lloyd refinement through exact-decimal means, (dist asc, cid
     * asc) assignment tie-breaks, fixed-order sum of the m lookup
     * terms, (approx desc, id asc) candidate rank, exact rerank of the
-    * top `nCandidates`. The declared form is fully relational so the
-    * v12 oracle replays it; a production executor would broadcast the
-    * packed codes + per-query lookup tables into a per-partition scan
-    * (the [[exactBroadcast]] shape with 128× less memory).
+    * top `nCandidates`. The quantization stages are relational so the
+    * v12 oracle replays them; the candidate scan runs in the
+    * production shape — broadcast per-query lookup tables over a
+    * per-partition packed-code scan (the [[exactBroadcast]] shape
+    * with 128× less index memory). The LUT broadcast is bounded by
+    * Q·m·centroids doubles (~0.5 MB per 1k queries at the defaults);
+    * query sets past broadcast size chunk into successive searches.
     */
   def approxPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
                k: Int, m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,

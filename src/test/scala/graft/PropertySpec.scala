@@ -134,6 +134,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("xlsx round-trips arbitrary cell text under fuzz") {
+    import spark.implicits._
+    val gen = Gen.listOfN(120, Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOfN(8, Gen.oneOf('<', '>', '&', '"', '\'', 'π', '漢', '\t',
+        'a', '0')).map(_.mkString),
+      Gen.const("")))
+    val cells = gen.sample.get.zipWithIndex
+      .map { case (s, i) => (f"k$i%03d", s) }
+    val df = cells.toDF("k", "v")
+    val path = "target/fixtures_xlsx_spec/fuzz.xlsx"
+    graft.sources.Xlsx.write(df, path)
+    val back = graft.sources.Xlsx.read(spark, path)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    cells.foreach { case (k, v) =>
+      // XML strips nothing we wrote: empty strings come back empty,
+      // specials and non-ASCII round-trip exactly
+      assert(Option(back(k)).getOrElse("") == v, s"key $k")
+    }
+  }
+
   test("SRP banded near-dup pairs equal brute force under fuzz") {
     import spark.implicits._
     // random unit-ish vectors + planted near-copies: banded LSH +

@@ -103,6 +103,17 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("pointer jumping resolves a 64-chain in logarithmic rounds") {
+    import spark.implicits._
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (labels, rounds) = Dedup.dedupGroupsWithRounds(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L))
+    // plain min-propagation would need ~63 rounds; jumping collapses
+    // the chain in O(log n) (+1 round to detect the fixpoint)
+    assert(rounds <= 12, s"took $rounds rounds")
+  }
+
   test("d08 groups the planted copies under the original keeper") {
     val labels = DedupPack.dedupGroupsQuery(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

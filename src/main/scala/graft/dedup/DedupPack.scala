@@ -127,8 +127,37 @@ object DedupPack extends QueryPack {
     Dedup.dedupGroups(jaccardPairsArtifact(spark, dir))
       .orderBy(col("doc_id"))
 
+  /** Benchmark decontamination (the GPT-3/PaLM eval-leakage check):
+    * which train-split documents share word 3-gram shingles with the
+    * held-out test split, and how much. Split is the engine's
+    * partition-independent hash split ([[graft.sample.Sampling]]);
+    * overlap is the inverted-index join again — train postings join
+    * the DISTINCT test shingle set, so the fan-out is linear in train
+    * shingle rows (no pair enumeration anywhere). At corpus scale the
+    * stop-shingle cap applies to this join exactly as in d07. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val split = graft.sample.Sampling.hashSplit(
+      Tables(spark, dir).documents, col("doc_id"), 0.8)
+    val hashed = split
+      .select(col("doc_id"), col("split"),
+        explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), col("split"), Dedup.hash60(col("s")).as("sh"))
+      .distinct()
+    val train = hashed.filter(col("split") === "train").drop("split").cache()
+    val test = hashed.filter(col("split") === "test").select(col("sh")).distinct()
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    train.join(test, Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_shared"), col("n_shingles"),
+        round(col("n_shared").cast("double") /
+          col("n_shingles").cast("double"), 6).as("contam_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d08_dedup_groups" -> dedupGroupsQuery,
+    "d09_decontamination" -> decontamination,
     "d07_jaccard_stopshingle" -> jaccardStopShingle,
     "d01_exact_dedup" -> exactDedup,
     "d02_jaccard_pairs" -> jaccard,
@@ -166,7 +195,35 @@ object DedupPack extends QueryPack {
   private val hashedShingleSql =
     s"""hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh)"""
 
+  /** d09's shingle relation is over the RAW documents table (no
+    * planted dups — contamination is natural vocabulary overlap). */
+  private val docShingleSql = """
+    |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+    |sh AS (SELECT DISTINCT doc_id AS id, s AS sh
+    |  FROM (SELECT doc_id, unnest(CASE WHEN len(words) >= 3
+    |    THEN list_transform(range(1, len(words) - 1),
+    |         i -> array_to_string(words[i:i+2], ' '))
+    |    ELSE [] END) AS s FROM w))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "d09_decontamination" -> s"""
+      |WITH $docShingleSql,
+      |hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN substr(md5('42' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+      |    THEN 'train' ELSE 'test' END AS split FROM documents),
+      |tr AS (SELECT h.id, h.sh FROM hsh h JOIN sp ON sp.doc_id = h.id
+      |  WHERE sp.split = 'train'),
+      |te AS (SELECT DISTINCT h.sh FROM hsh h JOIN sp ON sp.doc_id = h.id
+      |  WHERE sp.split = 'test'),
+      |sizes AS (SELECT id, count(*) AS n FROM tr GROUP BY id),
+      |c AS (SELECT tr.id, count(*) AS n_shared FROM tr JOIN te USING (sh)
+      |  GROUP BY tr.id)
+      |SELECT c.id AS doc_id, CAST(c.n_shared AS BIGINT) AS n_shared,
+      |  CAST(sizes.n AS BIGINT) AS n_shingles,
+      |  round(CAST(c.n_shared AS DOUBLE) / CAST(sizes.n AS DOUBLE), 6) AS contam_frac
+      |FROM c JOIN sizes ON sizes.id = c.id ORDER BY doc_id""".stripMargin,
     "d08_dedup_groups" -> s"""
       |WITH RECURSIVE $augmentedSql, $shingleSql, $hashedShingleSql,
       |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),

@@ -27,11 +27,16 @@ object StreamPack extends QueryPack {
     Streams.propsRollup(Tables(spark, dir).events)
       .orderBy(col("event_type"))
 
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame =
+    Streams.dedupKeys(Tables(spark, dir).events)
+      .orderBy(col("user_id"), col("event_type"), col("bucket_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_tumbling_counts" -> tumbling,
     "s02_sliding_counts" -> sliding,
     "s03_session_windows" -> sessionWindows,
-    "s04_props_rollup" -> props)
+    "s04_props_rollup" -> props,
+    "s05_dedup_keys" -> dedupKeys)
 
   val oracles: Map[String, String] = Map(
     "s01_tumbling_counts" -> """
@@ -66,5 +71,10 @@ object StreamPack extends QueryPack {
     "s04_props_rollup" -> """
       |SELECT event_type, count(*) AS n,
       |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s05_dedup_keys" -> """
+      |SELECT DISTINCT user_id, event_type,
+      |  strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start
+      |FROM events
+      |ORDER BY user_id, event_type, bucket_start""".stripMargin)
 }

@@ -71,4 +71,20 @@ object Streams {
     tumblingCountsInner(events.withWatermark("ts", "1 hour"))
   private def tumblingCountsInner(events: DataFrame): DataFrame =
     tumblingCounts(events)
+
+  /** Keyed dedup: at-least-once delivery collapses to exactly-once on
+    * (user, type, 5-minute bucket). The dedup key keeps the raw
+    * `window` struct — it carries the event-time metadata, so under a
+    * watermark the streaming run evicts state for buckets older than
+    * the horizon (bounded state; the batch twin is plain DISTINCT and
+    * the watermark is a no-op there). Formatting to string happens
+    * only AFTER the dedup, where the metadata no longer matters. */
+  def dedupKeys(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"),
+        window(col("ts"), "5 minutes").as("w"))
+      .dropDuplicates("user_id", "event_type", "w")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"))
 }

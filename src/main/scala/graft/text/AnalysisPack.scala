@@ -33,10 +33,51 @@ object AnalysisPack extends QueryPack {
         TextAnalysis.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** Gopher-style repetition signals per doc: duplicate-word fraction
+    * and top-bigram fraction (the MassiveText quality filters). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val n = size(ws)
+    val d = size(array_distinct(ws))
+    val top = TextAnalysis.topCount(TextAnalysis.bigrams(ws))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        n.cast("long").as("n_words"),
+        d.cast("long").as("distinct_words"),
+        round(when(n > 0, lit(1.0) - d.cast("double") / n.cast("double"))
+          .otherwise(lit(0.0)), 6).as("dup_word_frac"),
+        top.cast("long").as("top_bigram_n"),
+        round(when(n > 1, top.cast("double") / (n - 1).cast("double"))
+          .otherwise(lit(0.0)), 6).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII suffix planted on doc_id < 100 — the corpus is digit-free
+    * word-soup with no natural PII, so the scrub operator gets real
+    * work the same way DedupPack plants duplicates: both engines
+    * append the identical deterministic string. */
+  private val piiSuffix = "@mail.example or 415-555-0134 ssn 123-45-6789"
+  private def withPlantedPii(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"),
+      when(col("doc_id") < 100,
+        concat(col("text"), lit(" reach u"), col("doc_id").cast("string"),
+          lit(piiSuffix)))
+        .otherwise(col("text")).as("text"))
+
+  /** PII redaction with audit count (email/SSN/phone patterns). */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    withPlantedPii(spark, dir)
+      .select(col("doc_id"),
+        TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"),
+        TextAnalysis.redact(col("text")).as("text_redacted"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
     "a02_quality" -> quality,
-    "a03_fingerprint" -> fingerprint)
+    "a03_fingerprint" -> fingerprint,
+    "a04_repetition" -> repetition,
+    "a05_pii_redact" -> piiRedact)
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private val profiles = TextAnalysis.defaultProfiles
@@ -89,5 +130,43 @@ object AnalysisPack extends QueryPack {
       |SELECT doc_id,
       |  list_reduce([CAST(0 AS BIGINT)] || list_transform(words, x -> CAST(${hv("x")} AS BIGINT)),
       |    (acc, v) -> (acc * 31 + v) % 2147483647) AS fingerprint
-      |FROM w ORDER BY doc_id""".stripMargin)
+      |FROM w ORDER BY doc_id""".stripMargin,
+    "a04_repetition" -> s"""
+      |WITH $wordsCte,
+      |b AS (SELECT doc_id, words, len(words) AS n,
+      |  CASE WHEN len(words) >= 2
+      |    THEN list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i+1])
+      |    ELSE [] END AS bg
+      | FROM w),
+      |m AS (SELECT doc_id, n, len(list_distinct(words)) AS d,
+      |  coalesce(list_max(list_transform(list_distinct(bg),
+      |    x -> len(list_filter(bg, y -> y = x)))), 0) AS topbg
+      | FROM b)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      |  CAST(d AS BIGINT) AS distinct_words,
+      |  round(CASE WHEN n > 0 THEN 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+      |        ELSE 0.0 END, 6) AS dup_word_frac,
+      |  CAST(topbg AS BIGINT) AS top_bigram_n,
+      |  round(CASE WHEN n > 1 THEN CAST(topbg AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+      |        ELSE 0.0 END, 6) AS top_bigram_frac
+      |FROM m ORDER BY doc_id""".stripMargin,
+    "a05_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      s"""
+      |WITH p AS (SELECT doc_id,
+      |  CASE WHEN doc_id < 100
+      |    THEN text || ' reach u' || CAST(doc_id AS VARCHAR) || '$piiSuffix'
+      |    ELSE text END AS text
+      | FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '$email'))
+      |     + len(regexp_extract_all(text, '$ssn'))
+      |     + len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_pii,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$email', '<email>', 'g'), '$ssn', '<ssn>', 'g'),
+      |    '$phone', '<phone>', 'g') AS text_redacted
+      |FROM p ORDER BY doc_id""".stripMargin
+    })
 }

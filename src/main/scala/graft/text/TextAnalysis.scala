@@ -74,4 +74,53 @@ object TextAnalysis {
   def fingerprint(text: Column, modulus: Long = 2147483647L): Column =
     aggregate(TextOps.words(text), lit(0L),
       (acc, w) => pmod(acc * 31 + Dedup.hash16(w), lit(modulus)))
+
+  // --- Repetition signals (the Gopher/MassiveText repetition filters:
+  // Rae et al. 2021 §A.1.1 — duplicate-word fraction and top-n-gram
+  // fraction flag low-quality boilerplate/looping text). Everything is
+  // a per-row array expression: no shuffle, runs in the scan stage,
+  // which is where corpus filtering must sit at 100 TB.
+
+  /** Adjacent word bigrams ("w1 w2") of a word array. */
+  def bigrams(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Occurrence count of the most frequent element (0 for empty).
+    * O(distinct·n) per ROW — row-local document work, not corpus
+    * work, so it stays map-side at any scale. */
+  def topCount(arr: Column): Column =
+    coalesce(
+      array_max(transform(array_distinct(arr),
+        x => size(filter(arr, y => y === x)))),
+      lit(0))
+
+  // --- PII redaction: pattern → placeholder rewrites with an audit
+  // count, the standard scrub step before training-corpus release.
+  // Patterns stay in the Java-regex ∩ RE2 subset (no lookaround) so
+  // the DuckDB oracle can run them verbatim.
+
+  /** Default scrub rules, applied in order: email, SSN-shaped,
+    * US-phone-shaped. SSN (3-2-4) before phone (3-3-4) — the two are
+    * disjoint, but keeping fixed order makes the fold deterministic
+    * under future overlapping additions. */
+  val defaultPiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<email>",
+    "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b" -> "<ssn>",
+    "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b" -> "<phone>")
+
+  /** Sequential pattern→placeholder rewrite. */
+  def redact(text: Column,
+             patterns: Seq[(String, String)] = defaultPiiPatterns): Column =
+    patterns.foldLeft(text) { case (t, (p, r)) => regexp_replace(t, p, r) }
+
+  /** Total matches across all patterns, counted on the ORIGINAL text
+    * (so the audit count is independent of replacement order). */
+  def piiCount(text: Column,
+               patterns: Seq[(String, String)] = defaultPiiPatterns): Column =
+    patterns.map { case (p, _) =>
+      size(call_function("regexp_extract_all", text, lit(p), lit(0)))
+    }.reduce(_ + _)
 }

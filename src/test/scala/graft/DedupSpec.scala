@@ -126,6 +126,21 @@ class DedupSpec extends AnyFunSuite {
       "a keeper must be its own keeper")
   }
 
+  test("d09 decontamination flags only train docs, with sane fractions") {
+    val rows = DedupPack.decontamination(spark, sf).collect()
+    assert(rows.nonEmpty, "word-soup vocabulary overlap should exist")
+    val trainIds = graft.sample.Sampling
+      .hashSplit(graft.core.Tables(spark, sf).documents, col("doc_id"), 0.8)
+      .filter(col("split") === "train")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(trainIds.contains(r.getLong(0)), s"doc ${r.getLong(0)} not train")
+      val (shared, total, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(shared >= 1 && shared <= total)
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

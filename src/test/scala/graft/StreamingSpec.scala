@@ -89,6 +89,28 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.streaming.OutputMode
 
+  test("dedupKeys streaming run equals the batch DISTINCT") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedupkeys").toString
+    val events = graft.core.Tables(spark, sf).events
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val stream = graft.streaming.Streams.watchedFolder(
+      spark, dir, events.schema, 2)
+    val q = graft.streaming.Streams.dedupKeys(stream)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedupkeys_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedupkeys_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val batch = graft.streaming.Streams.dedupKeys(events).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // append mode may hold back keys newer than the final watermark;
+    // everything emitted must be a batch key, and coverage must be
+    // essentially complete on this bounded input
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= batch.size - 50,
+      s"streamed ${streamed.size} of ${batch.size} keys")
+  }
+
   test("streaming dropDuplicates removes replayed events exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
     val events = graft.core.Tables(spark, sf).events.limit(500)

@@ -88,4 +88,30 @@ class TextNormalizeSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(rows == Seq("MATCH", "MISSING", "FALSE_POSITIVE", "MISMATCH"))
   }
+
+  test("repetition signals: bigrams and top counts on crafted docs") {
+    import graft.text.TextAnalysis
+    import spark.implicits._
+    val r = Seq("go go go stop", "a b c d", "x", "").toDF("s")
+      .select(
+        TextAnalysis.topCount(TextAnalysis.bigrams(TextOps.words(col("s"))))
+          .as("top"),
+        size(array_distinct(TextOps.words(col("s")))).as("d"))
+      .collect().map(x => (x.getInt(0), x.getInt(1))).toSeq
+    // "go go" bigram occurs twice; all-distinct doc tops at 1; one
+    // word / empty text have no bigrams at all
+    assert(r == Seq((2, 2), (1, 4), (0, 1), (0, 0)))
+  }
+
+  test("pii redaction scrubs email, ssn and phone with an audit count") {
+    import graft.text.TextAnalysis
+    val s = "mail a.b+c@ex-1.org ssn 123-45-6789 tel 415-555-0134 end"
+    assert(one(TextAnalysis.redact(col("s")), s) ==
+      "mail <email> ssn <ssn> tel <phone> end")
+    assert(one(TextAnalysis.piiCount(col("s")), s) == 3)
+    // untouched text passes through with count 0
+    assert(one(TextAnalysis.redact(col("s")), "plain words 123") ==
+      "plain words 123")
+    assert(one(TextAnalysis.piiCount(col("s")), "plain words 123") == 0)
+  }
 }

@@ -72,12 +72,50 @@ object AnalysisPack extends QueryPack {
         TextAnalysis.redact(col("text")).as("text_redacted"))
       .orderBy(col("doc_id"))
 
+  /** Training-mixture sampling: per-source keep rates ∝ (char mass)^α
+    * with α = 0.5 — the standard pretraining up/down-sampling shape
+    * (mixture targets set on token budget, not doc count). The rate
+    * computation is fully declarative: per-source aggregates, one
+    * broadcast scalar (the α-weighted mass total, folded in sorted
+    * source order so the double sum is deterministic on BOTH engines),
+    * then a hash-threshold filter per row — partition-independent,
+    * cluster-size-independent, no driver collect. Output is the
+    * per-source audit table (rates + realized sample counts). */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tok_sum"))
+    val totals = per.agg(
+      sum(col("n_docs")).as("n_total"),
+      aggregate(
+        sort_array(collect_list(struct(col("source"),
+          sqrt(col("tok_sum").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total"))
+    val rates = per.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        (lit(0.5) * col("n_total").cast("double"))
+          * (sqrt(col("tok_sum").cast("double")) / col("w_total"))
+          / col("n_docs").cast("double")))
+      .withColumn("thresh16", floor(col("rate") * 65536).cast("long"))
+    val sampled = docs
+      .join(broadcast(rates.select(col("source"), col("thresh16"))), Seq("source"))
+      .filter(graft.dedup.Dedup.hash16(
+        concat(lit("7"), col("doc_id").cast("string"))) < col("thresh16"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_sampled"))
+    rates.join(sampled, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tok_sum"),
+        round(col("rate"), 6).as("rate"), col("thresh16"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
     "a02_quality" -> quality,
     "a03_fingerprint" -> fingerprint,
     "a04_repetition" -> repetition,
-    "a05_pii_redact" -> piiRedact)
+    "a05_pii_redact" -> piiRedact,
+    "a06_mixture_sample" -> mixtureSample)
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private val profiles = TextAnalysis.defaultProfiles
@@ -168,5 +206,31 @@ object AnalysisPack extends QueryPack {
       |    '$email', '<email>', 'g'), '$ssn', '<ssn>', 'g'),
       |    '$phone', '<phone>', 'g') AS text_redacted
       |FROM p ORDER BY doc_id""".stripMargin
-    })
+    },
+    "a06_mixture_sample" -> s"""
+      |WITH per AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS tok_sum
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(sqrt(CAST(tok_sum AS DOUBLE)) ORDER BY source)),
+      |    (a, b) -> a + b) AS w_total
+      |  FROM per),
+      |r AS (SELECT p.source, p.n_docs, p.tok_sum,
+      |  least(1.0, (0.5 * CAST(t.n_total AS DOUBLE))
+      |    * (sqrt(CAST(p.tok_sum AS DOUBLE)) / t.w_total)
+      |    / CAST(p.n_docs AS DOUBLE)) AS rate
+      |  FROM per p, tot t),
+      |rr AS (SELECT source, n_docs, tok_sum, rate,
+      |    CAST(floor(rate * 65536) AS BIGINT) AS thresh16 FROM r),
+      |s AS (SELECT d.source, count(*) AS n_sampled
+      |  FROM documents d JOIN rr ON rr.source = d.source
+      |  WHERE ${hv("'7' || CAST(doc_id AS VARCHAR)")} < rr.thresh16
+      |  GROUP BY d.source)
+      |SELECT rr.source, CAST(rr.n_docs AS BIGINT) AS n_docs, rr.tok_sum,
+      |  round(rr.rate, 6) AS rate, rr.thresh16,
+      |  CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+      |FROM rr LEFT JOIN s ON s.source = rr.source
+      |ORDER BY rr.source""".stripMargin)
 }

@@ -103,6 +103,23 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(r == Seq((2, 2), (1, 4), (0, 1), (0, 0)))
   }
 
+  test("mixture sampling: heterogeneous rates, realized counts track targets") {
+    val rows = graft.text.AnalysisPack.mixtureSample(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.length >= 2)
+    // char-mass weighting must produce genuinely different rates
+    assert(rows.map(_.getLong(4)).distinct.length >= 2, "rates all equal")
+    rows.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(1), "sampled more than available")
+    }
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val sampled = rows.map(_.getLong(5)).sum.toDouble
+    // target mass is half the corpus; hash thresholds realize it
+    // within binomial noise on this small SF
+    assert(math.abs(sampled / total - 0.5) < 0.15,
+      s"sampled fraction ${sampled / total}")
+  }
+
   test("pii redaction scrubs email, ssn and phone with an audit count") {
     import graft.text.TextAnalysis
     val s = "mail a.b+c@ex-1.org ssn 123-45-6789 tel 415-555-0134 end"

@@ -34,13 +34,24 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
 
   /** Gopher-style repetition signals per doc: duplicate-word fraction
-    * and top-bigram fraction (the MassiveText quality filters). */
+    * and top-bigram fraction (the MassiveText quality filters).
+    *
+    * The word and bigram arrays are STAGED as projected columns, not
+    * inlined: `topCount` references its input array once per lambda
+    * iteration, and higher-order lambdas run interpreted — inlining
+    * the split/transform subtree would re-evaluate it per distinct
+    * element (measured: a single sf0.1 partition pinned a core for
+    * 10+ minutes). As attribute references the arrays are computed
+    * once per row; CollapseProject keeps them staged because it never
+    * duplicates expensive expressions referenced more than once. */
   def repetition(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    val n = size(ws)
-    val d = size(array_distinct(ws))
-    val top = TextAnalysis.topCount(TextAnalysis.bigrams(ws))
+    val n = size(col("ws"))
+    val d = size(array_distinct(col("ws")))
+    val top = TextAnalysis.topCount(col("bg"))
     Tables(spark, dir).documents
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        TextAnalysis.bigrams(col("ws")).as("bg"))
       .select(col("doc_id"),
         n.cast("long").as("n_words"),
         d.cast("long").as("distinct_words"),

@@ -83,4 +83,107 @@ object Lifecycles {
   def routeStp(confirmed: DataFrame): (DataFrame, DataFrame) =
     (confirmed.filter(col("decision") === "yes"),
       confirmed.filter(col("decision") === "no"))
+
+  /** Training-corpus preparation funnel — the 100 TB pipeline this
+    * engine exists for, composed end-to-end from its own operators:
+    *
+    *   raw (crawl with planted dups) → quality/repetition filter →
+    *   exact dedup → near-dup group resolution → benchmark
+    *   decontamination → α-weighted mixture sampling
+    *
+    * Returns the per-stage survivor counts (the funnel audit table).
+    * Every stage is the already-oracle-checked operator: quality
+    * score (a02) + dup-word fraction (a04), content-digest keepers
+    * (d01), Jaccard pairs → connected components (d02/d08), shingle
+    * overlap vs the held-out split (d09), per-source hash-threshold
+    * rates (a06). Thresholds (0.45 / 0.7 / 0.3) are data-derived
+    * percentile cuts — see PipelinePack for the measured basis. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.{TextAnalysis, TextOps => T}
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"), col("source"))
+    val near = docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+\\s*", "").as("text"), col("source"))
+    val exactCp = docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("source"))
+    val aug = docs.unionByName(near).unionByName(exactCp).persist()
+
+    // stage 1: quality + repetition cut (staged arrays — see a04)
+    val qual = aug
+      .select(col("doc_id"), col("text"), col("source"),
+        T.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("text"), col("source"),
+        size(col("ws")).as("n"), size(array_distinct(col("ws"))).as("d"))
+      .filter(TextAnalysis.qualityScore(col("text")) >= 0.45 &&
+        (lit(1.0) - col("d").cast("double") / col("n").cast("double")) <= 0.7)
+      .select(col("doc_id"), col("text"), col("source"))
+      .persist()
+
+    // stage 2: exact dedup — content-digest keepers only
+    val exKeepers = qual.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val ex = qual.join(exKeepers.select(col("doc_id")), Seq("doc_id"),
+      "left_semi").persist()
+
+    // stage 3: near-dup groups — drop everything but each keeper
+    val pairs = Dedup.jaccardPairs(ex, col("doc_id"), col("text"), 3, 0.5)
+    val dropIds = Dedup.dedupGroups(pairs)
+      .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
+    val nr = ex.join(dropIds, Seq("doc_id"), "left_anti").persist()
+
+    // stage 4: decontamination — the 20% held-out side is the
+    // benchmark (dropped); train docs sharing > 30% of their shingles
+    // with it are contaminated (dropped)
+    val split = Sampling.hashSplit(nr, col("doc_id"), 0.8)
+    val tr = split.filter(col("split") === "train").drop("split")
+    val te = split.filter(col("split") === "test").drop("split")
+    def shingleRows(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), Dedup.hash60(col("s")).as("sh")).distinct()
+    val trSh = shingleRows(tr).persist()
+    val contamIds = trSh.join(shingleRows(te).select(col("sh")).distinct(),
+        Seq("sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .join(trSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")),
+        Seq("doc_id"))
+      .filter(col("n_shared").cast("double") /
+        col("n_shingles").cast("double") > 0.3)
+      .select(col("doc_id"))
+    val dec = tr.join(contamIds, Seq("doc_id"), "left_anti").persist()
+
+    // stage 5: α=0.5 mixture rates on surviving char mass per source
+    val per = dec.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("mass"))
+    val totals = per.agg(
+      sum(col("n_docs")).as("n_total"),
+      aggregate(
+        sort_array(collect_list(struct(col("source"),
+          sqrt(col("mass").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total"))
+    val rates = per.crossJoin(broadcast(totals))
+      .withColumn("rate", least(lit(1.0),
+        (lit(0.5) * col("n_total").cast("double"))
+          * (sqrt(col("mass").cast("double")) / col("w_total"))
+          / col("n_docs").cast("double")))
+      .withColumn("thresh16", floor(col("rate") * 65536).cast("long"))
+    val sampled = dec
+      .join(broadcast(rates.select(col("source"), col("thresh16"))),
+        Seq("source"))
+      .filter(Dedup.hash16(
+        concat(lit("7"), col("doc_id").cast("string"))) < col("thresh16"))
+
+    def stageCount(idx: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    stageCount(0, "raw", aug)
+      .unionByName(stageCount(1, "quality", qual))
+      .unionByName(stageCount(2, "exact_dedup", ex))
+      .unionByName(stageCount(3, "near_dedup", nr))
+      .unionByName(stageCount(4, "decontam", dec))
+      .unionByName(stageCount(5, "mixture", sampled))
+      .orderBy(col("stage_idx"))
+  }
 }

@@ -12,7 +12,9 @@ object PipelinePack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_classify_lifecycle" ->
-      ((s, d) => Lifecycles.classifyAndReport(s, d)))
+      ((s, d) => Lifecycles.classifyAndReport(s, d)),
+    "p02_corpus_prep" ->
+      ((s, d) => Lifecycles.corpusPrep(s, d)))
 
   /** 0.8 split threshold: round(0.8·65536) = 52429 = 0xcccd (the same
     * constant `Sampling.hashSplit` derives). */
@@ -32,6 +34,116 @@ object PipelinePack extends QueryPack {
     |p1 AS (SELECT qid, CAST(tlabel AS VARCHAR) AS t, CAST(nlabel AS VARCHAR) AS p
     |       FROM r WHERE rnk = 1)""".stripMargin
 
+  private def hv16(e: String): String = {
+    def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
+    s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
+  }
+
+  private val stopList = graft.text.TextAnalysis.defaultProfiles
+    .flatMap(_._2).map(w => s"'$w'").mkString(", ")
+
+  /** words + 3-gram hashed shingle relation over a named doc CTE. */
+  private def shingleOver(tbl: String, w: String, sh: String,
+                          hsh: String): String = s"""
+    |$w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM $tbl),
+    |$sh AS (SELECT DISTINCT doc_id AS id, s AS sh
+    |  FROM (SELECT doc_id, unnest(CASE WHEN len(words) >= 3
+    |    THEN list_transform(range(1, len(words) - 1),
+    |         i -> array_to_string(words[i:i+2], ' '))
+    |    ELSE [] END) AS s FROM $w)),
+    |$hsh AS (SELECT DISTINCT id, ${graft.dedup.DedupPack.hv60("sh")} AS sh FROM $sh)""".stripMargin
+
+  /** p02: the whole corpus-prep funnel replayed in SQL — quality cut,
+    * digest keepers, Jaccard pairs → recursive components, split +
+    * shingle-overlap decontamination, α-weighted mixture rates.
+    * Thresholds are data-derived percentile cuts (measured at sf0.01:
+    * quality p05 ≈ 0.487 → cut 0.45; dup-word-frac p95 ≈ 0.688 → cut
+    * 0.7; contam-frac p90 ≈ 0.297 → cut 0.3). */
+  private val corpusPrepSql = s"""
+    |WITH RECURSIVE
+    |aug AS (
+    |  SELECT doc_id, text, source FROM documents
+    |  UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s*', ''), source
+    |    FROM documents WHERE doc_id < 100
+    |  UNION ALL SELECT doc_id + 200000, text, source FROM documents WHERE doc_id < 50),
+    |aw AS (SELECT doc_id, text, source, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+    |qm AS (SELECT doc_id, text, source, len(words) AS n,
+    |  len(list_distinct(words)) AS d,
+    |  len(list_filter(words, x -> x IN ($stopList))) AS stop_n,
+    |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+    | FROM aw),
+    |q1 AS (SELECT doc_id, text, source FROM qm
+    | WHERE (0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+    |      + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+    |          THEN CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+    |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)) >= 0.45
+    |   AND (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) <= 0.7),
+    |exk AS (SELECT md5(text) AS h, min(doc_id) AS k FROM q1 GROUP BY md5(text)),
+    |ex AS (SELECT q1.doc_id, q1.text, q1.source FROM q1
+    |  JOIN exk ON md5(q1.text) = exk.h AND q1.doc_id = exk.k),
+    |${shingleOver("ex", "ew", "esh", "ehsh")},
+    |esizes AS (SELECT id, count(*) AS n FROM ehsh GROUP BY id),
+    |eprs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+    |  FROM ehsh a JOIN ehsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    |jp AS (SELECT p.a_id, p.b_id
+    |  FROM eprs p JOIN esizes sa ON sa.id = p.a_id JOIN esizes sb ON sb.id = p.b_id
+    |  WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5),
+    |bi AS (SELECT a_id AS s, b_id AS d FROM jp
+    |  UNION SELECT b_id, a_id FROM jp),
+    |reach AS (SELECT s, d FROM bi
+    |  UNION SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s WHERE b.d <> r.s),
+    |lab AS (SELECT s AS doc_id, least(s, min(d)) AS keeper_id
+    |  FROM reach GROUP BY s),
+    |nr AS (SELECT e.doc_id, e.text, e.source FROM ex e
+    |  LEFT JOIN lab ON lab.doc_id = e.doc_id
+    |  WHERE lab.doc_id IS NULL OR lab.keeper_id = e.doc_id),
+    |sp AS (SELECT doc_id,
+    |  CASE WHEN substr(md5('42' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+    |    THEN 'train' ELSE 'test' END AS split FROM nr),
+    |${shingleOver("nr", "nw", "nsh", "nhsh")},
+    |trh AS (SELECT h.id, h.sh FROM nhsh h JOIN sp ON sp.doc_id = h.id
+    |  WHERE sp.split = 'train'),
+    |teh AS (SELECT DISTINCT h.sh FROM nhsh h JOIN sp ON sp.doc_id = h.id
+    |  WHERE sp.split = 'test'),
+    |tsz AS (SELECT id, count(*) AS n FROM trh GROUP BY id),
+    |tshared AS (SELECT trh.id, count(*) AS n_shared FROM trh JOIN teh USING (sh)
+    |  GROUP BY trh.id),
+    |contam AS (SELECT c.id FROM tshared c JOIN tsz ON tsz.id = c.id
+    |  WHERE CAST(c.n_shared AS DOUBLE) / CAST(tsz.n AS DOUBLE) > 0.3),
+    |dc AS (SELECT n.doc_id, n.text, n.source FROM nr n
+    |  JOIN sp ON sp.doc_id = n.doc_id
+    |  WHERE sp.split = 'train'
+    |    AND NOT EXISTS (SELECT 1 FROM contam WHERE contam.id = n.doc_id)),
+    |per AS (SELECT source, count(*) AS n_docs,
+    |    CAST(sum(length(text)) AS BIGINT) AS mass
+    |  FROM dc GROUP BY source),
+    |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+    |  list_reduce(
+    |    list_prepend(CAST(0.0 AS DOUBLE),
+    |      list(sqrt(CAST(mass AS DOUBLE)) ORDER BY source)),
+    |    (a, b) -> a + b) AS w_total
+    |  FROM per),
+    |rr AS (SELECT p.source,
+    |  CAST(floor(least(1.0, (0.5 * CAST(t.n_total AS DOUBLE))
+    |    * (sqrt(CAST(p.mass AS DOUBLE)) / t.w_total)
+    |    / CAST(p.n_docs AS DOUBLE)) * 65536) AS BIGINT) AS thresh16
+    |  FROM per p, tot t),
+    |smp AS (SELECT count(*) AS c FROM dc JOIN rr ON rr.source = dc.source
+    |  WHERE ${hv16("'7' || CAST(doc_id AS VARCHAR)")} < rr.thresh16)
+    |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+    |  CAST(n_docs AS BIGINT) AS n_docs
+    |FROM (VALUES
+    |  (0, 'raw', (SELECT count(*) FROM aug)),
+    |  (1, 'quality', (SELECT count(*) FROM q1)),
+    |  (2, 'exact_dedup', (SELECT count(*) FROM ex)),
+    |  (3, 'near_dedup', (SELECT count(*) FROM nr)),
+    |  (4, 'decontam', (SELECT count(*) FROM dc)),
+    |  (5, 'mixture', (SELECT c FROM smp))) AS t(stage_idx, stage, n_docs)
+    |ORDER BY stage_idx""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "p01_classify_lifecycle" -> graft.metrics.MetricsPack.reportSqlFrom(splitCte))
+    "p01_classify_lifecycle" -> graft.metrics.MetricsPack.reportSqlFrom(splitCte),
+    "p02_corpus_prep" -> corpusPrepSql)
 }

@@ -58,4 +58,18 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(a.toSeq == b.toSeq)
   }
+
+  test("corpus-prep funnel is monotone and every stage does real work") {
+    val rows = graft.pipeline.Lifecycles.corpusPrep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq == Seq("raw", "quality", "exact_dedup",
+      "near_dedup", "decontam", "mixture"))
+    val counts = rows.map(_._3)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${counts.toSeq}")
+    assert(counts.head == 650, "raw = documents + planted dups")
+    assert(counts.last > 0)
+    // dedup stages must actually remove the planted duplicates
+    assert(counts(2) < counts(1) && counts(3) < counts(2))
+  }
 }

@@ -127,23 +127,36 @@ object Lifecycles {
     val ex = qual.join(exKeepers.select(col("doc_id")), Seq("doc_id"),
       "left_semi").persist()
 
+    // ONE shingle pass serves stages 3 AND 4: at scale the shingle
+    // extraction reads every byte of text — never run it twice
+    val exSh = Dedup.hashedShingleRows(ex, col("doc_id"), col("text"), 3)
+      .persist()
+
     // stage 3: near-dup groups — drop everything but each keeper
-    val pairs = Dedup.jaccardPairs(ex, col("doc_id"), col("text"), 3, 0.5)
+    val pairs = Dedup.jaccardPairsFromHashed(exSh, 0.5)
     val dropIds = Dedup.dedupGroups(pairs)
       .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
     val nr = ex.join(dropIds, Seq("doc_id"), "left_anti").persist()
 
     // stage 4: decontamination — the 20% held-out side is the
     // benchmark (dropped); train docs sharing > 30% of their shingles
-    // with it are contaminated (dropped)
+    // with it are contaminated (dropped). Shingles come from the
+    // shared relation: one broadcast anti-join removes the dedup
+    // drops, and split membership is a PURE FUNCTION of the id (hash
+    // split), so each side is a map-side filter — no per-side join.
     val split = Sampling.hashSplit(nr, col("doc_id"), 0.8)
     val tr = split.filter(col("split") === "train").drop("split")
-    val te = split.filter(col("split") === "test").drop("split")
-    def shingleRows(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), Dedup.hash60(col("s")).as("sh")).distinct()
-    val trSh = shingleRows(tr).persist()
-    val contamIds = trSh.join(shingleRows(te).select(col("sh")).distinct(),
+    val splitThr = f"${math.round(0.8 * 65536).min(65535)}%04x"
+    val nrSh = exSh.join(broadcast(dropIds.select(col("doc_id").as("id"))),
+      Seq("id"), "left_anti")
+    def shingleSide(train: Boolean): DataFrame = {
+      val cond = substring(Sampling.hashKey("42", col("id")), 1, 4) < lit(splitThr)
+      nrSh.filter(if (train) cond else !cond)
+        .select(col("id").as("doc_id"), col("sh"))
+    }
+    val trSh = shingleSide(train = true).persist()
+    val contamIds = trSh.join(
+        shingleSide(train = false).select(col("sh")).distinct(),
         Seq("sh"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
       .join(trSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles")),

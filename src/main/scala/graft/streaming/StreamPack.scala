@@ -31,12 +31,21 @@ object StreamPack extends QueryPack {
     Streams.dedupKeys(Tables(spark, dir).events)
       .orderBy(col("user_id"), col("event_type"), col("bucket_start"))
 
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    Streams.attribution(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("view_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_tumbling_counts" -> tumbling,
     "s02_sliding_counts" -> sliding,
     "s03_session_windows" -> sessionWindows,
     "s04_props_rollup" -> props,
-    "s05_dedup_keys" -> dedupKeys)
+    "s05_dedup_keys" -> dedupKeys,
+    "s06_attribution_join" -> attribution)
 
   val oracles: Map[String, String] = Map(
     "s01_tumbling_counts" -> """
@@ -76,5 +85,12 @@ object StreamPack extends QueryPack {
       |SELECT DISTINCT user_id, event_type,
       |  strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start
       |FROM events
-      |ORDER BY user_id, event_type, bucket_start""".stripMargin)
+      |ORDER BY user_id, event_type, bucket_start""".stripMargin,
+    "s06_attribution_join" -> """
+      |SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+      |  epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+      |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
+      |ORDER BY view_id, purchase_id""".stripMargin)
 }

@@ -72,6 +72,31 @@ object Streams {
   private def tumblingCountsInner(events: DataFrame): DataFrame =
     tumblingCounts(events)
 
+  /** Stream-stream interval join (attribution): each view matched to
+    * the same user's purchases within the next 30 minutes. The batch
+    * twin is the plain range join (oracle-checked); a streaming run
+    * watermarks BOTH sides, and the two-sided time bound lets Spark
+    * evict join state once the watermark passes the interval — state
+    * stays proportional to (rate × interval), not to history. Lag is
+    * emitted in exact integer microseconds (`unix_micros`), never via
+    * fractional-second arithmetic. */
+  def attribution(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p, col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") < col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+  }
+
   /** Keyed dedup: at-least-once delivery collapses to exactly-once on
     * (user, type, 5-minute bucket). The dedup key keeps the raw
     * `window` struct — it carries the event-time metadata, so under a

@@ -89,6 +89,27 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.streaming.OutputMode
 
+  test("stream-stream attribution join equals the batch range join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_attrib").toString
+    val events = graft.core.Tables(spark, sf).events
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    def side(t: String) = graft.streaming.Streams
+      .watchedFolder(spark, dir, events.schema, 2)
+      .filter(col("event_type") === t)
+    val q = graft.streaming.Streams.attribution(side("view"), side("purchase"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attrib_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("attrib_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.Streams.attribution(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "purchase"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("dedupKeys streaming run equals the batch DISTINCT") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dedupkeys").toString
     val events = graft.core.Tables(spark, sf).events

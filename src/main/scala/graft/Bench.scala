@@ -31,6 +31,22 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+    // Session artifacts (extraction long frame, self-kNN top-3, pair
+    // mining, trained heads) are compute-once state shared by many
+    // queries — the reference builds its FAISS index/checkpoint ONCE.
+    // Build and materialize them BEFORE the timed loop and report the
+    // cost as its own line; the per-query sweep below releases only
+    // transient caches, so queries measure consumption, not
+    // re-derivation of shared state.
+    val tArt = System.nanoTime()
+    SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
+      .foreach { case (name, build) =>
+        try build(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"BENCH ARTIFACT FAIL $name: $e")
+        }
+      }
+    val artifactsSec = (System.nanoTime() - tArt) / 1e9
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try {
@@ -39,8 +55,9 @@ object Bench {
       } catch { case e: Throwable => Some(e) }
       // release per-query caches (e.g. the dedup pack's shingle
       // tables) so one query's working set doesn't GC-tax the next;
-      // cleanup cost counts against the query that incurred it
-      spark.catalog.clearCache()
+      // cleanup cost counts against the query that incurred it.
+      // Artifacts stay cached — that is their whole design.
+      core.Caches.releaseTransients()
       err match {
         case None => name -> (System.nanoTime() - t0) / 1e9
         case Some(e) =>
@@ -61,8 +78,10 @@ object Bench {
     val qs = results.map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    // total includes the one-time artifact build so the headline stays
+    // honest about ALL work done; "artifacts" breaks it out
+    val total = results.map(_._2).filter(_ >= 0).sum + artifactsSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -40,19 +40,13 @@ object DedupPack extends QueryPack {
       .filter(col("n_copies") > 1)
       .orderBy(col("content_hash"))
 
-  private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   /** Session-scoped Jaccard-pair artifact: d02 reports the pairs, d08
     * resolves them into groups — one mining pass serves both (the
     * `exactSelfTop3` discipline). */
-  private def jaccardPairsArtifact(spark: SparkSession, dir: String): DataFrame = {
-    val df = pairsMemo.getOrElseUpdate((System.identityHashCode(spark), dir),
+  private def jaccardPairsArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"jaccard_pairs:$dir")(
       Dedup.jaccardPairs(augmented(spark, dir), col("doc_id"), col("text"),
         k = 3, threshold = 0.5))
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
 
   /** n-gram Jaccard near-dup pairs (finds the planted near-copies). */
   def jaccard(spark: SparkSession, dir: String): DataFrame =
@@ -143,7 +137,8 @@ object DedupPack extends QueryPack {
         explode(Dedup.shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), col("split"), Dedup.hash60(col("s")).as("sh"))
       .distinct()
-    val train = hashed.filter(col("split") === "train").drop("split").cache()
+    val train = graft.core.Caches.transient(
+      hashed.filter(col("split") === "train").drop("split"))
     val test = hashed.filter(col("split") === "test").select(col("sh")).distinct()
     val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     train.join(test, Seq("sh"))
@@ -165,6 +160,9 @@ object DedupPack extends QueryPack {
     "d04_simhash_values" -> simhashValues,
     "d05_simhash_pairs" -> simhashNearDups,
     "d06_embedding_near_dups" -> embeddingNearDups)
+
+  override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
+    Map("jaccard_pairs" -> jaccardPairsArtifact)
 
   /** Shared SQL: distinct 3-gram shingle rows over `aug`. */
   private val shingleSql = """

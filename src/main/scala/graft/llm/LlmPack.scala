@@ -22,9 +22,6 @@ import graft.vector.KnnJoin
   */
 object LlmPack extends QueryPack {
 
-  private val extractMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   /** Extraction pipeline, long format: one row per (doc, field).
     *
     * Session-scoped artifact, same discipline as
@@ -37,13 +34,9 @@ object LlmPack extends QueryPack {
     * reason). [[LlmStage.ResultCache]] is the per-executor retry tier
     * underneath; this memo is the per-session artifact tier.
     */
-  def extractLong(spark: SparkSession, dir: String): DataFrame = {
-    val df = extractMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), dir), extractLongPlan(spark, dir))
-    // (re-)persist if an external clearCache dropped it
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
+  def extractLong(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"llm_extract:$dir")(
+      extractLongPlan(spark, dir))
 
   private def extractLongPlan(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
@@ -145,6 +138,9 @@ object LlmPack extends QueryPack {
     "l02_extract_accuracy" -> extractAccuracy,
     "l03_rag_context" -> ragContext,
     "l04_confirmation" -> confirmation)
+
+  override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
+    Map("llm_extract" -> extractLong)
 
   /** The stub model + repair chain, replayed in SQL. */
   private val stubCte = """

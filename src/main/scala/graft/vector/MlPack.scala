@@ -30,16 +30,9 @@ import graft.normalize.Normalize
   */
 object MlPack extends QueryPack {
 
-  private val memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
-
   private def memoized(spark: SparkSession, dir: String, key: String)
-                      (build: => DataFrame): DataFrame = {
-    val df = memo.getOrElseUpdate(
-      (System.identityHashCode(spark), dir, key), build)
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
+                      (build: => DataFrame): DataFrame =
+    graft.core.Artifacts.memo(spark, s"ml_$key:$dir")(build)
 
   private def features(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
@@ -51,39 +44,50 @@ object MlPack extends QueryPack {
 
   /** Doc-type head: 10-class MLP, trained once per (session, dir). */
   def mlpClassify(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "label") {
-      import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
-      val data = features(spark, dir)
-        .select(col("vec_id"), col("label").cast("double").as("label"),
-          col("features"))
-      val mlp = new MultilayerPerceptronClassifier()
-        .setLayers(Array(64, 32, 10))
-        .setSeed(42L).setMaxIter(40).setBlockSize(64)
-      val model = mlp.fit(data)
-      model.transform(data)
-        .select(col("vec_id"),
-          col("label").cast("long").as("true_label"),
-          col("prediction").cast("long").as("pred_label"))
-        .orderBy(col("vec_id"))
-    }
+    memoized(spark, dir, "label")(mlpPlan(spark, dir))
+
+  /** Un-memoized MLP head build — the determinism spec trains twice
+    * through this seam and asserts identical predictions. */
+  private[graft] def mlpPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+    val data = features(spark, dir)
+      .select(col("vec_id"), col("label").cast("double").as("label"),
+        col("features"))
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers(Array(64, 32, 10))
+      .setSeed(42L).setMaxIter(40).setBlockSize(64)
+    val model = mlp.fit(data)
+    model.transform(data)
+      .select(col("vec_id"),
+        col("label").cast("long").as("true_label"),
+        col("prediction").cast("long").as("pred_label"))
+      .orderBy(col("vec_id"))
+  }
 
   /** first_pg head: seeded logistic regression on the same features,
     * trained once per (session, dir). */
   def firstPgClassify(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "first_pg") {
-      import org.apache.spark.ml.classification.LogisticRegression
-      val data = features(spark, dir)
-        .select(col("vec_id"),
-          (element_at(col("emb"), 1) > 0).cast("double").as("label"),
-          col("features"))
-      val lr = new LogisticRegression().setMaxIter(50)
-      val model = lr.fit(data)
-      model.transform(data)
-        .select(col("vec_id"),
-          col("label").cast("long").as("true_first_pg"),
-          col("prediction").cast("long").as("pred_first_pg"))
-        .orderBy(col("vec_id"))
-    }
+    memoized(spark, dir, "first_pg")(firstPgPlan(spark, dir))
+
+  /** Un-memoized first_pg head build (see [[mlpPlan]]). */
+  private[graft] def firstPgPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    val data = features(spark, dir)
+      .select(col("vec_id"),
+        (element_at(col("emb"), 1) > 0).cast("double").as("label"),
+        col("features"))
+    // LogisticRegression exposes NO seed param (Spark ML declares none
+    // — LBFGS from a fixed zero init has no randomness to seed), so
+    // determinism rests on the deterministic optimizer; the MlSpec
+    // train-twice assertion pins it empirically.
+    val lr = new LogisticRegression().setMaxIter(50)
+    val model = lr.fit(data)
+    model.transform(data)
+      .select(col("vec_id"),
+        col("label").cast("long").as("true_first_pg"),
+        col("prediction").cast("long").as("pred_first_pg"))
+      .orderBy(col("vec_id"))
+  }
 
   /** L7 joint eval (`combined_fai_3_13.py:351-385`): both trained
     * heads' predictions joined per vector, scored on the composite
@@ -105,6 +109,9 @@ object MlPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l05_mlp_classify" -> mlpClassify,
     "l06_joint_two_head" -> jointEval)
+
+  override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
+    Map("ml_mlp_head" -> mlpClassify, "ml_first_pg_head" -> firstPgClassify)
 
   val oracles: Map[String, String] = Map()
 }

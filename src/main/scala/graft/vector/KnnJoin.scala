@@ -67,8 +67,13 @@ object KnnJoin {
             numHashTables)
         case _ => throw new IllegalStateException("unreachable")
       }
-      hits.join(broadcast(index.select(col("vec_id").as("neighbor_id"),
-          col("label").as("n_label"))), Seq("neighbor_id"))
+      // No broadcast HINT here: Ivf/Lsh exist precisely for indexes too
+      // big to broadcast, so forcing the label attach through a
+      // broadcast would reintroduce the bound the strategy removes.
+      // Catalyst still picks broadcast-hash on its own when the index
+      // side is small enough (AQE size-based choice).
+      hits.join(index.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), Seq("neighbor_id"))
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
           col("n_label"))
   }
@@ -203,9 +208,6 @@ object KnnJoin {
         col("n_label"))
   }
 
-  private val selfTop3Memo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   /** Session-scoped memo of the standard artifact nearly every
     * evaluation query starts from: the embeddings table's exact top-3
     * self-kNN (leave-self-out, labels attached). The reference builds
@@ -215,17 +217,11 @@ object KnnJoin {
     * confusion/report/rollup/agreement/calibration/RAG family for the
     * rest of the session. Top-1 consumers filter `rank = 1`, which by
     * the selection order is exactly the k=1 result. */
-  def exactSelfTop3(spark: SparkSession, dir: String): DataFrame = {
-    val df = selfTop3Memo.getOrElseUpdate((System.identityHashCode(spark), dir), {
+  def exactSelfTop3(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"knn_self_top3:$dir") {
       val e = graft.core.Tables(spark, dir).embeddings
       exact(spark, e, e, 3)
-    })
-    // (re-)persist if an external clearCache dropped it — consumers
-    // like the classification report fan out into several branches
-    // that each re-execute the scan otherwise
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
-    df
-  }
+    }
 
   /** All-pairs similarity above a threshold: broadcast + per-partition
     * primitive loops with precomputed norms; emits (a_id < b_id, cos).
@@ -392,43 +388,15 @@ object KnnJoin {
   def approxIvf(spark: SparkSession, queries: DataFrame, index: DataFrame,
                 k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                 seed: String = "42", lloydIters: Int = 2): DataFrame = {
-    import graft.sample.Sampling
-    val vecs = index
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    var centroids = Sampling.fixedSample(vecs, nCentroids, col("vec_id"), seed)
-      .select(col("vec_id").as("centroid_id"), col("embedding"))
-    for (_ <- 0 until lloydIters) {
-      val asg = exactBroadcast(spark, vecs,
-          centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
-          1, excludeSelf = false)
-        .toDF("vec_id", "centroid_id", "r", "s")
-        .select(col("vec_id"), col("centroid_id"))
-      centroids = vecs.join(asg, Seq("vec_id"))
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-        .groupBy(col("centroid_id"), col("d"))
-        .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
-          count(lit(1)).cast("double")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          x => x.getField("m")).as("embedding"))
-    }
+    val centroids = ivfCentroids(spark, index, nCentroids, seed, lloydIters)
     // inverted lists: every index vector → nearest centroid
-    val assignments = exactBroadcast(spark,
-        index.select(col("vec_id"), col("embedding")),
-        centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
-        1, excludeSelf = false)
-      .toDF("vec_id", "centroid_id", "r", "s")
-      .select(col("vec_id"), col("centroid_id"))
+    val assignments = nearestCentroids(spark, index, centroids, 1)
     val lists = index.join(assignments, Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"))
     // probe: each query → its nProbe nearest centroids
-    val probes = exactBroadcast(spark,
-        queries.select(col("vec_id"), col("embedding")),
-        centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
-        nProbe, excludeSelf = false)
-      .toDF("query_id", "centroid_id", "r", "s")
-      .select(col("query_id"), col("centroid_id"))
+    val probes = nearestCentroids(spark, queries, centroids, nProbe)
+      .withColumnRenamed("vec_id", "query_id")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"))
     // candidates = union of probed lists; exact rerank within them
@@ -444,6 +412,44 @@ object KnnJoin {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
   }
+
+  /** The coarse quantizer of [[approxIvf]]/[[approxIvfPq]]: a
+    * deterministic md5-ordered sample of `nCentroids` index vectors,
+    * refined by `lloydIters` Lloyd iterations whose per-dimension
+    * means sum through exact decimals (order-independent) — bitwise
+    * reproducible on any partitioning, replayable in SQL. */
+  private[vector] def ivfCentroids(spark: SparkSession, index: DataFrame,
+                                   nCentroids: Int, seed: String,
+                                   lloydIters: Int): DataFrame = {
+    import graft.sample.Sampling
+    val vecs = index
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    var centroids = Sampling.fixedSample(vecs, nCentroids, col("vec_id"), seed)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    for (_ <- 0 until lloydIters) {
+      val asg = nearestCentroids(spark, vecs, centroids, 1)
+      centroids = vecs.join(asg, Seq("vec_id"))
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("centroid_id"), col("d"))
+        .agg((sum(col("x").cast("decimal(28,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          x => x.getField("m")).as("embedding"))
+    }
+    centroids
+  }
+
+  /** (vec_id, centroid_id) rows: each row's `n` nearest centroids by
+    * inner product, ties (dot desc, centroid id asc) — the assignment
+    * and probing primitive of the IVF family. */
+  private[vector] def nearestCentroids(spark: SparkSession, rows: DataFrame,
+                                       centroids: DataFrame, n: Int): DataFrame =
+    exactBroadcast(spark, rows.select(col("vec_id"), col("embedding")),
+        centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
+        n, excludeSelf = false)
+      .toDF("vec_id", "centroid_id", "r", "s")
+      .select(col("vec_id"), col("centroid_id"))
 
   /** Product-quantization approximate kNN (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search"): the 100 TB
@@ -465,13 +471,136 @@ object KnnJoin {
     * per-partition packed-code scan (the [[exactBroadcast]] shape
     * with 128× less index memory). The LUT broadcast is bounded by
     * Q·m·centroids doubles (~0.5 MB per 1k queries at the defaults);
-    * query sets past broadcast size chunk into successive searches.
+    * query sets past `queryChunk` split into successive searches —
+    * one LUT broadcast and one code scan per chunk, results unioned —
+    * so neither the driver collect nor the broadcast ever exceeds the
+    * chunk bound no matter how many queries arrive (the reference
+    * batches queries against its GPU index for the same reason,
+    * `Fai_new.py:49-64`). Chunks partition the sorted query-id range,
+    * so per-chunk results are disjoint by construction and the output
+    * is bitwise-independent of the chunk size (spec-asserted).
     */
   def approxPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
                k: Int, m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
-               nCandidates: Int = 30, seed: String = "42"): DataFrame = {
+               nCandidates: Int = 30, seed: String = "42",
+               queryChunk: Int = 8192): DataFrame = {
+    require(queryChunk > 0, "queryChunk must be positive")
+    val (codes, qdots) = pqCodesAndLuts(queries, index, m, subDim,
+      centroidsPerSub, seed)
+    val qv = queries.select(col("vec_id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    // asymmetric scoring in the PRODUCTION shape the PQ paper implies:
+    // per-query lookup tables (Q·centroids·m dots — ~1 MB/1k queries)
+    // broadcast once, then each partition scans its PACKED CODE rows
+    // and maintains bounded per-query heaps; a second bounded pass
+    // merges partition partials. No Q×N relational intermediate at
+    // all. The sum stays in fixed subspace order and selection uses
+    // TopK's total order (score desc, id asc) in both phases, so the
+    // candidate set — and the oracle hash — match the declarative
+    // window form exactly.
+    val aggs = (1 until m).map(s => max(when(col("s") === s, col("cid"))).as(s"c$s"))
+    val codesWide = codes.groupBy(col("vec_id"))
+      .agg(max(when(col("s") === 0, col("cid"))).as("c0"), aggs: _*)
+    val cand = {
+      import spark.implicits._
+      val nc = nCandidates
+      val mm = m
+      // chunks are contiguous ranges of the SORTED query ids, so the
+      // per-chunk qdots filter is a range predicate and chunk outputs
+      // are disjoint — the union below never merges scores for one qid
+      // across chunks
+      val chunks: Array[Array[Long]] =
+        qv.select(col("qid")).as[Long].collect().sorted
+          .grouped(queryChunk).toArray
+      val codesArr = codesWide
+        .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("cs"))
+        .as[(Long, Seq[Long])]
+        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
+      // several chunks scan the code rows several times — cache them
+      // once (tiny: m longs per vector IS the compressed index)
+      val codesShared =
+        if (chunks.length > 1) graft.core.Caches.transient(codesArr)
+        else codesArr
+      val qdotsTyped = qdots.select(col("s"), col("cid"), col("qid"), col("qd"))
+        .as[(Int, Long, Long, Double)]
+      val partials = if (chunks.isEmpty)
+        Seq.empty[(Long, Long, Double)].toDF("qid", "vec_id", "sc")
+      else chunks.map { qids =>
+        val (lo, hi) = (qids.head, qids.last)
+        val qIdx = qids.zipWithIndex.toMap
+        val luts: Array[Map[Long, Array[Double]]] = {
+          val acc = Array.fill(m)(scala.collection.mutable.HashMap.empty[Long, Array[Double]])
+          qdotsTyped.filter(col("qid") >= lo && col("qid") <= hi).collect()
+            .foreach { case (s, cid, qid, qd) =>
+              acc(s).getOrElseUpdate(cid, new Array[Double](qids.length))(qIdx(qid)) = qd
+            }
+          acc.map(_.toMap)
+        }
+        val bcLut = spark.sparkContext.broadcast((qids, luts))
+        codesShared.mapPartitions { it =>
+          val (qs, lut) = bcLut.value
+          val heaps = Array.fill(qs.length)(new TopK(nc))
+          it.foreach { case (vid, cs) =>
+            val tabs = Array.tabulate(mm)(s => lut(s)(cs(s)))
+            var qi = 0
+            while (qi < qs.length) {
+              var sc = tabs(0)(qi)
+              var s = 1
+              while (s < mm) { sc += tabs(s)(qi); s += 1 }
+              if (qs(qi) != vid) heaps(qi).offer(vid, sc)
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (top, qi) =>
+            (0 until top.size).map(r => (qs(qi), top.ids(r), top.sims(r)))
+          }
+        }.toDF("qid", "vec_id", "sc")
+      }.reduce(_ unionByName _)
+      partials
+        .repartition(col("qid"))
+        .as[(Long, Long, Double)]
+        .mapPartitions { it =>
+          val heaps = scala.collection.mutable.LinkedHashMap.empty[Long, TopK]
+          it.foreach { case (q, vid, sc) =>
+            heaps.getOrElseUpdate(q, new TopK(nc)).offer(vid, sc)
+          }
+          heaps.iterator.flatMap { case (q, top) =>
+            (0 until top.size).map(r => (q, top.ids(r)))
+          }
+        }
+        .toDF("qid", "vec_id")
+    }
+    // exact rerank of the candidate set only
+    val nv = index.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("nv"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    cand.join(qv, Seq("qid")).join(nv, Seq("vec_id"))
+      .withColumn("sim", VectorOps.dot(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("sim"))
+  }
+
+  /** PQ codebook construction shared by [[approxPq]] and
+    * [[approxIvfPq]]: per-subspace md5-ordered seed sample, ONE Lloyd
+    * refinement through exact-decimal means, (dist asc, cid asc)
+    * assignment tie-breaks. Returns (codes: one (vec_id, s, cid) row
+    * per index vector and subspace; qdots: the (qid, s, cid, qd)
+    * query-side lookup relation). Both are deterministic and
+    * SQL-replayable. */
+  private[vector] def pqCodesAndLuts(queries: DataFrame, index: DataFrame,
+                                     m: Int, subDim: Int, centroidsPerSub: Int,
+                                     seed: String): (DataFrame, DataFrame) = {
     val v = index.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
+    // silent dimension mismatch would slice() into truncated or empty
+    // subvectors and degrade results with no error — reject it here
+    v.limit(1).select(size(col("v")).as("d")).collect().headOption.foreach {
+      r => require(r.getInt(0) == m * subDim,
+        s"embedding dim ${r.getInt(0)} != m*subDim = ${m * subDim}")
+    }
     def subspaces(df: DataFrame, idAs: String, xAs: String): DataFrame =
       df.select(col(df.columns.head).as(idAs), posexplode(array((0 until m).map(s =>
           slice(col(df.columns(1)), s * subDim + 1, subDim)): _*))
@@ -507,81 +636,77 @@ object KnnJoin {
     val qdots = qsub.join(broadcast(cents), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
         VectorOps.dot(col("qx"), col("cv")).as("qd"))
-    // asymmetric scoring in the PRODUCTION shape the PQ paper implies:
-    // per-query lookup tables (Q·centroids·m dots — ~1 MB/1k queries)
-    // broadcast once, then each partition scans its PACKED CODE rows
-    // and maintains bounded per-query heaps; a second bounded pass
-    // merges partition partials. No Q×N relational intermediate at
-    // all. The sum stays in fixed subspace order and selection uses
-    // TopK's total order (score desc, id asc) in both phases, so the
-    // candidate set — and the oracle hash — match the declarative
-    // window form exactly.
-    val aggs = (1 until m).map(s => max(when(col("s") === s, col("cid"))).as(s"c$s"))
-    val codesWide = codes.groupBy(col("vec_id"))
-      .agg(max(when(col("s") === 0, col("cid"))).as("c0"), aggs: _*)
-    val cand = {
-      import spark.implicits._
-      val qids: Array[Long] = qv.select(col("qid")).as[Long].collect().sorted
-      val qIdx = qids.zipWithIndex.toMap
-      val luts: Array[Map[Long, Array[Double]]] = {
-        val acc = Array.fill(m)(scala.collection.mutable.HashMap.empty[Long, Array[Double]])
-        qdots.select(col("s"), col("cid"), col("qid"), col("qd"))
-          .as[(Int, Long, Long, Double)].collect()
-          .foreach { case (s, cid, qid, qd) =>
-            acc(s).getOrElseUpdate(cid, new Array[Double](qids.length))(qIdx(qid)) = qd
-          }
-        acc.map(_.toMap)
-      }
-      val bcLut = spark.sparkContext.broadcast((qids, luts))
-      val nc = nCandidates
-      val mm = m
-      val codesArr = codesWide
-        .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("cs"))
-        .as[(Long, Seq[Long])]
-        .coalesce(math.max(1, spark.sparkContext.defaultParallelism / 4))
-      val partials = codesArr.mapPartitions { it =>
-        val (qs, lut) = bcLut.value
-        val heaps = Array.fill(qs.length)(new TopK(nc))
-        it.foreach { case (vid, cs) =>
-          val tabs = Array.tabulate(mm)(s => lut(s)(cs(s)))
-          var qi = 0
-          while (qi < qs.length) {
-            var sc = tabs(0)(qi)
-            var s = 1
-            while (s < mm) { sc += tabs(s)(qi); s += 1 }
-            if (qs(qi) != vid) heaps(qi).offer(vid, sc)
-            qi += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (top, qi) =>
-          (0 until top.size).map(r => (qs(qi), top.ids(r), top.sims(r)))
-        }
-      }
-      partials.toDF("qid", "vec_id", "sc")
-        .repartition(col("qid"))
-        .as[(Long, Long, Double)]
-        .mapPartitions { it =>
-          val heaps = scala.collection.mutable.LinkedHashMap.empty[Long, TopK]
-          it.foreach { case (q, vid, sc) =>
-            heaps.getOrElseUpdate(q, new TopK(nc)).offer(vid, sc)
-          }
-          heaps.iterator.flatMap { case (q, top) =>
-            (0 until top.size).map(r => (q, top.ids(r)))
-          }
-        }
-        .toDF("qid", "vec_id")
-    }
-    // exact rerank of the candidate set only
-    val nv = index.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("nv"))
-    val wRank = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    cand.join(qv, Seq("qid")).join(nv, Seq("vec_id"))
-      .withColumn("sim", VectorOps.dot(col("qv"), col("nv")))
+    (codes, qdots)
+  }
+
+  /** IVF-PQ composition — the FAISS production shape (`IndexIVFPQ`):
+    * the coarse quantizer prunes the search to `nProbe` inverted
+    * lists, and within the probed lists candidates are scored from PQ
+    * codes (asymmetric lookup sums), not full-dimension dots; the top
+    * `nCandidates` get the exact rerank (the `IndexRefineFlat` step —
+    * its default refine factor is deliberately larger than
+    * [[approxPq]]'s cut, because PQ's 4-subspace scores are coarse and
+    * pruning hard inside an already-pruned probe pool compounds the
+    * two approximations' misses). Both halves are the engine's
+    * existing deterministic parts ([[ivfCentroids]]/[[nearestCentroids]]
+    * + [[pqCodesAndLuts]]), so the whole pipeline replays in SQL and
+    * v13 runs under the full oracle like v10/v12. Codes quantize RAW
+    * vectors (FAISS `by_residual=false`), which keeps the query LUT
+    * list-independent: one (qid, s, cid) relation serves every probed
+    * list.
+    *
+    * Scale shape: the candidate join shuffles on centroid id (index
+    * never broadcast, lists bound executor memory like IVF) and
+    * carries m small codes per index row (the 128× PQ compression) —
+    * the posture for indexes that outgrow both [[Exact]]'s broadcast
+    * and [[approxPq]]'s full-index code scan per query chunk. */
+  def approxIvfPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
+                  k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                  m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
+                  nCandidates: Int = 100, seed: String = "42",
+                  lloydIters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(spark, index, nCentroids, seed, lloydIters)
+    val assignments = nearestCentroids(spark, index, centroids, 1)
+    val probes = nearestCentroids(spark, queries, centroids, nProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val (codes, qdots) = pqCodesAndLuts(queries, index, m, subDim,
+      centroidsPerSub, seed)
+    // probed-list membership: (query, candidate) pairs the coarse
+    // quantizer admits — the PQ scan below never sees other lists
+    val pl = probes.join(
+        assignments.select(col("vec_id").as("neighbor_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    // asymmetric score: the m lookup terms summed in FIXED subspace
+    // order (same arithmetic as approxPq's scan and the SQL oracle)
+    val approxSum = (0 until m)
+      .map(s => max(when(col("s") === s, col("qd")))).reduce(_ + _)
+    val approx = pl
+      .join(codes.select(col("vec_id").as("neighbor_id"), col("s"), col("cid")),
+        Seq("neighbor_id"))
+      .join(qdots.select(col("qid").as("query_id"), col("s"), col("cid"),
+        col("qd")), Seq("query_id", "s", "cid"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(approxSum.as("approx_ip"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_ip").desc, col("neighbor_id"))
+    val cand = approx.withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank of the admitted candidates only
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val nv = index.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .withColumn("sim", VectorOps.dot(col("q_emb"), col("n_emb")))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)
-      .select(col("qid").as("query_id"), col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
   }
 
   /** Approximate kNN via MLlib random-projection LSH over the

@@ -171,6 +171,18 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ composition (FAISS `IndexIVFPQ` shape): coarse lists
+    * prune, PQ codes score within probed lists, exact rerank — every
+    * stage deterministic, so v13 replays under the full oracle like
+    * v10/v12; recall vs exact is asserted in the IvfPq spec. */
+  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.approxIvfPq(spark, e, e, K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v09_knn_plan_node" -> knnPlanNode,
     "v10_knn_ivf" -> ivf,
@@ -183,7 +195,11 @@ object VectorPack extends QueryPack {
     "v05_cosine_pairs" -> cosinePairs,
     "v06_sample_by_label" -> sampleByLabel,
     "v07_doc_split" -> docSplit,
-    "v08_topk_softmax" -> topkSoftmax)
+    "v08_topk_softmax" -> topkSoftmax,
+    "v13_knn_ivfpq" -> ivfPq)
+
+  override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
+    Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)))
 
   private val knnCte = s"""
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
@@ -278,8 +294,12 @@ object VectorPack extends QueryPack {
     |  FROM x$i GROUP BY cid, d),
     |c$i AS (SELECT cid, list(m ORDER BY d) AS cv FROM m$i GROUP BY cid)""".stripMargin
 
-  private val ivfSql = s"""
-    |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private val eCte =
+    "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** The IVF coarse-quantizer chain (seed sample → 2 Lloyd iters →
+    * assignments + probes) — shared by the v10 and v13 oracles. */
+  private val ivfCtes = s"""
     |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
     |      ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
     |${lloydIterSql("c0", 1)},
@@ -289,7 +309,11 @@ object VectorPack extends QueryPack {
     |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
     |  FROM e, c2 c),
     |asg AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
-    |probes AS (SELECT vec_id AS qid, cid FROM scored WHERE rn <= 4),
+    |probes AS (SELECT vec_id AS qid, cid FROM scored WHERE rn <= 4)""".stripMargin
+
+  private val ivfSql = s"""
+    |WITH $eCte,
+    |$ivfCtes,
     |cand AS (SELECT p.qid, a.vec_id AS nid
     |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
     |r AS (SELECT cand.qid, cand.nid, list_dot_product(q.v, n.v) AS sim,
@@ -305,14 +329,13 @@ object VectorPack extends QueryPack {
     * Lloyd refinement through DECIMAL(28,18) means, 30 candidates,
     * seed 42). The asymmetric score sums its 4 lookup terms in fixed
     * subspace order on both engines. */
-  private val pqSql = {
+  /** The PQ codebook/code/LUT chain (per-subspace seeds → one Lloyd
+    * refinement → codes + query dots) — shared by v12 and v13. */
+  private val pqCtes = {
     val m = 4
     val subDim = 16
     val l2 = "list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)"
-    val approxSum = (0 until m)
-      .map(s => s"max(CASE WHEN q.s = $s THEN q.qd END)").mkString(" + ")
     s"""
-    |WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     |sub AS (SELECT vec_id, s, v[CAST(s*$subDim+1 AS INT):CAST(s*$subDim+$subDim AS INT)] AS x
     |  FROM e, unnest(range(0, $m)) t(s)),
     |seeds AS (SELECT s, cid, cv FROM (
@@ -337,8 +360,16 @@ object VectorPack extends QueryPack {
     |    FROM sub JOIN cent ON sub.s = cent.s) WHERE rn = 1),
     |qds AS (SELECT sub.vec_id AS qid, sub.s, cent.cid,
     |    list_dot_product(sub.x, cent.cv) AS qd
-    |  FROM sub JOIN cent ON sub.s = cent.s),
-    |approx AS (SELECT q.qid, c.vec_id, $approxSum AS approx_ip
+    |  FROM sub JOIN cent ON sub.s = cent.s)""".stripMargin
+  }
+
+  private val pqApproxSum = (0 until 4)
+    .map(s => s"max(CASE WHEN q.s = $s THEN q.qd END)").mkString(" + ")
+
+  private val pqSql = s"""
+    |WITH $eCte,
+    |$pqCtes,
+    |approx AS (SELECT q.qid, c.vec_id, $pqApproxSum AS approx_ip
     |  FROM codes c JOIN qds q ON c.s = q.s AND c.cid = q.cid
     |  WHERE q.qid <> c.vec_id GROUP BY q.qid, c.vec_id),
     |cand AS (SELECT qid, vec_id FROM (
@@ -351,7 +382,31 @@ object VectorPack extends QueryPack {
     |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
     |  round(sim, 6) AS sim
     |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
-  }
+
+  /** v13: the IVF chain's probed lists restrict the PQ chain's
+    * asymmetric scoring (`pl` is the list-membership relation), then
+    * the usual candidate cut + exact rerank — mirrors
+    * `KnnJoin.approxIvfPq` defaults end-to-end. */
+  private val ivfPqSql = s"""
+    |WITH $eCte,
+    |$ivfCtes,
+    |$pqCtes,
+    |pl AS (SELECT p.qid, a.vec_id AS nid
+    |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+    |approx AS (SELECT q.qid, c.vec_id, $pqApproxSum AS approx_ip
+    |  FROM codes c JOIN qds q ON c.s = q.s AND c.cid = q.cid
+    |  JOIN pl ON pl.qid = q.qid AND pl.nid = c.vec_id
+    |  GROUP BY q.qid, c.vec_id),
+    |cand AS (SELECT qid, vec_id FROM (
+    |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+    |      ORDER BY approx_ip DESC, vec_id) AS crn FROM approx) WHERE crn <= 100),
+    |r AS (SELECT cand.qid, cand.vec_id AS nid, list_dot_product(q.v, n.v) AS sim,
+    |    row_number() OVER (PARTITION BY cand.qid
+    |      ORDER BY list_dot_product(q.v, n.v) DESC, cand.vec_id) AS rnk
+    |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.vec_id)
+    |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
+    |  round(sim, 6) AS sim
+    |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
 
   /** v09/v11 share v01's oracle: same semantics through the custom
     * plan node and the optimizer-rule rewrite respectively. */
@@ -360,5 +415,6 @@ object VectorPack extends QueryPack {
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
       ("v10_knn_ivf" -> ivfSql) +
-      ("v12_knn_pq" -> pqSql)
+      ("v12_knn_pq" -> pqSql) +
+      ("v13_knn_ivfpq" -> ivfPqSql)
 }

@@ -119,6 +119,18 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("RETRAINING both heads reproduces identical predictions") {
+    // bypasses the session memo: two full training runs per head
+    // (seeded MLP; LogisticRegression has no seed param — LBFGS from
+    // the fixed init is deterministic, and this pins it empirically)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sig(graft.vector.MlPack.mlpPlan(spark, sf)) ==
+      sig(graft.vector.MlPack.mlpPlan(spark, sf)))
+    assert(sig(graft.vector.MlPack.firstPgPlan(spark, sf)) ==
+      sig(graft.vector.MlPack.firstPgPlan(spark, sf)))
+  }
 }
 
 class PqSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -142,6 +154,58 @@ class PqSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("PQ is deterministic across runs") {
     val e = graft.core.Tables(spark, sf).embeddings
     def run() = graft.vector.KnnJoin.approxPq(spark, e, e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+
+  test("query chunking is invisible in the result") {
+    // 500 queries at chunk 64 = 8 successive LUT broadcasts + scans;
+    // chunks partition the sorted id range, so the output must be
+    // bitwise-identical to the single-chunk run
+    val e = graft.core.Tables(spark, sf).embeddings
+    def run(chunk: Int) =
+      graft.vector.KnnJoin.approxPq(spark, e, e, 3, queryChunk = chunk)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+    assert(run(64) == run(8192))
+  }
+
+  test("PQ rejects an embedding dim that does not equal m*subDim") {
+    val e = graft.core.Tables(spark, sf).embeddings // dim 64
+    intercept[IllegalArgumentException] {
+      graft.vector.KnnJoin.approxPq(spark, e, e, 3, m = 4, subDim = 15)
+    }
+  }
+}
+
+class IvfPqSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import SparkTestSession._
+  import org.apache.spark.sql.functions._
+
+  test("IVF-PQ recall matches IVF (PQ candidate cut costs nothing here)") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    val exact = graft.vector.KnnJoin.exactCross(e, e, 3)
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ivf = hits(graft.vector.KnnJoin.approxIvf(spark, e, e, 3))
+    val ivfpq = hits(graft.vector.KnnJoin.approxIvfPq(spark, e, e, 3))
+    assert(ivfpq.groupBy(_._1).values.forall(_.length <= 3))
+    val rIvf = (exact intersect ivf.toSet).size.toDouble / exact.size
+    val rIvfPq = (exact intersect ivfpq.toSet).size.toDouble / exact.size
+    info(s"recall IVF: $rIvf, IVF-PQ: $rIvfPq")
+    // within probed lists the PQ top-30 cut virtually always retains
+    // the true top-3, so composition must not lose recall vs IVF
+    assert(rIvfPq >= rIvf - 0.02, s"IVF-PQ recall $rIvfPq << IVF $rIvf")
+    assert(rIvfPq > 0.5, s"IVF-PQ recall $rIvfPq too low")
+  }
+
+  test("IVF-PQ is deterministic across runs") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    def run() = graft.vector.KnnJoin.approxIvfPq(spark, e, e, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run() == run())
   }

@@ -35,6 +35,35 @@ object FeedbackPack extends QueryPack {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("example_doc"))
       .orderBy(col("field"), col("status"))
 
+  /** The Approve→Apply tail of the feedback loop (`feebback
+    * agent_8_29.py:44-71` ends Suggest → Approve → Apply): an
+    * approved-corrections table (doc_id, field, corrected_value —
+    * whatever subset of the suggested diffs a reviewer accepted)
+    * written back onto the extraction frame. Corrected rows take the
+    * approved value; accuracy is recomputed so downstream metrics see
+    * the post-correction state. Pure left join + coalesce — linear,
+    * no shuffle beyond the join on the (tiny) corrections side. */
+  def applyCorrections(extract: DataFrame, approved: DataFrame): DataFrame = {
+    val finalValue = coalesce(col("corrected_value"), col("predicted_value"))
+    extract.join(
+        approved.select(col("doc_id"), col("field"), col("corrected_value")),
+        Seq("doc_id", "field"), "left")
+      .select(col("doc_id"), col("field"),
+        finalValue.as("final_value"),
+        col("ground_truth"),
+        when(trim(finalValue) === trim(col("ground_truth")), 1L)
+          .otherwise(0L).as("accuracy"),
+        col("corrected_value").isNotNull.as("corrected"))
+  }
+
+  /** f06: the loop closed end-to-end over the extraction artifact —
+    * Capture/Compare ([[fieldDiffs]]) → Approve (deterministic rule
+    * standing in for the reviewer: even doc_ids accepted) → Apply.
+    * The composition IS [[graft.pipeline.Lifecycles.feedbackApply]];
+    * this delegates so the oracle gates the lifecycle, not a twin. */
+  def applyApproved(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Lifecycles.feedbackApply(spark, dir)
+
   /** Accuracy trend over doc_id buckets (the pseudo-time axis the
     * synthetic corpus has) — the feedback loop's trend metric. */
   def accuracyTrend(spark: SparkSession, dir: String): DataFrame =
@@ -86,7 +115,8 @@ object FeedbackPack extends QueryPack {
     "f02_error_clusters" -> errorClusters,
     "f03_accuracy_trend" -> accuracyTrend,
     "f04_composite_eval" -> compositeEval,
-    "f05_positional_attach" -> positionalAttach)
+    "f05_positional_attach" -> positionalAttach,
+    "f06_apply_corrections" -> applyApproved)
 
   private val diffsCte = LlmPack.oracles("l01_extract_long")
     .replaceAll("(?s)SELECT doc_id, field.*$", "").stripTrailing() + s""",
@@ -143,5 +173,17 @@ object FeedbackPack extends QueryPack {
     "f05_positional_attach" -> """
       |SELECT doc_id, CAST(length(text) AS BIGINT) AS computed_len,
       |  true AS aligned
-      |FROM documents ORDER BY doc_id""".stripMargin)
+      |FROM documents ORDER BY doc_id""".stripMargin,
+    "f06_apply_corrections" -> s"""
+      |$diffsCte,
+      |corr AS (SELECT doc_id, field, ground_truth AS corrected_value
+      |  FROM diffs WHERE doc_id % 2 = 0)
+      |SELECT l.doc_id, l.field,
+      |  coalesce(c.corrected_value, l.predicted_value) AS final_value,
+      |  l.ground_truth,
+      |  CAST(CASE WHEN trim(coalesce(c.corrected_value, l.predicted_value))
+      |    = trim(l.ground_truth) THEN 1 ELSE 0 END AS BIGINT) AS accuracy,
+      |  c.corrected_value IS NOT NULL AS corrected
+      |FROM longf l LEFT JOIN corr c ON c.doc_id = l.doc_id AND c.field = l.field
+      |ORDER BY l.doc_id, l.field""".stripMargin)
 }

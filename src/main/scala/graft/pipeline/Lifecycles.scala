@@ -60,6 +60,25 @@ object Lifecycles {
         LlmPack.extractLong(spark, dir), col("field"), col("accuracy"))
       .orderBy(col("field"))
 
+  /** §3.3's feedback loop closed end-to-end (`feebback
+    * agent_8_29.py:32-71`: Capture → Compare → Cluster → Suggest →
+    * Approve → Apply): extraction diffs become suggested corrections,
+    * an approval predicate stands in for the reviewer, and the
+    * approved subset is applied back onto the extraction artifact.
+    * Returns the corrected long frame — feed it to
+    * [[extractAndEvaluate]]'s accuracy table to measure the lift. */
+  def feedbackApply(spark: SparkSession, dir: String,
+                    approve: Column = pmod(col("doc_id"), lit(2L)) === 0)
+      : DataFrame = {
+    import graft.metrics.FeedbackPack
+    val approved = FeedbackPack.fieldDiffs(spark, dir)
+      .filter(approve)
+      .select(col("doc_id"), col("field"),
+        col("ground_truth").as("corrected_value"))
+    FeedbackPack.applyCorrections(LlmPack.extractLong(spark, dir), approved)
+      .orderBy(col("doc_id"), col("field"))
+  }
+
   /** §3.4 validation-confirmation as a BATCH OPERATOR over arbitrary
     * (document text, SoR fields) columns: deterministic 2-of-3 rule
     * (first name, last name, all address tokens present). Routing is
@@ -132,8 +151,12 @@ object Lifecycles {
     val exSh = Dedup.hashedShingleRows(ex, col("doc_id"), col("text"), 3)
       .persist()
 
-    // stage 3: near-dup groups — drop everything but each keeper
-    val pairs = Dedup.jaccardPairsFromHashed(exSh, 0.5)
+    // stage 3: near-dup groups — drop everything but each keeper.
+    // Pair mining runs under the stop-shingle cap (the d07 skew
+    // guard): shingles in more than 20 docs carry no dedup signal but
+    // quadratic fan-out, so the flagship funnel bounds its posting
+    // lists exactly like the standalone operator does at corpus scale.
+    val pairs = Dedup.jaccardPairsFromHashed(exSh, 0.5, maxShingleDocFreq = 20)
     val dropIds = Dedup.dedupGroups(pairs)
       .filter(col("doc_id") =!= col("keeper_id")).select(col("doc_id"))
     val nr = ex.join(dropIds, Seq("doc_id"), "left_anti").persist()
@@ -187,16 +210,20 @@ object Lifecycles {
       .filter(Dedup.hash16(
         concat(lit("7"), col("doc_id").cast("string"))) < col("thresh16"))
 
-    def stageCount(idx: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(idx.toLong).as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"))
-    stageCount(0, "raw", aug)
-      .unionByName(stageCount(1, "quality", qual))
-      .unionByName(stageCount(2, "exact_dedup", ex))
-      .unionByName(stageCount(3, "near_dedup", nr))
-      .unionByName(stageCount(4, "decontam", dec))
-      .unionByName(stageCount(5, "mixture", sampled))
-      .orderBy(col("stage_idx"))
+    // The audit table is six numbers; computing it eagerly lets the
+    // funnel release its cached working set (seven intermediates)
+    // instead of leaking the blocks for the rest of the session.
+    // Each count reads the persisted frame above it, so the total
+    // work matches the previous lazily-unioned form.
+    import spark.implicits._
+    val counts = Seq(
+      (0L, "raw", aug.count()),
+      (1L, "quality", qual.count()),
+      (2L, "exact_dedup", ex.count()),
+      (3L, "near_dedup", nr.count()),
+      (4L, "decontam", dec.count()),
+      (5L, "mixture", sampled.count()))
+    Seq(aug, qual, ex, exSh, nr, trSh, dec).foreach(_.unpersist(false))
+    counts.toDF("stage_idx", "stage", "n_docs").orderBy(col("stage_idx"))
   }
 }

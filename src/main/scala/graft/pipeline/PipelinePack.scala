@@ -55,7 +55,8 @@ object PipelinePack extends QueryPack {
     |$hsh AS (SELECT DISTINCT id, ${graft.dedup.DedupPack.hv60("sh")} AS sh FROM $sh)""".stripMargin
 
   /** p02: the whole corpus-prep funnel replayed in SQL — quality cut,
-    * digest keepers, Jaccard pairs → recursive components, split +
+    * digest keepers, stop-shingle-capped (df ≤ 20, the d07 guard)
+    * Jaccard pairs → recursive components, split +
     * shingle-overlap decontamination, α-weighted mixture rates.
     * Thresholds are data-derived percentile cuts (measured at sf0.01:
     * quality p05 ≈ 0.487 → cut 0.45; dup-word-frac p95 ≈ 0.688 → cut
@@ -84,9 +85,12 @@ object PipelinePack extends QueryPack {
     |ex AS (SELECT q1.doc_id, q1.text, q1.source FROM q1
     |  JOIN exk ON md5(q1.text) = exk.h AND q1.doc_id = exk.k),
     |${shingleOver("ex", "ew", "esh", "ehsh")},
-    |esizes AS (SELECT id, count(*) AS n FROM ehsh GROUP BY id),
+    |erare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM ehsh GROUP BY sh)
+    |  WHERE df_ <= 20),
+    |ehshf AS (SELECT id, sh FROM ehsh JOIN erare ON ehsh.sh = erare.rsh),
+    |esizes AS (SELECT id, count(*) AS n FROM ehshf GROUP BY id),
     |eprs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
-    |  FROM ehsh a JOIN ehsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    |  FROM ehshf a JOIN ehshf b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
     |jp AS (SELECT p.a_id, p.b_id
     |  FROM eprs p JOIN esizes sa ON sa.id = p.a_id JOIN esizes sb ON sb.id = p.b_id
     |  WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5),

@@ -59,6 +59,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("feedback Apply: approved rows corrected, the rest untouched") {
+    import spark.implicits._
+    val extract = Seq(
+      (1L, "first_word", "wrong", "right", 0L),
+      (1L, "word_count", "7", "7", 1L),
+      (2L, "first_word", "bad", "good", 0L))
+      .toDF("doc_id", "field", "predicted_value", "ground_truth", "accuracy")
+    val approved = Seq((1L, "first_word", "right"))
+      .toDF("doc_id", "field", "corrected_value")
+    val out = graft.metrics.FeedbackPack.applyCorrections(extract, approved)
+      .orderBy(col("doc_id"), col("field"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, "first_word", "right", 1L, true), // corrected → accurate
+      (1L, "word_count", "7", 1L, false),    // untouched, still right
+      (2L, "first_word", "bad", 0L, false))) // unapproved stays wrong
+  }
+
+  test("feedback Apply lifecycle never lowers accuracy, lifts approved half") {
+    val before = graft.llm.LlmPack.extractLong(spark, sf)
+      .agg(sum(col("accuracy"))).collect()(0).getLong(0)
+    val applied = Lifecycles.feedbackApply(spark, sf)
+    val after = applied.agg(sum(col("accuracy"))).collect()(0).getLong(0)
+    assert(after >= before)
+    // every corrected row carries the approved ground truth → accurate
+    assert(applied.filter(col("corrected") && col("accuracy") =!= 1L).count() == 0)
+    // and something was actually corrected on this corpus
+    assert(applied.filter(col("corrected")).count() > 0)
+  }
+
   test("corpus-prep funnel is monotone and every stage does real work") {
     val rows = graft.pipeline.Lifecycles.corpusPrep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -19,6 +19,15 @@ trait LlmClient extends Serializable {
   /** Complete a prompt; implementations may throw — the stage layer
     * owns retries. */
   def complete(prompt: String): String
+
+  /** Identity under which completions may be cached: two clients with
+    * the same key are interchangeable for the same prompt (same model,
+    * same decoding config). Defaults to the class name; wrappers that
+    * do not change the response distribution (retry, throttling)
+    * delegate to the wrapped client's key. Without this in the cache
+    * key, two models compared in one session would silently share
+    * responses through the executor-wide [[LlmStage.ResultCache]]. */
+  def cacheKey: String = getClass.getName
 }
 
 /** Deterministic template extractor used as the test-mode model.
@@ -60,6 +69,8 @@ final class FlakyClient(inner: LlmClient, failTimes: Int) extends LlmClient {
     if (n <= failTimes) throw new RuntimeException(s"flaky failure #$n")
     inner.complete(prompt)
   }
+  // responses (when they arrive) are inner's — share its cache identity
+  override def cacheKey: String = inner.cacheKey
 }
 object FlakyClient {
   /** JVM-wide attempt counts (local-mode tests share one JVM). */
@@ -74,6 +85,7 @@ object FlakyClient {
   * SURVEY §7.4 note 4). */
 final class RetryingClient(inner: LlmClient, maxRetries: Int = 3,
                            baseBackoffMs: Long = 1) extends LlmClient {
+  override def cacheKey: String = inner.cacheKey
   def complete(prompt: String): String = {
     var attempt = 0
     while (true) {

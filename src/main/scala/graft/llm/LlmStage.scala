@@ -59,10 +59,14 @@ object LlmStage {
 
     /** Cached response, or compute-and-cache. Concurrent duplicate
       * computation of the same key is tolerated (completions are
-      * idempotent by contract); a thrown completion caches nothing. */
-    def getOrCompute(id: Long, prompt: String, compute: => String): String = {
+      * idempotent by contract); a thrown completion caches nothing.
+      * `clientKey` ([[LlmClient.cacheKey]]) is part of the hashed key:
+      * two models run over the same prompts in one session must not
+      * serve each other's responses from this executor-wide cache. */
+    def getOrCompute(id: Long, clientKey: String, prompt: String,
+                     compute: => String): String = {
       if (map.size > maxEntries) map.clear()
-      val k = (id, promptHash64(prompt))
+      val k = (id, promptHash64(clientKey + "\u0000" + prompt))
       val hit = map.get(k)
       if (hit != null) hit
       else {
@@ -81,8 +85,9 @@ object LlmStage {
     df.select(id.cast("long").as("id"), prompt.as("prompt"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        val ck = client.cacheKey
         rows.map { case (rowId, p) =>
-          LlmResult(rowId, ResultCache.getOrCompute(rowId, p, client.complete(p)))
+          LlmResult(rowId, ResultCache.getOrCompute(rowId, ck, p, client.complete(p)))
         }
       }
       .toDF("id", "response")

@@ -29,9 +29,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    parallelizes file-per-task. A single workbook is one task —
   *    bounded by the format's own sheet cap, not by the engine.
   *
-  * Cells are written as inline strings; the reader additionally
-  * resolves shared-strings tables (`t="s"`) and bare numeric cells
-  * (`<v>`), the other two shapes basic external writers emit.
+  * String cells are written as inline strings and numeric schema
+  * columns as bare number cells (`<v>`); the reader resolves inline
+  * strings, shared-strings tables (`t="s"`) and numeric `<v>` cells —
+  * the shapes basic external writers emit.
   */
 object Xlsx {
 
@@ -57,25 +58,34 @@ object Xlsx {
     acc - 1
   }
 
-  /** Write `df` (all columns stringified; null → empty cell) as a
-    * single-sheet workbook. Bounded, driver-side — see scaladoc. */
+  /** Write `df` (null → empty cell) as a single-sheet workbook.
+    * String columns become inline-string cells; NUMERIC schema columns
+    * become bare `<v>` number cells, so a human opening the workbook
+    * in Excel sorts/filters them numerically (the reader resolves both
+    * shapes — the stringified round-trip value is identical). Bounded,
+    * driver-side — see scaladoc. */
   def write(df: DataFrame, path: String, maxRows: Int = 100000): Unit = {
+    import org.apache.spark.sql.types.NumericType
     val names = df.columns
+    val numeric = df.schema.fields.map(_.dataType.isInstanceOf[NumericType])
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"xlsx write is the bounded GT-workbook surface (cap $maxRows rows); " +
         "use the parquet/CSV sinks for large tables")
-    def rowXml(r: Int, cells: Seq[String]): String =
+    def rowXml(r: Int, cells: Seq[String], asNumber: Int => Boolean): String =
       s"""<row r="${r + 1}">""" + cells.zipWithIndex.map { case (v, c) =>
         if (v == null) ""
+        else if (asNumber(c))
+          s"""<c r="${colRef(c)}${r + 1}"><v>""" + xmlEscape(v) + "</v></c>"
         else s"""<c r="${colRef(c)}${r + 1}" t="inlineStr"><is><t>""" +
           xmlEscape(v) + "</t></is></c>"
       }.mkString + "</row>"
     val body = new StringBuilder
-    body ++= rowXml(0, names.toSeq)
+    body ++= rowXml(0, names.toSeq, _ => false)
     rows.zipWithIndex.foreach { case (row, i) =>
       body ++= rowXml(i + 1,
-        names.indices.map(j => if (row.isNullAt(j)) null else String.valueOf(row.get(j))))
+        names.indices.map(j => if (row.isNullAt(j)) null else String.valueOf(row.get(j))),
+        numeric(_))
     }
     val sheet =
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
@@ -134,6 +144,14 @@ object Xlsx {
     require(sheetXml != null, "no xl/worksheets/sheet1.xml in workbook")
     val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(false)
+    // XXE hardening: workbooks can come from outside the engine, and a
+    // crafted DTD would otherwise disclose local files into the
+    // DataFrame (or SSRF from executors). SpreadsheetML needs no DTDs.
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
     def parse(b: Array[Byte]) =
       dbf.newDocumentBuilder().parse(new ByteArrayInputStream(b))
     val shared: IndexedSeq[String] = if (sharedXml == null) IndexedSeq.empty else {

@@ -58,6 +58,56 @@ class XlsxSpec extends AnyFunSuite {
     assert(back(0).getString(0) == "acme" && back(0).getString(1) == "42")
   }
 
+  test("numeric schema columns round-trip as real number cells") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5, "a"), (10L, -0.125, "b"), (2L, 3.0, "c"))
+      .toDF("id", "score", "tag")
+    val path = "target/fixtures_xlsx_spec/typed.xlsx"
+    Xlsx.write(df, path)
+    // the sheet XML must carry bare <v> number cells for the numeric
+    // columns (so Excel sorts 2 < 10 numerically, not lexically) and
+    // inline strings for the rest
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(Paths.get(path))))
+    var sheetXml = ""
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/worksheets/sheet1.xml")
+        sheetXml = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+      e = zin.getNextEntry
+    }
+    assert(sheetXml.contains("""<c r="A2"><v>1</v></c>"""))
+    assert(sheetXml.contains("""<c r="B2"><v>2.5</v></c>"""))
+    assert(sheetXml.contains("""t="inlineStr"><is><t>a</t>"""))
+    val back = Xlsx.read(spark, path).orderBy(col("id").cast("long")).collect()
+    assert(back.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      == Seq(("1", "2.5", "a"), ("2", "3.0", "c"), ("10", "-0.125", "b")))
+  }
+
+  test("reader rejects workbooks with DTDs (XXE hardening)") {
+    // a crafted external workbook whose sheet declares an external
+    // entity — without disallow-doctype-decl this would read local
+    // files into the DataFrame
+    val sheet =
+      """<?xml version="1.0"?><!DOCTYPE worksheet [""" +
+        """<!ENTITY xxe SYSTEM "file:///etc/hostname">]>""" +
+        """<worksheet><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>&xxe;</t></is></c></row>""" +
+        """</sheetData></worksheet>"""
+    val out = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(out, StandardCharsets.UTF_8)
+    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    zip.write(sheet.getBytes(StandardCharsets.UTF_8)); zip.closeEntry()
+    zip.close()
+    val dir = Paths.get("target/fixtures_xlsx_xxe")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("evil.xlsx"), out.toByteArray)
+    intercept[Exception] {
+      Xlsx.read(spark, "target/fixtures_xlsx_xxe/evil.xlsx").collect()
+    }
+  }
+
   test("write refuses tables past the GT-workbook cap") {
     import spark.implicits._
     val big = (1 to 30).toDF("n")

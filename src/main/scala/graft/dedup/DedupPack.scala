@@ -150,7 +150,18 @@ object DedupPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** d10: the Manku production shape — 60-bit simhash, Hamming ≤ 3,
+    * 4 pigeonhole bands of 15 bits. The width is what survives scale:
+    * per-band background collisions fall from 2^-5 (d05's 16-bit/3-
+    * band layout) to 2^-15, so candidate volume stays near the true
+    * near-dup count instead of n²/32. */
+  def simhashWidePairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairsBandedWide(augmented(spark, dir), col("doc_id"),
+        col("text"), 3, 60)
+      .orderBy(col("a_id"), col("b_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_simhash_wide" -> simhashWidePairs,
     "d08_dedup_groups" -> dedupGroupsQuery,
     "d09_decontamination" -> decontamination,
     "d07_jaccard_stopshingle" -> jaccardStopShingle,
@@ -319,6 +330,23 @@ object DedupPack extends QueryPack {
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
       |FROM sh2 a JOIN sh2 b ON a.id < b.id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |ORDER BY a_id, b_id""".stripMargin,
+    "d10_simhash_wide" -> s"""
+      |WITH $augmentedSql,
+      |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |dw AS (SELECT DISTINCT doc_id AS id, u AS word
+      |  FROM (SELECT doc_id, unnest(words) AS u FROM w)),
+      |hb AS (SELECT id, ${hv60("word")} AS hv FROM dw),
+      |bs AS (SELECT id, bit, sum(((hv >> bit) & 1) * 2 - 1) AS s
+      |  FROM hb, unnest(range(0, 60)) t(bit) GROUP BY id, bit),
+      |sh60 AS (SELECT id, CAST(sum(CASE WHEN s > 0
+      |    THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bs GROUP BY id)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh60 a JOIN sh60 b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY a_id, b_id""".stripMargin,
     "d06_embedding_near_dups" -> """
       |WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

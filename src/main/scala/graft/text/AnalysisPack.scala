@@ -120,13 +120,96 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** Deterministic line structure planted on the word-soup corpus so
+    * the C4 rules have real work (the PII/dedup planting discipline):
+    * words chunk into 8-word lines, even-indexed lines get a terminal
+    * period (so roughly half survive the punctuation rule), docs with
+    * doc_id % 7 == 0 gain a "javascript" line (killed by the line
+    * rule despite its period) and doc_id % 11 == 0 a "lorem ipsum"
+    * line (kills the whole page). Both engines synthesize the exact
+    * same lines. */
+  private def withPlantedLines(spark: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val nChunks = ceil(size(ws).cast("double") / 8.0).cast("int")
+    val body = when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+        concat(concat_ws(" ", slice(ws, i * 8 + 1, lit(8))),
+          when(i % 2 === 0, lit(".")).otherwise(lit("")))))
+    def planted(cond: org.apache.spark.sql.Column, line: String) =
+      when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"),
+        concat(body,
+          planted(pmod(col("doc_id"), lit(7L)) === 0, "javascript void menu here."),
+          planted(pmod(col("doc_id"), lit(11L)) === 0, "lorem ipsum dolor sit."))
+          .as("lines"))
+  }
+
+  /** a07: C4-style cleaning (Raffel et al. 2020 §2.2) — line rules
+    * (terminal punctuation, ≥ 3 words, no "javascript") then page
+    * rules ("lorem ipsum" / "{" / fewer than 5 surviving lines drop
+    * the page). Emits the audit columns + the cleaned page. */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val kept = TextAnalysis.c4KeptLines(col("lines"))
+    withPlantedLines(spark, dir)
+      .select(col("doc_id"), col("lines"), kept.as("kept"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        TextAnalysis.c4PageKeep(col("lines"), col("kept")).as("page_keep"),
+        when(TextAnalysis.c4PageKeep(col("lines"), col("kept")),
+          concat_ws("\n", col("kept"))).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** a08: CCNet-style unigram log-prob quality scoring (Wenzek et al.
+    * 2020 use KenLM perplexity to split a crawl into head/middle/tail
+    * buckets; the deterministic stand-in is the corpus' own unigram
+    * model — swap the counts table for real LM scores at the same
+    * seam). Per doc: mean negative log-probability of its words under
+    * the corpus unigram distribution, then tercile buckets from EXACT
+    * percentiles (one aggregate + map-side comparison — no global
+    * sort/ntile window, which would single-partition at corpus
+    * scale). Per-word terms round to 9 decimals then sum through
+    * decimals, so the mean is order-independent on both engines. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val w = docs.select(col("doc_id"),
+      explode(TextOps.words(col("text"))).as("w"))
+    val counts = w.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("t"))
+    val scored = w.join(counts, Seq("w"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("t").cast("double")), 9)
+          .cast("decimal(28,9)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), sum(col("nll")).as("s"))
+    val base = docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        round(coalesce(col("s").cast("double") / col("nw").cast("double"),
+          lit(0.0)), 6).as("mean_nll"))
+    val qs = base.agg(
+      percentile(col("mean_nll"), lit(1.0 / 3)).as("q1"),
+      percentile(col("mean_nll"), lit(2.0 / 3)).as("q2"))
+    base.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("n_words"), col("mean_nll"),
+        when(col("mean_nll") <= col("q1"), "head")
+          .when(col("mean_nll") <= col("q2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
     "a02_quality" -> quality,
     "a03_fingerprint" -> fingerprint,
     "a04_repetition" -> repetition,
     "a05_pii_redact" -> piiRedact,
-    "a06_mixture_sample" -> mixtureSample)
+    "a06_mixture_sample" -> mixtureSample,
+    "a07_c4_clean" -> c4Clean,
+    "a08_unigram_logprob" -> unigramLogprob)
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private val profiles = TextAnalysis.defaultProfiles
@@ -243,5 +326,49 @@ object AnalysisPack extends QueryPack {
       |  round(rr.rate, 6) AS rate, rr.thresh16,
       |  CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
       |FROM rr LEFT JOIN s ON s.source = rr.source
-      |ORDER BY rr.source""".stripMargin)
+      |ORDER BY rr.source""".stripMargin,
+    "a07_c4_clean" -> s"""
+      |WITH $wordsCte,
+      |l0 AS (SELECT doc_id,
+      |  CASE WHEN len(words) = 0 THEN []
+      |   ELSE list_transform(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
+      |     i -> array_to_string(words[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
+      |          || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)
+      |  END AS body FROM w),
+      |l1 AS (SELECT doc_id, list_concat(list_concat(body,
+      |    CASE WHEN doc_id % 7 = 0 THEN ['javascript void menu here.'] ELSE [] END),
+      |    CASE WHEN doc_id % 11 = 0 THEN ['lorem ipsum dolor sit.'] ELSE [] END) AS lines
+      |  FROM l0),
+      |k AS (SELECT doc_id, lines,
+      |   list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+      |     AND len(string_split(l, ' ')) >= 3
+      |     AND NOT contains(lower(l), 'javascript')) AS kept FROM l1),
+      |p AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+      |   (NOT contains(lower(array_to_string(lines, chr(10))), 'lorem ipsum'))
+      |   AND (NOT contains(lower(array_to_string(lines, chr(10))), '{'))
+      |   AND len(kept) >= 5 AS page_keep,
+      |   kept FROM k)
+      |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+      |  CAST(n_kept AS BIGINT) AS n_kept, page_keep,
+      |  CASE WHEN page_keep THEN array_to_string(kept, chr(10)) END AS cleaned
+      |FROM p ORDER BY doc_id""".stripMargin,
+    "a08_unigram_logprob" -> s"""
+      |WITH $wordsCte,
+      |u AS (SELECT doc_id, unnest(words) AS wd FROM w),
+      |c AS (SELECT wd, count(*) AS cnt FROM u GROUP BY wd),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+      |s AS (SELECT u.doc_id, count(*) AS nw,
+      |   sum(CAST(round(-ln(CAST(c.cnt AS DOUBLE) / CAST(t.t AS DOUBLE)), 9)
+      |       AS DECIMAL(28,9))) AS s
+      |  FROM u JOIN c USING (wd), t GROUP BY u.doc_id),
+      |b AS (SELECT d.doc_id,
+      |   CAST(coalesce(s.nw, 0) AS BIGINT) AS n_words,
+      |   round(coalesce(CAST(s.s AS DOUBLE) / CAST(s.nw AS DOUBLE), 0.0), 6) AS mean_nll
+      |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
+      |q AS (SELECT quantile_cont(mean_nll, 1.0/3) AS q1,
+      |   quantile_cont(mean_nll, 2.0/3) AS q2 FROM b)
+      |SELECT doc_id, n_words, mean_nll,
+      |  CASE WHEN mean_nll <= q.q1 THEN 'head'
+      |       WHEN mean_nll <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM b, q ORDER BY doc_id""".stripMargin)
 }

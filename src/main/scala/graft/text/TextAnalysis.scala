@@ -133,4 +133,25 @@ object TextAnalysis {
     patterns.map { case (p, _) =>
       size(call_function("regexp_extract_all", text, lit(p), lit(0)))
     }.reduce(_ + _)
+
+  // --- C4-style page cleaning (Raffel et al. 2020 §2.2, the rules
+  // that built the Colossal Clean Crawled Corpus). Line level: keep
+  // only lines ending in terminal punctuation, with ≥ 3 words, and
+  // without the word "javascript"; page level: drop pages containing
+  // "lorem ipsum" or "{", or with fewer than `minKeptLines` surviving
+  // lines. Per-row array expressions — scan-stage, no shuffle.
+
+  /** Lines surviving the C4 line rules, from a '\n'-separated text. */
+  def c4KeptLines(lines: Column): Column =
+    filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(split(l, " ")) >= 3 &&
+        !lower(l).contains("javascript"))
+
+  /** The C4 page predicate over the original lines + kept lines. */
+  def c4PageKeep(lines: Column, kept: Column, minKeptLines: Int = 5): Column = {
+    val joined = lower(concat_ws("\n", lines))
+    !joined.contains("lorem ipsum") && !joined.contains("{") &&
+      size(kept) >= minKeptLines
+  }
 }

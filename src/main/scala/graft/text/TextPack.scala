@@ -87,13 +87,27 @@ object TextPack extends QueryPack {
       .orderBy(col("id"))
   }
 
+  val SeqLen = 256L
+
+  /** t07: sequence packing for pretraining — every document's position
+    * on the concatenated token tape (word count as the deterministic
+    * token stand-in), via [[SequencePacking]]'s distributed prefix sum
+    * (NOT a single-partition global window — see its scaladoc). */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    SequencePacking.packSequences(Tables(spark, dir).documents,
+        col("doc_id"), TextOps.wordLen(col("text")), SeqLen)
+      .select(col("id").as("doc_id"), col("n_tok"), col("tok_start"),
+        col("seq_id"), col("seq_offset"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_chunk_stats" -> chunkStats,
     "t02_chunk_first_text" -> chunkFirstText,
     "t03_token_stats" -> tokenStats,
     "t04_lang_report" -> langReport,
     "t05_flatten_by_source" -> flattenBySource,
-    "t06_truncate" -> truncate)
+    "t06_truncate" -> truncate,
+    "t07_pack_sequences" -> packSequences)
 
   private def sqlLit(s: String): String =
     if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
@@ -145,5 +159,18 @@ object TextPack extends QueryPack {
       |      ELSE array_to_string(lines[1:4] || lines[-4:], chr(10)) END AS truncated,
       | array_to_string(lines[1:least(2, len(lines))]
       |   || lines[greatest(-2, -len(lines)):], chr(10)) AS kept
-      |FROM l ORDER BY id""".stripMargin)
+      |FROM l ORDER BY id""".stripMargin,
+    "t07_pack_sequences" -> s"""
+      |WITH b AS (SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+      | FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      | FROM b)
+      |SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(tok_start // $SeqLen AS BIGINT) AS seq_id,
+      |  CAST(tok_start % $SeqLen AS BIGINT) AS seq_offset
+      |FROM c ORDER BY doc_id""".stripMargin)
 }

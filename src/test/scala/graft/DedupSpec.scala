@@ -141,6 +141,28 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("wide simhash: banded pairs equal the all-pairs twin exactly") {
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = collectPairs(
+      Dedup.simhashPairsBandedWide(aug, col("doc_id"), col("text")))
+    val allPairs = collectPairs(
+      Dedup.simhashPairsAllPairsWide(aug, col("doc_id"), col("text")))
+    assert(banded == allPairs)
+    assert(banded.nonEmpty)
+  }
+
+  test("wide simhash recovers most planted near-copies at Hamming <= 3") {
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    val pairs = Dedup.simhashPairsBandedWide(aug, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: (i, i+100000) near-copies for i < 100 (measured at
+    // sf0.01: 125/150 of all planted links within distance 3)
+    val recovered = (0L until 100L).count(i => pairs.contains((i, i + 100000L)))
+    assert(recovered >= 75, s"only $recovered/100 planted near-copies found")
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

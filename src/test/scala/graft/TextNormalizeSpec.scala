@@ -131,4 +131,26 @@ class TextNormalizeSpec extends AnyFunSuite {
       "plain words 123")
     assert(one(TextAnalysis.piiCount(col("s")), "plain words 123") == 0)
   }
+
+  test("sequence packing: distributed prefix sum equals the window form " +
+      "and is partition-count independent") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.core.Tables(spark, sf).documents
+    def run(np: Int) = graft.text.SequencePacking
+      .packSequences(d, col("doc_id"), TextOps.wordLen(col("text")), 256L, np)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = d
+      .select(col("doc_id"), TextOps.wordLen(col("text")).cast("long").as("n"))
+      .withColumn("start", coalesce(sum(col("n")).over(w), lit(0L)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(2) / 256L,
+        r.getLong(2) % 256L))
+      .toSet
+    assert(run(3) == expected)
+    assert(run(7) == run(3), "positions must not depend on partitioning")
+  }
 }

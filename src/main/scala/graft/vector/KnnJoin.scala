@@ -473,12 +473,13 @@ object KnnJoin {
     * Q·m·centroids doubles (~0.5 MB per 1k queries at the defaults);
     * query sets past `queryChunk` split into successive searches —
     * one LUT broadcast and one code scan per chunk, results unioned —
-    * so neither the driver collect nor the broadcast ever exceeds the
+    * so neither the driver collects nor the broadcast ever exceeds the
     * chunk bound no matter how many queries arrive (the reference
     * batches queries against its GPU index for the same reason,
-    * `Fai_new.py:49-64`). Chunks partition the sorted query-id range,
-    * so per-chunk results are disjoint by construction and the output
-    * is bitwise-independent of the chunk size (spec-asserted).
+    * `Fai_new.py:49-64`). Chunk membership is `qid % nChunks`
+    * (nChunks from one count — no unbounded id collect anywhere);
+    * chunks are disjoint and per-query heaps independent, so the
+    * output is bitwise-independent of the chunk size (spec-asserted).
     */
   def approxPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
                k: Int, m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
@@ -505,13 +506,14 @@ object KnnJoin {
       import spark.implicits._
       val nc = nCandidates
       val mm = m
-      // chunks are contiguous ranges of the SORTED query ids, so the
-      // per-chunk qdots filter is a range predicate and chunk outputs
-      // are disjoint — the union below never merges scores for one qid
-      // across chunks
-      val chunks: Array[Array[Long]] =
-        qv.select(col("qid")).as[Long].collect().sorted
-          .grouped(queryChunk).toArray
+      // chunk membership is qid % nChunks, so NO driver collect is
+      // ever unbounded: the only per-chunk materializations are that
+      // chunk's ids and its LUT rows (≤ ~queryChunk each). Chunks are
+      // disjoint and cover every query, and per-query heaps are
+      // independent, so the union below is chunk-layout-invariant
+      // (the spec pins chunked ≡ unchunked bitwise).
+      val totalQ = qv.select(col("qid")).count()
+      val nChunks = math.max(1, math.ceil(totalQ.toDouble / queryChunk).toInt)
       val codesArr = codesWide
         .select(col("vec_id"), array((0 until m).map(s => col(s"c$s")): _*).as("cs"))
         .as[(Long, Seq[Long])]
@@ -519,18 +521,18 @@ object KnnJoin {
       // several chunks scan the code rows several times — cache them
       // once (tiny: m longs per vector IS the compressed index)
       val codesShared =
-        if (chunks.length > 1) graft.core.Caches.transient(codesArr)
+        if (nChunks > 1) graft.core.Caches.transient(codesArr)
         else codesArr
       val qdotsTyped = qdots.select(col("s"), col("cid"), col("qid"), col("qd"))
         .as[(Int, Long, Long, Double)]
-      val partials = if (chunks.isEmpty)
-        Seq.empty[(Long, Long, Double)].toDF("qid", "vec_id", "sc")
-      else chunks.map { qids =>
-        val (lo, hi) = (qids.head, qids.last)
+      val partials = (0 until nChunks).map { ci =>
+        val member = pmod(col("qid"), lit(nChunks.toLong)) === ci.toLong
+        val qids: Array[Long] =
+          qv.select(col("qid")).filter(member).as[Long].collect().sorted
         val qIdx = qids.zipWithIndex.toMap
         val luts: Array[Map[Long, Array[Double]]] = {
           val acc = Array.fill(m)(scala.collection.mutable.HashMap.empty[Long, Array[Double]])
-          qdotsTyped.filter(col("qid") >= lo && col("qid") <= hi).collect()
+          qdotsTyped.filter(member).collect()
             .foreach { case (s, cid, qid, qd) =>
               acc(s).getOrElseUpdate(cid, new Array[Double](qids.length))(qIdx(qid)) = qd
             }

@@ -63,6 +63,33 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** a09: the full Gopher §A.1.1 repetition-filter suite (Rae et al.
+    * 2021; a04 carries the word-level pair): per doc, the fraction of
+    * characters covered by the most frequent {2,3,4}-gram and by all
+    * duplicated {5..10}-grams. N-gram arrays come from the native
+    * single-pass shingle expression and every measure is a row-local
+    * sorted fold (the a04 staging lesson) — scan-stage, no shuffle.
+    * Denominator is the doc's character length; "covered" is
+    * count × gram length (overlaps counted per occurrence — declared
+    * definition, mirrored exactly in the oracle). */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val staged = Tables(spark, dir).documents
+      .select(Seq(col("doc_id"), length(col("text")).as("nc")) ++
+        (topNs ++ dupNs).map(n =>
+          graft.dedup.Dedup.shingles(col("text"), n).as(s"ng$n")): _*)
+    def frac(chars: org.apache.spark.sql.Column) =
+      round(when(col("nc") > 0,
+        chars.cast("double") / col("nc").cast("double")).otherwise(0.0), 6)
+    staged.select(Seq(col("doc_id")) ++
+        topNs.map(n => frac(TextAnalysis.topElemChars(col(s"ng$n")))
+          .as(s"top_${n}gram_frac")) ++
+        dupNs.map(n => frac(TextAnalysis.dupElemChars(col(s"ng$n")))
+          .as(s"dup_${n}gram_frac")): _*)
+      .orderBy(col("doc_id"))
+  }
+
   /** PII suffix planted on doc_id < 100 — the corpus is digit-free
     * word-soup with no natural PII, so the scrub operator gets real
     * work the same way DedupPack plants duplicates: both engines
@@ -209,7 +236,8 @@ object AnalysisPack extends QueryPack {
     "a05_pii_redact" -> piiRedact,
     "a06_mixture_sample" -> mixtureSample,
     "a07_c4_clean" -> c4Clean,
-    "a08_unigram_logprob" -> unigramLogprob)
+    "a08_unigram_logprob" -> unigramLogprob,
+    "a09_gopher_repetition" -> gopherRepetition)
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private val profiles = TextAnalysis.defaultProfiles
@@ -370,5 +398,39 @@ object AnalysisPack extends QueryPack {
       |SELECT doc_id, n_words, mean_nll,
       |  CASE WHEN mean_nll <= q.q1 THEN 'head'
       |       WHEN mean_nll <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket
-      |FROM b, q ORDER BY doc_id""".stripMargin)
+      |FROM b, q ORDER BY doc_id""".stripMargin,
+    "a09_gopher_repetition" -> {
+      val topNs = Seq(2, 3, 4)
+      val dupNs = Seq(5, 6, 7, 8, 9, 10)
+      def gramCtes(n: Int) = s"""
+        |g$n AS (SELECT doc_id, unnest(CASE WHEN len(words) >= $n
+        |    THEN list_transform(range(1, len(words) - ${n - 2}),
+        |         i -> array_to_string(words[i:i+${n - 1}], ' '))
+        |    ELSE [] END) AS g FROM base),
+        |u$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY doc_id, g)""".stripMargin
+      val topCtes = topNs.map(n => s"""
+        |t$n AS (SELECT doc_id, c * length(g) AS chars FROM (
+        |   SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |     ORDER BY c DESC, g) AS rn FROM u$n) WHERE rn = 1)""".stripMargin)
+      val dupCtes = dupNs.map(n => s"""
+        |d$n AS (SELECT doc_id, sum(c * length(g)) AS chars
+        |  FROM u$n WHERE c > 1 GROUP BY doc_id)""".stripMargin)
+      def fracCol(alias: String, out: String) =
+        s"round(CASE WHEN base.nc > 0 THEN coalesce(CAST($alias.chars AS DOUBLE), 0.0)" +
+          s" / CAST(base.nc AS DOUBLE) ELSE 0.0 END, 6) AS $out"
+      val joins = (topNs.map(n => s"t$n") ++ dupNs.map(n => s"d$n"))
+        .map(a => s"LEFT JOIN $a ON $a.doc_id = base.doc_id").mkString("\n|")
+      s"""
+      |WITH $wordsCte,
+      |base AS (SELECT doc_id, length(text) AS nc, words FROM w),
+      |${(topNs ++ dupNs).map(gramCtes).mkString(",")},
+      |${topCtes.mkString(",")},
+      |${dupCtes.mkString(",")}
+      |SELECT base.doc_id,
+      |  ${(topNs.map(n => fracCol(s"t$n", s"top_${n}gram_frac")) ++
+           dupNs.map(n => fracCol(s"d$n", s"dup_${n}gram_frac"))).mkString(",\n|  ")}
+      |FROM base
+      |$joins
+      |ORDER BY base.doc_id""".stripMargin
+    })
 }

@@ -107,6 +107,46 @@ object TextAnalysis {
       },
       a => a.getField("best"))
 
+  /** Characters covered by the most frequent element: count × element
+    * length, ties to the lexicographically smallest element (the
+    * sorted fold keeps the FIRST element reaching the maximum run —
+    * mirror with `ORDER BY count DESC, gram` in SQL). Same
+    * sorted-run-length discipline as [[topCount]]. */
+  def topElemChars(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best"), lit(null).cast("string").as("bestg")),
+      (a, x) => {
+        val run = when(x === a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1))
+        val better = run > a.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(a.getField("best")).as("best"),
+          when(better, x).otherwise(a.getField("bestg")).as("bestg"))
+      },
+      a => when(a.getField("best") > 0,
+        a.getField("best").cast("long") * length(a.getField("bestg")))
+        .otherwise(lit(0L)))
+
+  /** Characters covered by all elements occurring more than once:
+    * Σ count·length over distinct repeated elements — one sorted
+    * fold, closing each run as the element changes. */
+  def dupElemChars(arr: Column): Column = {
+    def closed(prev: Column, run: Column): Column =
+      when(run >= 2, run.cast("long") * length(prev)).otherwise(lit(0L))
+    aggregate(array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0L).as("acc")),
+      (a, x) => {
+        val same = x === a.getField("prev")
+        struct(x.as("prev"),
+          when(same, a.getField("run") + 1).otherwise(lit(1)).as("run"),
+          (a.getField("acc") + when(same, lit(0L))
+            .otherwise(closed(a.getField("prev"), a.getField("run")))).as("acc"))
+      },
+      a => a.getField("acc") + closed(a.getField("prev"), a.getField("run")))
+  }
+
   // --- PII redaction: pattern → placeholder rewrites with an audit
   // count, the standard scrub step before training-corpus release.
   // Patterns stay in the Java-regex ∩ RE2 subset (no lookaround) so

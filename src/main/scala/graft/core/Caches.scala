@@ -20,9 +20,23 @@ object Caches {
 
   private val transients = new ConcurrentLinkedQueue[Dataset[_]]()
 
+  /** Tracker bound: past this many live entries the OLDEST tracked
+    * frame is unpersisted on registration, so a long-lived session
+    * that never calls [[releaseTransients]] (notebook, service) can't
+    * pin cached blocks without limit. Generous relative to the
+    * transient count of any single query (≤ a handful). */
+  private val MaxTracked = 64
+
   /** Cache `ds` and track it for the next [[releaseTransients]]. */
   def transient[T](ds: Dataset[T]): Dataset[T] = {
     transients.add(ds)
+    while (transients.size > MaxTracked) {
+      val old = transients.poll()
+      if (old != null) {
+        try old.unpersist(false)
+        catch { case _: Throwable => () }
+      }
+    }
     ds.cache()
   }
 

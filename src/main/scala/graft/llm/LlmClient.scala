@@ -22,11 +22,19 @@ trait LlmClient extends Serializable {
 
   /** Identity under which completions may be cached: two clients with
     * the same key are interchangeable for the same prompt (same model,
-    * same decoding config). Defaults to the class name; wrappers that
-    * do not change the response distribution (retry, throttling)
-    * delegate to the wrapped client's key. Without this in the cache
-    * key, two models compared in one session would silently share
-    * responses through the executor-wide [[LlmStage.ResultCache]]. */
+    * same decoding config). Defaults to the class name, which is only
+    * correct for configuration-free clients (every client in this
+    * repo) — a configurable client MUST override it to include its
+    * config (e.g. "http:model:temperature"), or two instances of the
+    * same class pointed at different models would share cached
+    * responses. Keep the key STABLE across serialization round-trips
+    * (no identity hashes: closures deserialize a fresh instance per
+    * task, and a per-instance key would defeat the cross-attempt
+    * cache). Wrappers that do not change the response distribution
+    * (retry, throttling) delegate to the wrapped client's key.
+    * Without client identity in the cache key, two models compared in
+    * one session would silently share responses through the
+    * executor-wide [[LlmStage.ResultCache]]. */
   def cacheKey: String = getClass.getName
 }
 

@@ -72,10 +72,14 @@ object Xlsx {
     require(rows.length <= maxRows,
       s"xlsx write is the bounded GT-workbook surface (cap $maxRows rows); " +
         "use the parquet/CSV sinks for large tables")
+    // NaN/Infinity are not valid SpreadsheetML numbers — Excel would
+    // "repair" (drop) such cells; they fall back to inline strings
+    def finiteNumber(v: String): Boolean =
+      v != "NaN" && v != "Infinity" && v != "-Infinity"
     def rowXml(r: Int, cells: Seq[String], asNumber: Int => Boolean): String =
       s"""<row r="${r + 1}">""" + cells.zipWithIndex.map { case (v, c) =>
         if (v == null) ""
-        else if (asNumber(c))
+        else if (asNumber(c) && finiteNumber(v))
           s"""<c r="${colRef(c)}${r + 1}"><v>""" + xmlEscape(v) + "</v></c>"
         else s"""<c r="${colRef(c)}${r + 1}" t="inlineStr"><is><t>""" +
           xmlEscape(v) + "</t></is></c>"

@@ -75,17 +75,23 @@ object AnalysisPack extends QueryPack {
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    val staged = Tables(spark, dir).documents
-      .select(Seq(col("doc_id"), length(col("text")).as("nc")) ++
-        (topNs ++ dupNs).map(n =>
-          graft.dedup.Dedup.shingles(col("text"), n).as(s"ng$n")): _*)
+    // n-gram arrays are INLINED into each fold, not staged as nine
+    // simultaneous columns: the sorted folds reference their input
+    // exactly once (inside array_sort), so each array exists only
+    // while its own output column evaluates — peak per-row memory is
+    // ONE n-gram array + its sort copy, not nine (~54× word chars on
+    // a long document). The a04 staging lesson applied to the old
+    // count-per-distinct fold, which re-read its input per element.
+    def ng(n: Int) = graft.dedup.Dedup.shingles(col("text"), n)
+    val nc = length(col("text"))
     def frac(chars: org.apache.spark.sql.Column) =
-      round(when(col("nc") > 0,
-        chars.cast("double") / col("nc").cast("double")).otherwise(0.0), 6)
-    staged.select(Seq(col("doc_id")) ++
-        topNs.map(n => frac(TextAnalysis.topElemChars(col(s"ng$n")))
+      round(when(nc > 0, chars.cast("double") / nc.cast("double"))
+        .otherwise(0.0), 6)
+    Tables(spark, dir).documents
+      .select(Seq(col("doc_id")) ++
+        topNs.map(n => frac(TextAnalysis.topElemChars(ng(n)))
           .as(s"top_${n}gram_frac")) ++
-        dupNs.map(n => frac(TextAnalysis.dupElemChars(col(s"ng$n")))
+        dupNs.map(n => frac(TextAnalysis.dupElemChars(ng(n)))
           .as(s"dup_${n}gram_frac")): _*)
       .orderBy(col("doc_id"))
   }

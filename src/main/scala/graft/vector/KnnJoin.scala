@@ -523,8 +523,14 @@ object KnnJoin {
       val codesShared =
         if (nChunks > 1) graft.core.Caches.transient(codesArr)
         else codesArr
-      val qdotsTyped = qdots.select(col("s"), col("cid"), col("qid"), col("qd"))
+      // the LUT relation's lineage includes the whole codebook build
+      // (seed windows, Lloyd refinement) — cache it across chunks or
+      // every chunk would re-train the quantizer
+      val qdotsTyped0 = qdots.select(col("s"), col("cid"), col("qid"), col("qd"))
         .as[(Int, Long, Long, Double)]
+      val qdotsTyped =
+        if (nChunks > 1) graft.core.Caches.transient(qdotsTyped0)
+        else qdotsTyped0
       val partials = (0 until nChunks).map { ci =>
         val member = pmod(col("qid"), lit(nChunks.toLong)) === ci.toLong
         val qids: Array[Long] =

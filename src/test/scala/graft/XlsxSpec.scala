@@ -84,6 +84,29 @@ class XlsxSpec extends AnyFunSuite {
       == Seq(("1", "2.5", "a"), ("2", "3.0", "c"), ("10", "-0.125", "b")))
   }
 
+  test("non-finite numerics fall back to inline strings (valid workbook)") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5), (2L, Double.NaN), (3L, Double.PositiveInfinity))
+      .toDF("id", "score")
+    val path = "target/fixtures_xlsx_spec/nonfinite.xlsx"
+    Xlsx.write(df, path)
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Files.readAllBytes(Paths.get(path))))
+    var sheetXml = ""
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/worksheets/sheet1.xml")
+        sheetXml = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+      e = zin.getNextEntry
+    }
+    // NaN/Infinity must not appear as bare number cells
+    assert(!sheetXml.contains("<v>NaN</v>"))
+    assert(!sheetXml.contains("<v>Infinity</v>"))
+    assert(sheetXml.contains("""t="inlineStr"><is><t>NaN</t>"""))
+    val back = Xlsx.read(spark, path).orderBy(col("id")).collect()
+    assert(back.map(_.getString(1)).toSeq == Seq("2.5", "NaN", "Infinity"))
+  }
+
   test("reader rejects workbooks with DTDs (XXE hardening)") {
     // a crafted external workbook whose sheet declares an external
     // entity — without disallow-doctype-decl this would read local

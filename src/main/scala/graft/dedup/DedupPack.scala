@@ -113,6 +113,39 @@ object DedupPack extends QueryPack {
         k = 3, threshold = 0.5, maxShingleDocFreq = 20)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** d11: intra-corpus substring-overlap audit (the measurement that
+    * motivates Lee et al. 2022's substring dedup — "Deduplicating
+    * Training Data Makes Language Models Better" finds long repeated
+    * spans ACROSS documents, not just whole-doc near-dups): per doc,
+    * the fraction of its 10-gram word spans that occur in at least
+    * one other document. Inverted-index shape end-to-end — shingle
+    * doc-frequencies by groupBy, a semi-join back onto the posting
+    * rows — fan-out linear in shingle rows, no pair enumeration; the
+    * stop-shingle cap applies at corpus scale exactly as in d07/d09.
+    * Docs under 10 words have no spans and report 0/0 → 0.0. */
+  def sharedSpanFrac(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    val sh = graft.core.Caches.transient(
+      Dedup.hashedShingleRows(aug, col("doc_id"), col("text"), 10))
+    val dupShingles = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df_")).filter(col("df_") >= 2)
+      .select(col("sh"))
+    val nShared = sh.join(dupShingles, Seq("sh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_spans"))
+    aug.select(col("doc_id"))
+      .join(sizes.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .join(nShared.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(when(coalesce(col("n_spans"), lit(0L)) > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_spans").cast("double")).otherwise(0.0), 6)
+          .as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairs → groups: transitive closure of the d02 Jaccard pairs.
     * The planted structure makes the components non-trivial — for
     * doc_id < 50 the exact copy AND the near copy chain into one
@@ -161,6 +194,7 @@ object DedupPack extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_shared_spans" -> sharedSpanFrac,
     "d10_simhash_wide" -> simhashWidePairs,
     "d08_dedup_groups" -> dedupGroupsQuery,
     "d09_decontamination" -> decontamination,
@@ -331,6 +365,31 @@ object DedupPack extends QueryPack {
       |FROM sh2 a JOIN sh2 b ON a.id < b.id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
       |ORDER BY a_id, b_id""".stripMargin,
+    "d11_shared_spans" -> s"""
+      |WITH $augmentedSql,
+      |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |sh10 AS (SELECT DISTINCT doc_id AS id, s AS sh
+      |  FROM (SELECT doc_id, unnest(CASE WHEN len(words) >= 10
+      |    THEN list_transform(range(1, len(words) - 8),
+      |         i -> array_to_string(words[i:i+9], ' '))
+      |    ELSE [] END) AS s FROM w)),
+      |hsh10 AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh10),
+      |dupsh AS (SELECT sh FROM (SELECT sh, count(*) AS df_ FROM hsh10 GROUP BY sh)
+      |  WHERE df_ >= 2),
+      |shr AS (SELECT id, count(*) AS n_shared FROM hsh10
+      |  JOIN dupsh ON hsh10.sh = dupsh.sh GROUP BY id),
+      |sz AS (SELECT id, count(*) AS n_spans FROM hsh10 GROUP BY id)
+      |SELECT a.doc_id,
+      |  CAST(coalesce(sz.n_spans, 0) AS BIGINT) AS n_spans,
+      |  CAST(coalesce(shr.n_shared, 0) AS BIGINT) AS n_shared,
+      |  round(CASE WHEN coalesce(sz.n_spans, 0) > 0
+      |    THEN CAST(coalesce(shr.n_shared, 0) AS DOUBLE) / CAST(sz.n_spans AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS shared_frac
+      |FROM aug a
+      |LEFT JOIN sz ON sz.id = a.doc_id
+      |LEFT JOIN shr ON shr.id = a.doc_id
+      |ORDER BY a.doc_id""".stripMargin,
     "d10_simhash_wide" -> s"""
       |WITH $augmentedSql,
       |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []

@@ -163,6 +163,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recovered >= 75, s"only $recovered/100 planted near-copies found")
   }
 
+  test("shared-span audit: planted copies fully overlap, background does not") {
+    val fr = graft.dedup.DedupPack.sharedSpanFrac(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // exact copies share every 10-gram span with their original
+    (0L until 50L).foreach { i =>
+      assert(fr(i + 200000L) == 1.0, s"copy of $i")
+      assert(fr(i) == 1.0, s"original $i")
+    }
+    // the word-soup background has essentially no repeated 10-grams
+    val background = fr.filter { case (id, _) =>
+      id >= 100 && id < 100000
+    }.values
+    assert(background.count(_ == 0.0) > background.size * 9 / 10)
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -82,4 +82,23 @@ class HelperSpec extends AnyFunSuite {
     assert(f("a\nb\nc\nd\ne") == "a\nb\nd\ne")
     assert(f("only") == "only\nonly")
   }
+
+  test("transient cache tracker: sweep releases, bound evicts oldest") {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    graft.core.Caches.releaseTransients() // clean slate
+    val a = graft.core.Caches.transient(Seq(1, 2, 3).toDF("x"))
+    a.count()
+    assert(a.storageLevel != StorageLevel.NONE)
+    graft.core.Caches.releaseTransients()
+    assert(a.storageLevel == StorageLevel.NONE, "sweep must unpersist")
+    // bound: past 64 live entries the oldest is evicted on register
+    val first = graft.core.Caches.transient(Seq(0).toDF("x"))
+    first.count()
+    val rest = (1 to 70).map(i => graft.core.Caches.transient(Seq(i).toDF("x")))
+    assert(first.storageLevel == StorageLevel.NONE,
+      "oldest tracked frame must be evicted past the bound")
+    assert(rest.last.storageLevel != StorageLevel.NONE)
+    graft.core.Caches.releaseTransients()
+  }
 }

@@ -73,25 +73,25 @@ object AnalysisPack extends QueryPack {
     * count × gram length (overlaps counted per occurrence — declared
     * definition, mirrored exactly in the oracle). */
   def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.RepetitionChars
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
-    // n-gram arrays are INLINED into each fold, not staged as nine
-    // simultaneous columns: the sorted folds reference their input
-    // exactly once (inside array_sort), so each array exists only
-    // while its own output column evaluates — peak per-row memory is
-    // ONE n-gram array + its sort copy, not nine (~54× word chars on
-    // a long document). The a04 staging lesson applied to the old
-    // count-per-distinct fold, which re-read its input per element.
-    def ng(n: Int) = graft.dedup.Dedup.shingles(col("text"), n)
-    val nc = length(col("text"))
+    // ONE staged word array (≈ the text's own size) feeds nine native
+    // single-pass counters — no n-gram array is ever materialized or
+    // sorted. The declarative sorted-fold twins
+    // (TextAnalysis.topElemChars/dupElemChars) remain the spec
+    // cross-check; they made a09 the suite's slowest scan query
+    // (interpreted lambda folds over nine sorted gram arrays).
     def frac(chars: org.apache.spark.sql.Column) =
-      round(when(nc > 0, chars.cast("double") / nc.cast("double"))
+      round(when(col("nc") > 0, chars.cast("double") / col("nc").cast("double"))
         .otherwise(0.0), 6)
     Tables(spark, dir).documents
+      .select(col("doc_id"), length(col("text")).as("nc"),
+        TextOps.words(col("text")).as("ws"))
       .select(Seq(col("doc_id")) ++
-        topNs.map(n => frac(TextAnalysis.topElemChars(ng(n)))
+        topNs.map(n => frac(RepetitionChars.topGramChars(col("ws"), n))
           .as(s"top_${n}gram_frac")) ++
-        dupNs.map(n => frac(TextAnalysis.dupElemChars(ng(n)))
+        dupNs.map(n => frac(RepetitionChars.dupGramChars(col("ws"), n))
           .as(s"dup_${n}gram_frac")): _*)
       .orderBy(col("doc_id"))
   }

@@ -98,6 +98,47 @@ class CatalystExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("native RepetitionChars matches the sorted-fold twins for every n") {
+    import graft.plans.RepetitionChars
+    import graft.text.{TextAnalysis, TextOps}
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("ws"))
+    for (n <- 2 to 10) {
+      val both = docs.select(
+          RepetitionChars.topGramChars(col("ws"), n).as("nt"),
+          TextAnalysis.topElemChars(graft.dedup.Dedup.shingles(col("text"), n))
+            .as("ft"),
+          RepetitionChars.dupGramChars(col("ws"), n).as("nd"),
+          TextAnalysis.dupElemChars(graft.dedup.Dedup.shingles(col("text"), n))
+            .as("fd"))
+        .filter(col("nt") =!= col("ft") || col("nd") =!= col("fd"))
+      assert(both.count() == 0, s"n=$n native != fold")
+    }
+    // edge vectors: empty, below-n, exact ties
+    import spark.implicits._
+    val edges = Seq("", "one two", "b a b a", "x x x y y y").toDF("text")
+      .select(col("text"), TextOps.words(col("text")).as("ws"))
+    val vals = edges.select(
+        RepetitionChars.topGramChars(col("ws"), 1).as("t1"),
+        TextAnalysis.topElemChars(graft.dedup.Dedup.shingles(col("text"), 1))
+          .as("f1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    vals.foreach { case (nv, fv) => assert(nv == fv) }
+    // "x x x y y y": counts tie at 3 → binary-smallest gram "x" wins
+    assert(vals.last._1 == 3L)
+  }
+
+  test("native RepetitionChars survives inside whole-stage codegen") {
+    import graft.plans.RepetitionChars
+    import graft.text.TextOps
+    val df = graft.core.Tables(spark, sf).documents
+      .select(TextOps.words(col("text")).as("ws"))
+      .select(RepetitionChars.dupGramChars(col("ws"), 5).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+    assert(df.agg(sum(col("d"))).collect()(0).getLong(0) >= 0L)
+  }
+
   test("SQL registration: money_norm and chunk work in plain SQL") {
     // GraftExtensions attaches at builder time (spark.sql.extensions);
     // the shared test session already exists, so inject the same

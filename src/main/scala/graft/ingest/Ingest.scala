@@ -78,7 +78,7 @@ object Ingest {
 
   /** P9: column-name normalization (`remove_paranthesis.py:30`). */
   def normalizeColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.trim.toLowerCase): _*)
+    df.toDF(df.columns.map(_.trim.toLowerCase).toIndexedSeq: _*)
 
   /** P8: rename columns by map, then project to a target schema order;
     * missing targets become nulls (schema-aligning union prep,

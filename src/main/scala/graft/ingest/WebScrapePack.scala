@@ -34,7 +34,7 @@ object WebScrapePack extends QueryPack {
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
       .sortBy(_._1)
-    docs.map { case (id, text) =>
+    docs.toIndexedSeq.map { case (id, text) =>
       val words = text.trim.split("\\s+").filter(_.nonEmpty).take(NRows)
       val rows = words
         .map(w => s"<tr><td>$w</td><td>${w.length}</td></tr>")

@@ -47,7 +47,7 @@ object AsOfJoin {
     val unioned = l.unionByName(r, allowMissingColumns = true)
       // right rows' attach values travel as one struct = one matched row
       .withColumn("__r",
-        when(col("__side") === 0, struct(attach.map(col): _*)))
+        when(col("__side") === 0, struct(attach.map(col).toIndexedSeq: _*)))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc,
@@ -57,7 +57,7 @@ object AsOfJoin {
     unioned
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        attach.map(c => col(s"__asof.$c").as(c)): _*)
+      .select((left.columns.map(col) ++
+        attach.map(c => col(s"__asof.$c").as(c))).toIndexedSeq: _*)
   }
 }

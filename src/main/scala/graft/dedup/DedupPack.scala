@@ -183,6 +183,19 @@ object DedupPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** d12: SemDeDup (Abbas et al. 2023) over the augmented vectors —
+    * the semantic tier of the dedup ladder. The planted near-copies
+    * (cos ≈ 0.995 to their base) land in the base vector's k-means
+    * cluster, pair up inside it, and the pair member closer to the
+    * centroid is dropped; the isotropic background (max pair cos
+    * ~0.6) never reaches the 0.98 threshold, so `kept = 0` rows are
+    * exactly the planted redundancy. Whole pipeline — seed sample,
+    * Lloyd, assignment, within-cluster pairs, keeper rule — replays
+    * in SQL via the shared v10 chain. */
+  def semdedup(spark: SparkSession, dir: String): DataFrame =
+    graft.vector.SemDedup.semDedup(spark, augmentedVectors(spark, dir), 0.98)
+      .orderBy(col("vec_id"))
+
   /** d10: the Manku production shape — 60-bit simhash, Hamming ≤ 3,
     * 4 pigeonhole bands of 15 bits. The width is what survives scale:
     * per-band background collisions fall from 2^-5 (d05's 16-bit/3-
@@ -195,6 +208,7 @@ object DedupPack extends QueryPack {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_shared_spans" -> sharedSpanFrac,
+    "d12_semdedup" -> semdedup,
     "d10_simhash_wide" -> simhashWidePairs,
     "d08_dedup_groups" -> dedupGroupsQuery,
     "d09_decontamination" -> decontamination,
@@ -407,6 +421,27 @@ object DedupPack extends QueryPack {
       |FROM sh60 a JOIN sh60 b ON a.id < b.id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY a_id, b_id""".stripMargin,
+    "d12_semdedup" -> s"""
+      |WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |e AS (SELECT vec_id, v FROM e0
+      |  UNION ALL SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:])
+      |    FROM e0 WHERE vec_id < 100),
+      |${graft.vector.VectorPack.ivfCtes},
+      |cs AS (SELECT a.vec_id, a.cid,
+      |    list_dot_product(e.v, c.cv)
+      |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS csim
+      |  FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cid),
+      |prs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.csim AS ca, b.csim AS cb
+      |  FROM cs a JOIN cs b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      |  WHERE list_dot_product(ea.v, eb.v)
+      |    / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) >= 0.98),
+      |rem AS (SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND a_id > b_id)
+      |    THEN a_id ELSE b_id END AS vec_id FROM prs)
+      |SELECT cs.vec_id, cs.cid AS centroid_id, round(cs.csim, 6) AS sim_centroid,
+      |  CAST(CASE WHEN rem.vec_id IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS kept
+      |FROM cs LEFT JOIN rem ON rem.vec_id = cs.vec_id
+      |ORDER BY cs.vec_id""".stripMargin,
     "d06_embedding_near_dups" -> """
       |WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |e AS (SELECT vec_id, v FROM e0

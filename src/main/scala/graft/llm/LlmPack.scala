@@ -103,6 +103,21 @@ object LlmPack extends QueryPack {
       .orderBy(col("query_id"))
   }
 
+  /** l07: BM25 sparse retrieval — the lexical half of the RAG
+    * retrieval stack (the dense half is l03's kNN context). Query set
+    * is derived deterministically from the corpus: the first 5 words
+    * of each doc_id < 20 as that query's term set; top-5 docs per
+    * query. The self-doc ranking at/near the top is the expected
+    * retrieval sanity signal (spec-asserted). */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val qt = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextOps.words(col("text")), 1, 5)).as("term"))
+      .distinct()
+    Bm25.topK(docs, qt, 5).orderBy(col("query_id"), col("rank"))
+  }
+
   /** §3.4 validation-confirmation: deterministic 2-of-3 rule over
     * (first name, last name, address tokens) + edit distance. */
   val confirmVectors: Seq[(String, String, String, String)] = Seq(
@@ -137,7 +152,8 @@ object LlmPack extends QueryPack {
     "l01_extract_long" -> extractLong,
     "l02_extract_accuracy" -> extractAccuracy,
     "l03_rag_context" -> ragContext,
-    "l04_confirmation" -> confirmation)
+    "l04_confirmation" -> confirmation,
+    "l07_bm25_retrieval" -> bm25Retrieval)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("llm_extract" -> extractLong)
@@ -233,5 +249,29 @@ object LlmPack extends QueryPack {
       |    + CAST(addr_match AS INT) >= 2 THEN 'yes' ELSE 'no' END AS decision,
       |  CAST(levenshtein(lower(sor_first || ' ' || sor_last),
       |    array_to_string(ws[1:2], ' ')) AS BIGINT) AS name_lev
-      |FROM m ORDER BY id""".stripMargin)
+      |FROM m ORDER BY id""".stripMargin,
+    "l07_bm25_retrieval" -> """
+      |WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+      |st AS (SELECT count(*) AS n, sum(len(words)) AS sdl FROM w),
+      |post AS (SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(words) AS term FROM w) GROUP BY 1, 2),
+      |dfr AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+      |dl AS (SELECT doc_id, len(words) AS dl FROM w),
+      |qt AS (SELECT DISTINCT doc_id AS query_id, term
+      |  FROM (SELECT doc_id, unnest(words[1:5]) AS term FROM w WHERE doc_id < 20)),
+      |terms AS (SELECT qt.query_id, post.doc_id,
+      |    CAST(round(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+      |      * ((post.tf * (1.2 + 1)) / (post.tf + 1.2 * ((1.0 - 0.75)
+      |        + 0.75 * (CAST(dl.dl AS DOUBLE)
+      |          / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 9)
+      |      AS DECIMAL(28,9)) AS ts
+      |  FROM qt JOIN post ON post.term = qt.term JOIN dfr ON dfr.term = qt.term
+      |  JOIN dl ON dl.doc_id = post.doc_id, st),
+      |sc AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+      |  FROM terms GROUP BY 1, 2),
+      |r AS (SELECT query_id, doc_id, score, row_number()
+      |    OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -234,8 +234,23 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** a10: DSIR importance resampling — select 50 raw-pool docs whose
+    * hashed-bigram distribution matches the `src0` target domain
+    * (Gumbel-top-k over smoothed log importance ratios; see
+    * [[graft.sample.Dsir]]). On the synthetic corpus every source
+    * draws from the same word soup, so the selection is driven by the
+    * bucket-level sampling noise the estimator is designed to detect
+    * — the oracle replays model building, scoring, and the Gumbel
+    * perturbation exactly. */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    graft.sample.Dsir.importanceResample(spark,
+      Tables(spark, dir).documents.select(col("doc_id"), col("text"),
+        col("source")),
+      targetSource = "src0", k = 50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
+    "a10_dsir_resample" -> dsirResample,
     "a02_quality" -> quality,
     "a03_fingerprint" -> fingerprint,
     "a04_repetition" -> repetition,
@@ -260,6 +275,39 @@ object AnalysisPack extends QueryPack {
   }
 
   val oracles: Map[String, String] = Map(
+    "a10_dsir_resample" -> s"""
+      |WITH w AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),
+      |bg AS (SELECT doc_id, source, ${graft.dedup.DedupPack.hv60("s")} % 1024 AS bucket
+      |  FROM (SELECT doc_id, source, unnest(CASE WHEN len(words) >= 2
+      |    THEN list_transform(range(1, len(words)),
+      |         i -> array_to_string(words[i:i+1], ' '))
+      |    ELSE [] END) AS s FROM w)),
+      |tc AS (SELECT bucket, count(*) AS c FROM bg WHERE source = 'src0' GROUP BY 1),
+      |tt AS (SELECT count(*) AS t FROM bg WHERE source = 'src0'),
+      |rc AS (SELECT bucket, count(*) AS c FROM bg WHERE source <> 'src0' GROUP BY 1),
+      |rt AS (SELECT count(*) AS t FROM bg WHERE source <> 'src0'),
+      |terms AS (SELECT b.doc_id,
+      |    CAST(round(ln(CAST(coalesce(tc.c, 0) + 1 AS DOUBLE) / CAST(tt.t + 1024 AS DOUBLE))
+      |      - ln(CAST(coalesce(rc.c, 0) + 1 AS DOUBLE) / CAST(rt.t + 1024 AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS ts
+      |  FROM bg b LEFT JOIN tc ON tc.bucket = b.bucket
+      |  LEFT JOIN rc ON rc.bucket = b.bucket, tt, rt
+      |  WHERE b.source <> 'src0'),
+      |sc AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(ts) AS DOUBLE) AS logw
+      |  FROM terms GROUP BY 1),
+      |pool AS (SELECT d.doc_id,
+      |    CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+      |    coalesce(sc.logw, 0.0) AS logw,
+      |    round(coalesce(sc.logw, 0.0)
+      |      + (-ln(-ln((${hv("'dsir_' || CAST(d.doc_id AS VARCHAR)")} + 0.5) / 65536.0))), 6) AS score
+      |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      |  WHERE d.source <> 'src0'),
+      |r AS (SELECT doc_id, n_feats, logw, score,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM pool)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, n_feats,
+      |  round(logw, 6) AS logw, score
+      |FROM r WHERE rnk <= 50 ORDER BY rank""".stripMargin,
     "a01_lang_id" -> s"""
       |WITH $wordsCte,
       |s AS (SELECT doc_id,

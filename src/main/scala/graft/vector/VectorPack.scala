@@ -280,7 +280,7 @@ object VectorPack extends QueryPack {
     * casts the Spark side uses), same argmax/probe tie-breaks (dot
     * desc, id asc), same rerank — mirrors `KnnJoin.approxIvf` defaults
     * (16 centroids, 4 probes, seed 42, 2 Lloyd iterations). */
-  private def lloydIterSql(inCentroids: String, i: Int): String = s"""
+  private[graft] def lloydIterSql(inCentroids: String, i: Int): String = s"""
     |s$i AS (SELECT e.vec_id, c.cid,
     |    row_number() OVER (PARTITION BY e.vec_id
     |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
@@ -299,7 +299,10 @@ object VectorPack extends QueryPack {
 
   /** The IVF coarse-quantizer chain (seed sample → 2 Lloyd iters →
     * assignments + probes) — shared by the v10 and v13 oracles. */
-  private val ivfCtes = s"""
+  /** Shared with the d12 SemDeDup oracle (same chain over its
+    * augmented `e` relation) — the CTE names only assume an
+    * `e(vec_id, v)` CTE in scope. */
+  private[graft] val ivfCtes = s"""
     |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
     |      ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
     |${lloydIterSql("c0", 1)},

@@ -178,6 +178,47 @@ class DedupSpec extends AnyFunSuite {
     assert(background.count(_ == 0.0) > background.size * 9 / 10)
   }
 
+  test("semdedup removes one member per planted pair, keeper farther from centroid") {
+    val rows = DedupPack.semdedup(spark, sf).collect()
+    val kept = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val csim = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // planted pairs (i, i+100000) at cos ≈ 0.995: exactly one member
+    // removed whenever both land in the same k-means cluster (the
+    // cross-cluster straddle is the documented miss mode)
+    val sameCluster = (0L until 100L).filter(i => cluster(i) == cluster(i + 100000))
+    assert(sameCluster.size >= 90, s"only ${sameCluster.size}/100 pairs co-clustered")
+    sameCluster.foreach { i =>
+      assert(kept(i) + kept(i + 100000) == 1, s"pair $i not resolved to one keeper")
+      // keeper rule: the kept member sits no closer to the centroid
+      val (k, r) = if (kept(i) == 1) (i, i + 100000) else (i + 100000, i)
+      assert(csim(k) <= csim(r) + 2e-6, s"pair $i kept the prototypical member")
+    }
+    // the isotropic background (max pair cos ~0.6) never pairs at 0.98,
+    // so removals are confined to planted pair members
+    rows.filter(_.getLong(3) == 0).map(_.getLong(0)).foreach { id =>
+      assert(id < 100 || id >= 100000, s"background vector $id removed")
+    }
+  }
+
+  test("semdedup kept set has no same-cluster pair above the threshold") {
+    val rows = DedupPack.semdedup(spark, sf).collect()
+    val kept = rows.filter(_.getLong(3) == 1).map(_.getLong(0)).toSet
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every ≥-threshold pair (diagnostic all-pairs scan is exact) that
+    // shares a cluster must have lost a member — the pairwise rule
+    // covers ALL within-cluster pairs, so this invariant is total
+    val pairs = graft.vector.KnnJoin.cosinePairsAbove(spark,
+        DedupPack.augmentedVectors(spark, sf), 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.filter { case (a, b) => cluster(a) == cluster(b) }.foreach {
+      case (a, b) =>
+        assert(!(kept.contains(a) && kept.contains(b)),
+          s"same-cluster near-dup pair ($a,$b) fully kept")
+    }
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -83,6 +83,26 @@ class HelperSpec extends AnyFunSuite {
     assert(f("only") == "only\nonly")
   }
 
+  test("dsir selects the raw docs that match the target domain") {
+    import spark.implicits._
+    // target vocabulary A; raw pool = 10 domain-matching docs + 40
+    // off-domain docs. The importance-weight gap (~22 nats) dwarfs the
+    // Gumbel perturbation's full range (~[-2.5, 11.8] over 16-bit
+    // uniforms), so the selection must be exactly the matching docs.
+    val docs = (
+      (0 until 5).map(i => (i.toLong, "alpha beta gamma delta alpha beta", "tgt")) ++
+      (0 until 10).map(i => ((100 + i).toLong, "alpha beta gamma delta beta gamma", "raw")) ++
+      (0 until 40).map(i => ((200 + i).toLong, "omega psi chi phi omega psi", "raw"))
+    ).toDF("doc_id", "text", "source")
+    val sel = graft.sample.Dsir.importanceResample(spark, docs, "tgt", k = 10)
+      .collect()
+    assert(sel.map(_.getLong(0)).toSet == (100L until 110L).toSet)
+    // ranks are 1..k and scores non-increasing
+    assert(sel.map(_.getLong(1)).sorted.toSeq == (1L to 10L))
+    val byRank = sel.sortBy(_.getLong(1)).map(_.getDouble(4))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
   test("transient cache tracker: sweep releases, bound evicts oldest") {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._

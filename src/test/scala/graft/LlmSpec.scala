@@ -93,6 +93,36 @@ class LlmSpec extends AnyFunSuite {
     assert(by(1L)._3 == 1L)
   }
 
+  test("bm25: idf, tf saturation, length normalization, and the stop-term cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "zebra apple apple"),
+      (1L, "apple apple apple apple"),
+      (2L, "zebra"),
+      (3L, "apple banana cherry durian elderberry fig grape")
+    ).toDF("doc_id", "text")
+    def run(qs: Seq[(Long, String)], cap: Long = Long.MaxValue) =
+      Bm25.topK(docs, qs.toDF("query_id", "term"), k = 4,
+          maxTermDocFreq = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+    // rare term: both zebra docs hit; the shorter doc wins the length
+    // normalization (same tf, smaller dl → larger score)
+    val zebra = run(Seq((0L, "zebra")))
+    assert(zebra.map(_._3).toSeq == Seq(2L, 0L))
+    // common term: tf drives the order, saturated by dl
+    val apple = run(Seq((1L, "apple")))
+    assert(apple.map(_._3).toSeq == Seq(1L, 0L, 3L))
+    // docs sharing no query term never appear
+    assert(!zebra.exists(_._3 == 1L) && !zebra.exists(_._3 == 3L))
+    // stop-term cap: apple (df=3) drops at cap 2, zebra (df=2) stays —
+    // the two-term query then scores docs by zebra alone
+    val capped = run(Seq((2L, "apple"), (2L, "zebra")), cap = 2L)
+    assert(capped.map(_._3).toSet == Set(0L, 2L))
+    val uncapped = run(Seq((2L, "apple"), (2L, "zebra")))
+    assert(uncapped.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("confirmation applies the 2-of-3 rule") {
     val d = LlmPack.confirmation(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getString(4)).toMap

@@ -30,6 +30,11 @@ object Artifacts {
   def memo(spark: org.apache.spark.sql.SparkSession, key: String)
           (build: => DataFrame): DataFrame = {
     val df = memoMap.getOrElseUpdate((System.identityHashCode(spark), key), build)
+    // a builder may have routed the frame through Caches.transient
+    // (e.g. the IVF centroid chain caches itself for within-query
+    // reuse) — promotion to artifact status must exempt it from the
+    // per-query transient sweep or every sweep would force a rebuild
+    Caches.untrack(df)
     if (df.storageLevel == StorageLevel.NONE) df.persist()
     df
   }

@@ -40,6 +40,14 @@ object Caches {
     ds.cache()
   }
 
+  /** Remove `ds` from transient tracking WITHOUT unpersisting — used
+    * by [[Artifacts.memo]] when a frame built through a
+    * transient-routing code path is promoted to session-artifact
+    * status: the sweep must no longer drop it. Reference equality
+    * (Dataset has no custom equals), so only the exact registered
+    * frame is untracked. */
+  def untrack(ds: Dataset[_]): Unit = transients.remove(ds)
+
   /** Unpersist every tracked transient frame (non-blocking) and clear
     * the tracking list. Safe to call at any query boundary; artifacts
     * registered via [[Artifacts.memo]] are untouched. */

@@ -387,10 +387,19 @@ object KnnJoin {
     */
   def approxIvf(spark: SparkSession, queries: DataFrame, index: DataFrame,
                 k: Int, nCentroids: Int = 16, nProbe: Int = 4,
-                seed: String = "42", lloydIters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(spark, index, nCentroids, seed, lloydIters)
+                seed: String = "42", lloydIters: Int = 2,
+                centroidsOpt: Option[DataFrame] = None,
+                assignmentsOpt: Option[DataFrame] = None): DataFrame = {
+    // `centroidsOpt`/`assignmentsOpt` let callers pass a PREBUILT
+    // coarse index (e.g. the session artifact the pack registers) —
+    // the FAISS discipline of training the quantizer once and serving
+    // every search from it; both stages are deterministic, so a
+    // prebuilt frame is bitwise-identical to building inline
+    val centroids = centroidsOpt.getOrElse(
+      ivfCentroids(spark, index, nCentroids, seed, lloydIters))
     // inverted lists: every index vector → nearest centroid
-    val assignments = nearestCentroids(spark, index, centroids, 1)
+    val assignments = assignmentsOpt.getOrElse(
+      nearestCentroids(spark, index, centroids, 1))
     val lists = index.join(assignments, Seq("vec_id"))
       .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
         col("embedding").as("n_emb"))
@@ -437,7 +446,11 @@ object KnnJoin {
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
           x => x.getField("m")).as("embedding"))
     }
-    centroids
+    // several consumers follow (assignment collect, probe collect,
+    // centroid-similarity joins), each an action that would re-run the
+    // final Lloyd groupBy chain — cache the tiny (nCentroids-row)
+    // result for the duration of the query
+    graft.core.Caches.transient(centroids)
   }
 
   /** (vec_id, centroid_id) rows: each row's `n` nearest centroids by
@@ -484,10 +497,17 @@ object KnnJoin {
   def approxPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
                k: Int, m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
                nCandidates: Int = 30, seed: String = "42",
-               queryChunk: Int = 8192): DataFrame = {
+               queryChunk: Int = 8192,
+               centsOpt: Option[DataFrame] = None,
+               codesOpt: Option[DataFrame] = None): DataFrame = {
     require(queryChunk > 0, "queryChunk must be positive")
-    val (codes, qdots) = pqCodesAndLuts(queries, index, m, subDim,
-      centroidsPerSub, seed)
+    // prebuilt codebook/codes (the session artifact tier — FAISS
+    // trains its quantizer once) are bitwise-identical to inline
+    // construction: every stage is deterministic
+    val cents = centsOpt.getOrElse(
+      pqCodebook(index, m, subDim, centroidsPerSub, seed))
+    val codes = codesOpt.getOrElse(pqCodes(index, cents, m, subDim))
+    val qdots = pqLuts(queries, cents, m, subDim)
     val qv = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qv"))
     // asymmetric scoring in the PRODUCTION shape the PQ paper implies:
@@ -591,16 +611,34 @@ object KnnJoin {
         col("vec_id").as("neighbor_id"), col("sim"))
   }
 
+  /** Per-subspace slicing: (id, s, subvector) rows — the PQ family's
+    * shared projection. */
+  private def pqSubspaces(df: DataFrame, idAs: String, xAs: String,
+                          m: Int, subDim: Int): DataFrame =
+    df.select(col(df.columns.head).as(idAs), posexplode(array((0 until m).map(s =>
+        slice(col(df.columns(1)), s * subDim + 1, subDim)): _*))
+      .as(Seq("s", xAs)))
+
+  /** Nearest-subspace-centroid assignment (L2, ties (dist asc, cid
+    * asc)) of each (vec_id, s) subvector. */
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+      VectorOps.dot(x, x) - lit(2.0) * VectorOps.dot(x, c) + VectorOps.dot(c, c)
+    val wAsg = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("cid"))
+    sub.join(broadcast(cents), Seq("s"))
+      .withColumn("dist", l2(col("x"), col("cv")))
+      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("cid"))
+  }
+
   /** PQ codebook construction shared by [[approxPq]] and
     * [[approxIvfPq]]: per-subspace md5-ordered seed sample, ONE Lloyd
-    * refinement through exact-decimal means, (dist asc, cid asc)
-    * assignment tie-breaks. Returns (codes: one (vec_id, s, cid) row
-    * per index vector and subspace; qdots: the (qid, s, cid, qd)
-    * query-side lookup relation). Both are deterministic and
-    * SQL-replayable. */
-  private[vector] def pqCodesAndLuts(queries: DataFrame, index: DataFrame,
-                                     m: Int, subDim: Int, centroidsPerSub: Int,
-                                     seed: String): (DataFrame, DataFrame) = {
+    * refinement through exact-decimal means — the (s, cid, cv)
+    * relation. Deterministic and SQL-replayable, so a session can
+    * build it once (the artifact tier) and serve every PQ search. */
+  private[vector] def pqCodebook(index: DataFrame, m: Int, subDim: Int,
+                                 centroidsPerSub: Int, seed: String): DataFrame = {
     val v = index.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     // silent dimension mismatch would slice() into truncated or empty
@@ -609,42 +647,46 @@ object KnnJoin {
       r => require(r.getInt(0) == m * subDim,
         s"embedding dim ${r.getInt(0)} != m*subDim = ${m * subDim}")
     }
-    def subspaces(df: DataFrame, idAs: String, xAs: String): DataFrame =
-      df.select(col(df.columns.head).as(idAs), posexplode(array((0 until m).map(s =>
-          slice(col(df.columns(1)), s * subDim + 1, subDim)): _*))
-        .as(Seq("s", xAs)))
-    val sub = subspaces(v, "vec_id", "x")
-    def l2(x: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
-      VectorOps.dot(x, x) - lit(2.0) * VectorOps.dot(x, c) + VectorOps.dot(c, c)
+    val sub = pqSubspaces(v, "vec_id", "x", m, subDim)
     val wSeed = Window.partitionBy(col("s")).orderBy(
       md5(concat_ws("_", lit(seed), col("s"), col("vec_id"))), col("vec_id"))
     val seeds = sub.withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= centroidsPerSub)
       .select(col("s"), col("vec_id").as("cid"), col("x").as("cv"))
-    val wAsg = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("cid"))
-    def assign(cents: DataFrame): DataFrame = sub
-      .join(broadcast(cents), Seq("s"))
-      .withColumn("dist", l2(col("x"), col("cv")))
-      .withColumn("rn", row_number().over(wAsg)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("s"), col("cid"))
-    // one Lloyd refinement: seed assignment → exact-decimal means
-    val cents = sub.join(assign(seeds), Seq("vec_id", "s"))
-      .select(col("s"), col("cid"), posexplode(col("x")).as(Seq("d", "xd")))
-      .groupBy(col("s"), col("cid"), col("d"))
-      .agg((sum(col("xd").cast("decimal(28,18)")).cast("double") /
-        count(lit(1)).cast("double")).as("mn"))
-      .groupBy(col("s"), col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("mn")))),
-        x => x.getField("mn")).as("cv"))
-    val codes = assign(cents)
+    // one Lloyd refinement: seed assignment → exact-decimal means.
+    // The codebook is consumed by the code assignment AND the query
+    // LUT, each reached by several downstream actions (LUT collect,
+    // code scan, rerank) — cache the m×centroidsPerSub-row result so
+    // the refinement chain runs once per query, not per action.
+    graft.core.Caches.transient(
+      sub.join(pqAssign(sub, seeds), Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("x")).as(Seq("d", "xd")))
+        .groupBy(col("s"), col("cid"), col("d"))
+        .agg((sum(col("xd").cast("decimal(28,18)")).cast("double") /
+          count(lit(1)).cast("double")).as("mn"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("mn")))),
+          x => x.getField("mn")).as("cv")))
+  }
+
+  /** The compressed index: one (vec_id, s, cid) code row per index
+    * vector and subspace — m small integers replacing the raw floats. */
+  private[vector] def pqCodes(index: DataFrame, cents: DataFrame,
+                              m: Int, subDim: Int): DataFrame = {
+    val v = index.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    pqAssign(pqSubspaces(v, "vec_id", "x", m, subDim), cents)
+  }
+
+  /** Query-side lookup relation: (qid, s, cid, qd) with qd the
+    * query-subvector · centroid dot — the asymmetric-distance terms. */
+  private[vector] def pqLuts(queries: DataFrame, cents: DataFrame,
+                             m: Int, subDim: Int): DataFrame = {
     val qv = queries.select(col("vec_id").as("qid"),
       col("embedding").cast("array<double>").as("qv"))
-    val qsub = subspaces(qv, "qid", "qx")
-    val qdots = qsub.join(broadcast(cents), Seq("s"))
+    pqSubspaces(qv, "qid", "qx", m, subDim).join(broadcast(cents), Seq("s"))
       .select(col("qid"), col("s"), col("cid"),
         VectorOps.dot(col("qx"), col("cv")).as("qd"))
-    (codes, qdots)
   }
 
   /** IVF-PQ composition — the FAISS production shape (`IndexIVFPQ`):
@@ -657,7 +699,7 @@ object KnnJoin {
     * pruning hard inside an already-pruned probe pool compounds the
     * two approximations' misses). Both halves are the engine's
     * existing deterministic parts ([[ivfCentroids]]/[[nearestCentroids]]
-    * + [[pqCodesAndLuts]]), so the whole pipeline replays in SQL and
+    * + [[pqCodebook]]/[[pqCodes]]/[[pqLuts]]), so the whole pipeline replays in SQL and
     * v13 runs under the full oracle like v10/v12. Codes quantize RAW
     * vectors (FAISS `by_residual=false`), which keeps the query LUT
     * list-independent: one (qid, s, cid) relation serves every probed
@@ -672,13 +714,21 @@ object KnnJoin {
                   k: Int, nCentroids: Int = 16, nProbe: Int = 4,
                   m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
                   nCandidates: Int = 100, seed: String = "42",
-                  lloydIters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(spark, index, nCentroids, seed, lloydIters)
-    val assignments = nearestCentroids(spark, index, centroids, 1)
+                  lloydIters: Int = 2,
+                  centroidsOpt: Option[DataFrame] = None,
+                  assignmentsOpt: Option[DataFrame] = None,
+                  centsOpt: Option[DataFrame] = None,
+                  codesOpt: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      ivfCentroids(spark, index, nCentroids, seed, lloydIters))
+    val assignments = assignmentsOpt.getOrElse(
+      nearestCentroids(spark, index, centroids, 1))
     val probes = nearestCentroids(spark, queries, centroids, nProbe)
       .withColumnRenamed("vec_id", "query_id")
-    val (codes, qdots) = pqCodesAndLuts(queries, index, m, subDim,
-      centroidsPerSub, seed)
+    val cents = centsOpt.getOrElse(
+      pqCodebook(index, m, subDim, centroidsPerSub, seed))
+    val codes = codesOpt.getOrElse(pqCodes(index, cents, m, subDim))
+    val qdots = pqLuts(queries, cents, m, subDim)
     // probed-list membership: (query, candidate) pairs the coarse
     // quantizer admits — the PQ scan below never sees other lists
     val pl = probes.join(

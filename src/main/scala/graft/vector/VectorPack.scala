@@ -20,6 +20,33 @@ object VectorPack extends QueryPack {
 
   private val K = 3
 
+  private def embCast(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  /** Session-scoped index-build artifacts — the FAISS discipline of
+    * training a quantizer ONCE and serving every search from it.
+    * Every build is deterministic (md5-ordered samples, exact-decimal
+    * Lloyd means), so consuming the artifact is bitwise-identical to
+    * building inline, and v10/v12/v13 stop re-training the same
+    * k-means three times per session. */
+  private[vector] def ivfCentroidsArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"ivf_centroids:$dir")(
+      KnnJoin.ivfCentroids(spark, embCast(spark, dir), 16, "42", 2))
+
+  private[vector] def ivfAssignmentsArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"ivf_assign:$dir")(
+      KnnJoin.nearestCentroids(spark, embCast(spark, dir),
+        ivfCentroidsArtifact(spark, dir), 1))
+
+  private[vector] def pqCodebookArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"pq_codebook:$dir")(
+      KnnJoin.pqCodebook(embCast(spark, dir), 4, 16, 16, "42"))
+
+  private[vector] def pqCodesArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"pq_codes:$dir")(
+      KnnJoin.pqCodes(embCast(spark, dir), pqCodebookArtifact(spark, dir), 4, 16))
+
   /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN,
     * served from the session-memoized self-join artifact. */
   def knnTop3(spark: SparkSession, dir: String): DataFrame =
@@ -152,7 +179,9 @@ object VectorPack extends QueryPack {
     * the exact variants (recall itself is asserted in IvfSpec). */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.approxIvf(spark, e, e, K)
+    KnnJoin.approxIvf(spark, e, e, K,
+        centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
+        assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -165,7 +194,9 @@ object VectorPack extends QueryPack {
     * oracle-checked; recall is asserted in PqSpec. */
   def pq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.approxPq(spark, e, e, K)
+    KnnJoin.approxPq(spark, e, e, K,
+        centsOpt = Some(pqCodebookArtifact(spark, dir)),
+        codesOpt = Some(pqCodesArtifact(spark, dir)))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -177,7 +208,11 @@ object VectorPack extends QueryPack {
     * v10/v12; recall vs exact is asserted in the IvfPq spec. */
   def ivfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    KnnJoin.approxIvfPq(spark, e, e, K)
+    KnnJoin.approxIvfPq(spark, e, e, K,
+        centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
+        assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)),
+        centsOpt = Some(pqCodebookArtifact(spark, dir)),
+        codesOpt = Some(pqCodesArtifact(spark, dir)))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -199,7 +234,11 @@ object VectorPack extends QueryPack {
     "v13_knn_ivfpq" -> ivfPq)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
-    Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)))
+    Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
+      "ivf_centroids" -> ivfCentroidsArtifact,
+      "ivf_assign" -> ivfAssignmentsArtifact,
+      "pq_codebook" -> pqCodebookArtifact,
+      "pq_codes" -> pqCodesArtifact)
 
   private val knnCte = s"""
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),

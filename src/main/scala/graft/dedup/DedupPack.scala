@@ -27,7 +27,7 @@ object DedupPack extends QueryPack {
     d.unionByName(near).unionByName(exact)
   }
 
-  private val augmentedSql = """
+  private[graft] val augmentedSql = """
     |aug AS (
     |  SELECT doc_id, text FROM documents
     |  UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\S+\s*', '')
@@ -196,6 +196,43 @@ object DedupPack extends QueryPack {
     graft.vector.SemDedup.semDedup(spark, augmentedVectors(spark, dir), 0.98)
       .orderBy(col("vec_id"))
 
+  /** d13: Bloom-filter decontamination — d09's check through a
+    * fixed-size filter instead of the exact test-shingle join. The
+    * bits relation is bounded by 2²⁰ positions NO MATTER how large
+    * the held-out corpus grows (the exact join's build side grows
+    * with it), at the price of the standard false-positive rate —
+    * which the oracle reproduces bit-for-bit because positions are
+    * md5-derived. Flagged ⊇ the exact d09 set (no false negatives;
+    * spec-asserted), so the filter is a safe PRE-SCREEN: at corpus
+    * scale run d13 map-side first, then the exact join only over the
+    * tiny flagged remainder. */
+  def bloomDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val mBits = 1 << 20
+    val k = 3
+    val split = graft.sample.Sampling.hashSplit(
+      Tables(spark, dir).documents, col("doc_id"), 0.8)
+    val hashed = split
+      .select(col("doc_id"), col("split"),
+        explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), col("split"), Dedup.hash60(col("s")).as("sh"))
+      .distinct()
+    val train = graft.core.Caches.transient(
+      hashed.filter(col("split") === "train").drop("split"))
+    val testSh = hashed.filter(col("split") === "test")
+      .select(col("sh").as("key")).distinct()
+    val bits = Dedup.bloomBits(testSh, k, mBits)
+    val members = Dedup.bloomMembers(
+      train.select(col("doc_id").as("id"), col("sh").as("key")), bits, k, mBits)
+    val sizes = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    members.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .join(sizes, Seq("doc_id"))
+      .select(col("doc_id"), col("n_flagged"), col("n_shingles"),
+        round(col("n_flagged").cast("double") /
+          col("n_shingles").cast("double"), 6).as("flag_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** d10: the Manku production shape — 60-bit simhash, Hamming ≤ 3,
     * 4 pigeonhole bands of 15 bits. The width is what survives scale:
     * per-band background collisions fall from 2^-5 (d05's 16-bit/3-
@@ -209,6 +246,7 @@ object DedupPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_shared_spans" -> sharedSpanFrac,
     "d12_semdedup" -> semdedup,
+    "d13_bloom_decontam" -> bloomDecontamination,
     "d10_simhash_wide" -> simhashWidePairs,
     "d08_dedup_groups" -> dedupGroupsQuery,
     "d09_decontamination" -> decontamination,
@@ -263,7 +301,38 @@ object DedupPack extends QueryPack {
     |         i -> array_to_string(words[i:i+2], ' '))
     |    ELSE [] END) AS s FROM w))""".stripMargin
 
+  /** SQL bit position i of the d13 Bloom filter for key expression
+    * `e` — mirrors `Dedup.bloomBitPositions` (md5-prefix hash of the
+    * salted key string, mod 2²⁰). */
+  private def bpos(i: Int, e: String): String =
+    s"(${hv60(s"'bloom${i}_' || CAST($e AS VARCHAR)")} % 1048576)"
+
   val oracles: Map[String, String] = Map(
+    "d13_bloom_decontam" -> s"""
+      |WITH $docShingleSql,
+      |hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh),
+      |sp AS (SELECT doc_id,
+      |  CASE WHEN substr(md5('42' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+      |    THEN 'train' ELSE 'test' END AS split FROM documents),
+      |tr AS (SELECT h.id, h.sh FROM hsh h JOIN sp ON sp.doc_id = h.id
+      |  WHERE sp.split = 'train'),
+      |te AS (SELECT DISTINCT h.sh FROM hsh h JOIN sp ON sp.doc_id = h.id
+      |  WHERE sp.split = 'test'),
+      |bits AS (SELECT DISTINCT pos FROM (SELECT
+      |  unnest([${bpos(0, "sh")}, ${bpos(1, "sh")}, ${bpos(2, "sh")}]) AS pos
+      |  FROM te)),
+      |prb AS (SELECT id, sh,
+      |  unnest([${bpos(0, "sh")}, ${bpos(1, "sh")}, ${bpos(2, "sh")}]) AS pos,
+      |  generate_subscripts([${bpos(0, "sh")}, ${bpos(1, "sh")}, ${bpos(2, "sh")}], 1) AS i
+      |  FROM tr),
+      |mem AS (SELECT id, sh FROM (SELECT p.id, p.sh, count(DISTINCT p.i) AS nh
+      |  FROM prb p JOIN bits USING (pos) GROUP BY p.id, p.sh) WHERE nh = 3),
+      |sizes AS (SELECT id, count(*) AS n FROM tr GROUP BY id),
+      |flg AS (SELECT id, count(*) AS nf FROM mem GROUP BY id)
+      |SELECT flg.id AS doc_id, CAST(nf AS BIGINT) AS n_flagged,
+      |  CAST(n AS BIGINT) AS n_shingles,
+      |  round(CAST(nf AS DOUBLE) / CAST(n AS DOUBLE), 6) AS flag_frac
+      |FROM flg JOIN sizes ON sizes.id = flg.id ORDER BY doc_id""".stripMargin,
     "d09_decontamination" -> s"""
       |WITH $docShingleSql,
       |hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh),

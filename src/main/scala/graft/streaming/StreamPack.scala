@@ -39,7 +39,30 @@ object StreamPack extends QueryPack {
       .orderBy(col("view_id"), col("purchase_id"))
   }
 
+  /** s07: the ingest gate's deterministic batch twin over the
+    * augmented corpus (planted dups give the dedup real work): quality
+    * cut at 0.45 (the word-count tail fails the length score), then
+    * min-doc_id per content digest — what first-arrival-wins converges
+    * to under id-ordered ingest. The streaming form
+    * ([[Streams.ingestGate]]) is the same scalar expressions +
+    * `dropDuplicates`; the spec pins stream ≡ batch with the dedup
+    * state carried ACROSS micro-batches. */
+  def ingestGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.core.Caches.transient(
+      graft.dedup.DedupPack.augmented(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"),
+          round(graft.text.TextAnalysis.qualityScore(col("text")), 6)
+            .as("quality"))
+        .filter(col("quality") >= 0.45))
+    val keeper = scored.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keeper, Seq("content_hash", "doc_id"))
+      .select(col("doc_id"), col("content_hash"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_ingest_gate" -> ingestGate,
     "s01_tumbling_counts" -> tumbling,
     "s02_sliding_counts" -> sliding,
     "s03_session_windows" -> sessionWindows,
@@ -47,7 +70,28 @@ object StreamPack extends QueryPack {
     "s05_dedup_keys" -> dedupKeys,
     "s06_attribution_join" -> attribution)
 
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private val stopAll = graft.text.TextAnalysis.defaultProfiles.flatMap(_._2)
+
   val oracles: Map[String, String] = Map(
+    "s07_ingest_gate" -> s"""
+      |WITH ${graft.dedup.DedupPack.augmentedSql},
+      |w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |q AS (SELECT doc_id, md5(text) AS content_hash,
+      |  round(0.4 * (CASE WHEN len(words) > 0
+      |      THEN CAST(len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS DOUBLE)
+      |        / CAST(len(words) AS DOUBLE) ELSE 0.0 END)
+      |    + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+      |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+      |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+      |    + 0.3 * least(1.0, CAST(len(words) AS DOUBLE) / 100.0), 6) AS quality
+      |  FROM w),
+      |f AS (SELECT * FROM q WHERE quality >= 0.45),
+      |k AS (SELECT content_hash, min(doc_id) AS doc_id FROM f GROUP BY 1)
+      |SELECT f.doc_id, f.content_hash, f.quality
+      |FROM f JOIN k ON k.content_hash = f.content_hash AND k.doc_id = f.doc_id
+      |ORDER BY f.doc_id""".stripMargin,
     "s01_tumbling_counts" -> """
       |SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type, count(*) AS n,

@@ -104,6 +104,23 @@ object Streams {
     * the horizon (bounded state; the batch twin is plain DISTINCT and
     * the watermark is a no-op there). Formatting to string happens
     * only AFTER the dedup, where the metadata no longer matters. */
+  /** The streaming INGEST GATE — the corpus-prep front door running
+    * continuously: per-row quality score (pure scalar expressions, so
+    * the filter sits in the scan stage and is stream-safe by
+    * construction), threshold cut, then exactly-once content dedup
+    * (`dropDuplicates` on the md5 digest — streaming state is one
+    * digest per distinct SURVIVING document; compose with a watermark
+    * on an arrival-time column to bound it by horizon at corpus
+    * scale). First arrival wins; under id-ordered ingest that is the
+    * min doc_id, which is the deterministic batch twin the s07 oracle
+    * checks and the spec pins stream ≡ batch across micro-batches
+    * (dedup state must survive batch boundaries). */
+  def ingestGate(docs: DataFrame, minQuality: Double): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("content_hash"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      .filter(col("quality") >= minQuality)
+      .dropDuplicates("content_hash")
+
   def dedupKeys(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")

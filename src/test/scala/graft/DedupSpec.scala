@@ -178,6 +178,25 @@ class DedupSpec extends AnyFunSuite {
     assert(background.count(_ == 0.0) > background.size * 9 / 10)
   }
 
+  test("bloom decontamination flags a superset of the exact join, never misses") {
+    val exact = DedupPack.decontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = DedupPack.bloomDecontamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every truly-contaminated doc is flagged,
+    // with at least its exact shared-shingle count (FPs only add)
+    exact.foreach { case (doc, nShared) =>
+      assert(bloom.contains(doc), s"doc $doc missed by the bloom filter")
+      assert(bloom(doc) >= nShared, s"doc $doc flagged fewer than exact")
+    }
+    // false positives are the bounded price: at k=3, m=2^20 and this
+    // corpus' ~60k set bits the expected FP count is single-digit
+    val fpDocs = bloom.keySet -- exact.keySet
+    val fpShingles = bloom.map { case (d, n) => n - exact.getOrElse(d, 0L) }.sum
+    assert(fpDocs.size <= 20, s"${fpDocs.size} FP docs — filter far off spec")
+    assert(fpShingles <= 100, s"$fpShingles FP shingles — filter far off spec")
+  }
+
   test("semdedup removes one member per planted pair, keeper farther from centroid") {
     val rows = DedupPack.semdedup(spark, sf).collect()
     val kept = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap

@@ -132,6 +132,34 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"streamed ${streamed.size} of ${batch.size} keys")
   }
 
+  test("streaming ingest gate: dedup state survives micro-batch boundaries") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gatestream").toString
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    // originals arrive first (one file = one micro-batch), planted
+    // copies in a LATER batch — the exact copies must be dropped by
+    // digest state carried across the batch boundary
+    aug.filter(col("doc_id") < 100000).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    aug.filter(col("doc_id") >= 100000).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val stream = Streams.watchedFolder(spark, dir, schema, 1)
+    val q = Streams.ingestGate(stream, 0.45)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("gate_out")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.streaming.StreamPack.ingestGate(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} rows vs batch ${batch.size}")
+    // the copies really did arrive in a separate micro-batch
+    assert(spark.table("gate_out").count() > 0)
+  }
+
   test("streaming dropDuplicates removes replayed events exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
     val events = graft.core.Tables(spark, sf).events.limit(500)

@@ -14,7 +14,10 @@ object ExplainAudit {
       else Seq("r01_pricing_summary", "r02_revenue_topk", "r04_filter_range",
         "t01_chunk_stats", "d02_jaccard_pairs", "s01_tumbling_counts",
         "x01_asof_join", "x02_range_band_join", "v11_knn_rule_rewrite",
-        "d06_embedding_near_dups", "i03_web_scrape", "v10_knn_ivf")
+        "d06_embedding_near_dups", "i03_web_scrape", "v10_knn_ivf",
+        "l07_bm25_retrieval", "l08_hybrid_rrf", "a10_dsir_resample",
+        "d12_semdedup", "d13_bloom_decontam", "d14_group_split",
+        "d15_substring_dedup", "s07_ingest_gate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -146,6 +146,18 @@ object DedupPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** d15: exact substring dedup — the removal transform d11 only
+    * audits. Planted exact copies clean to EMPTY (every 10-gram span
+    * is kept by the lower-id original), near-copies likewise (their
+    * spans are the original's shifted by one), and the word-soup
+    * background passes through untouched — all spec-asserted; the
+    * oracle replays occurrence offsets, keeper election, coverage,
+    * and reassembly. */
+  def substringDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(augmented(spark, dir), col("doc_id"), col("text"), 10)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id"))
+
   /** Pairs → groups: transitive closure of the d02 Jaccard pairs.
     * The planted structure makes the components non-trivial — for
     * doc_id < 50 the exact copy AND the near copy chain into one
@@ -153,6 +165,27 @@ object DedupPack extends QueryPack {
   def dedupGroupsQuery(spark: SparkSession, dir: String): DataFrame =
     Dedup.dedupGroups(jaccardPairsArtifact(spark, dir))
       .orderBy(col("doc_id"))
+
+  /** d14: dedup-aware (leakage-safe) split — the SPLIT UNIT is the
+    * near-dup GROUP, not the document. A naive per-doc hash split
+    * puts ~20% of each dup group's members on the test side, which is
+    * exactly the train→test leakage Lee et al. 2022 measure (§6:
+    * near-dup test examples inflate eval scores). Here every doc
+    * splits by its group KEEPER's hash (singletons keep themselves),
+    * so groups move atomically; the spec proves zero straddling
+    * groups here vs real straddling under the naive split. Composes
+    * the d02 pair artifact + d08 pointer-jumped components + the M2
+    * hash split — at corpus scale each piece keeps its documented
+    * shape and the split itself stays partition-independent. */
+  def groupSplit(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir).select(col("doc_id"))
+    val groups = Dedup.dedupGroups(jaccardPairsArtifact(spark, dir))
+    val withKeeper = aug.join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
+    graft.sample.Sampling.hashSplit(withKeeper, col("keeper_id"), 0.8)
+      .orderBy(col("doc_id"))
+  }
 
   /** Benchmark decontamination (the GPT-3/PaLM eval-leakage check):
     * which train-split documents share word 3-gram shingles with the
@@ -247,6 +280,8 @@ object DedupPack extends QueryPack {
     "d11_shared_spans" -> sharedSpanFrac,
     "d12_semdedup" -> semdedup,
     "d13_bloom_decontam" -> bloomDecontamination,
+    "d14_group_split" -> groupSplit,
+    "d15_substring_dedup" -> substringDedupQuery,
     "d10_simhash_wide" -> simhashWidePairs,
     "d08_dedup_groups" -> dedupGroupsQuery,
     "d09_decontamination" -> decontamination,
@@ -301,6 +336,23 @@ object DedupPack extends QueryPack {
     |         i -> array_to_string(words[i:i+2], ' '))
     |    ELSE [] END) AS s FROM w))""".stripMargin
 
+  /** The d08 recursive component chain (Jaccard pairs → bidirectional
+    * edges → transitive reachability → min-label keepers) — shared by
+    * the d08 and d14 oracles. Assumes aug/sh/hsh CTEs in scope. */
+  private val dedupGroupsCtes = """
+    |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+    |prs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+    |  FROM hsh a JOIN hsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+    |jp AS (SELECT p.a_id, p.b_id
+    |  FROM prs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
+    |  WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5),
+    |bi AS (SELECT a_id AS s, b_id AS d FROM jp
+    |  UNION SELECT b_id, a_id FROM jp),
+    |reach AS (SELECT s, d FROM bi
+    |  UNION SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s WHERE b.d <> r.s),
+    |lab AS (SELECT s AS doc_id, least(s, min(d)) AS keeper_id
+    |  FROM reach GROUP BY s)""".stripMargin
+
   /** SQL bit position i of the d13 Bloom filter for key expression
     * `e` — mirrors `Dedup.bloomBitPositions` (md5-prefix hash of the
     * salted key string, mod 2²⁰). */
@@ -308,6 +360,32 @@ object DedupPack extends QueryPack {
     s"(${hv60(s"'bloom${i}_' || CAST($e AS VARCHAR)")} % 1048576)"
 
   val oracles: Map[String, String] = Map(
+    "d15_substring_dedup" -> s"""
+      |WITH $augmentedSql,
+      |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |wp AS (SELECT doc_id AS id, unnest(words) AS word,
+      |    generate_subscripts(words, 1) - 1 AS p FROM w),
+      |occ AS (SELECT doc_id AS id, i - 1 AS i,
+      |    ${hv60("array_to_string(words[i:i+9], ' ')")} AS sh
+      |  FROM (SELECT doc_id, words, unnest(CASE WHEN len(words) >= 10
+      |    THEN range(1, len(words) - 8) ELSE [] END) AS i FROM w)),
+      |stats AS (SELECT sh, count(*) AS df_, min(id) AS keeper
+      |  FROM (SELECT DISTINCT id, sh FROM occ) GROUP BY sh HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT o.id, p FROM occ o JOIN stats USING (sh),
+      |    unnest(range(o.i, o.i + 10)) t(p)
+      |  WHERE o.id <> stats.keeper),
+      |kept AS (SELECT wp.id, wp.word, wp.p FROM wp
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov
+      |    WHERE cov.id = wp.id AND cov.p = wp.p)),
+      |reas AS (SELECT id, count(*) AS n_kept,
+      |    string_agg(word, ' ' ORDER BY p) AS cleaned
+      |  FROM kept GROUP BY id)
+      |SELECT w.doc_id, CAST(len(w.words) AS BIGINT) AS n_words,
+      |  CAST(coalesce(reas.n_kept, 0) AS BIGINT) AS n_kept,
+      |  md5(coalesce(reas.cleaned, '')) AS cleaned_md5
+      |FROM w LEFT JOIN reas ON reas.id = w.doc_id
+      |ORDER BY w.doc_id""".stripMargin,
     "d13_bloom_decontam" -> s"""
       |WITH $docShingleSql,
       |hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh),
@@ -352,19 +430,17 @@ object DedupPack extends QueryPack {
       |FROM c JOIN sizes ON sizes.id = c.id ORDER BY doc_id""".stripMargin,
     "d08_dedup_groups" -> s"""
       |WITH RECURSIVE $augmentedSql, $shingleSql, $hashedShingleSql,
-      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
-      |prs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
-      |  FROM hsh a JOIN hsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
-      |jp AS (SELECT p.a_id, p.b_id
-      |  FROM prs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
-      |  WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5),
-      |bi AS (SELECT a_id AS s, b_id AS d FROM jp
-      |  UNION SELECT b_id, a_id FROM jp),
-      |reach AS (SELECT s, d FROM bi
-      |  UNION SELECT r.s, b.d FROM reach r JOIN bi b ON r.d = b.s WHERE b.d <> r.s),
-      |lab AS (SELECT s AS doc_id, least(s, min(d)) AS keeper_id
-      |  FROM reach GROUP BY s)
+      |$dedupGroupsCtes
       |SELECT doc_id, keeper_id FROM lab ORDER BY doc_id""".stripMargin,
+    "d14_group_split" -> s"""
+      |WITH RECURSIVE $augmentedSql, $shingleSql, $hashedShingleSql,
+      |$dedupGroupsCtes,
+      |k AS (SELECT a.doc_id, coalesce(lab.keeper_id, a.doc_id) AS keeper_id
+      |  FROM aug a LEFT JOIN lab ON lab.doc_id = a.doc_id)
+      |SELECT doc_id, keeper_id,
+      |  CASE WHEN substr(md5('42' || CAST(keeper_id AS VARCHAR)), 1, 4) < 'cccd'
+      |    THEN 'train' ELSE 'test' END AS split
+      |FROM k ORDER BY doc_id""".stripMargin,
     "d07_jaccard_stopshingle" -> s"""
       |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
       |rare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM hsh GROUP BY sh)

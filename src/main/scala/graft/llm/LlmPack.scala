@@ -118,6 +118,40 @@ object LlmPack extends QueryPack {
     Bm25.topK(docs, qt, 5).orderBy(col("query_id"), col("rank"))
   }
 
+  /** l08: hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke
+    * & Buettcher 2009: RRF(d) = Σ_lists 1/(k₀ + rank), k₀ = 60) of
+    * the DENSE ranking (the session self-kNN artifact) and the SPARSE
+    * BM25 ranking over the same doc_id < 20 query set. This is the
+    * production retrieval stack: embeddings catch paraphrase, BM25
+    * catches exact identifiers, RRF needs no score calibration
+    * between the two. Absence from a list contributes 0; ties (e.g.
+    * dense-only rank r vs sparse-only rank r) break by doc_id. Both
+    * input rankings are deterministic, so the fusion replays in SQL. */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val dense = KnnJoin.exactSelfTop3(spark, dir)
+      .filter(col("query_id") < 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("drank"))
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val qt = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextOps.words(col("text")), 1, 5)).as("term"))
+      .distinct()
+    val sparse = Bm25.topK(docs, qt, 5)
+      .select(col("query_id"), col("doc_id"), col("rank").as("srank"))
+    val rrf = coalesce(lit(1.0) / (lit(60L) + col("drank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60L) + col("srank")), lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", rrf)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), round(col("rrf"), 6).as("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** §3.4 validation-confirmation: deterministic 2-of-3 rule over
     * (first name, last name, address tokens) + edit distance. */
   val confirmVectors: Seq[(String, String, String, String)] = Seq(
@@ -153,7 +187,8 @@ object LlmPack extends QueryPack {
     "l02_extract_accuracy" -> extractAccuracy,
     "l03_rag_context" -> ragContext,
     "l04_confirmation" -> confirmation,
-    "l07_bm25_retrieval" -> bm25Retrieval)
+    "l07_bm25_retrieval" -> bm25Retrieval,
+    "l08_hybrid_rrf" -> hybridRrf)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("llm_extract" -> extractLong)
@@ -208,6 +243,32 @@ object LlmPack extends QueryPack {
     |    '[Document ' || CAST(r.rnk AS VARCHAR) || ']: ' || sn.snippet AS block
     |  FROM r JOIN sn ON sn.doc_id = r.nid)""".stripMargin
 
+  /** The BM25 scoring chain (corpus stats → postings → per-term
+    * decimal-summed scores → ranked `rb`) — shared by the l07 and l08
+    * oracles. */
+  private val bm25Cte = """
+    |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+    |st AS (SELECT count(*) AS n, sum(len(words)) AS sdl FROM w),
+    |post AS (SELECT doc_id, term, count(*) AS tf
+    |  FROM (SELECT doc_id, unnest(words) AS term FROM w) GROUP BY 1, 2),
+    |dfr AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+    |dl AS (SELECT doc_id, len(words) AS dl FROM w),
+    |qt AS (SELECT DISTINCT doc_id AS query_id, term
+    |  FROM (SELECT doc_id, unnest(words[1:5]) AS term FROM w WHERE doc_id < 20)),
+    |terms AS (SELECT qt.query_id, post.doc_id,
+    |    CAST(round(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
+    |      * ((post.tf * (1.2 + 1)) / (post.tf + 1.2 * ((1.0 - 0.75)
+    |        + 0.75 * (CAST(dl.dl AS DOUBLE)
+    |          / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 9)
+    |      AS DECIMAL(28,9)) AS ts
+    |  FROM qt JOIN post ON post.term = qt.term JOIN dfr ON dfr.term = qt.term
+    |  JOIN dl ON dl.doc_id = post.doc_id, st),
+    |sc AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
+    |  FROM terms GROUP BY 1, 2),
+    |rb AS (SELECT query_id, doc_id, score, row_number()
+    |    OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "l01_extract_long" -> s"""
       |WITH $stubCte
@@ -250,28 +311,28 @@ object LlmPack extends QueryPack {
       |  CAST(levenshtein(lower(sor_first || ' ' || sor_last),
       |    array_to_string(ws[1:2], ' ')) AS BIGINT) AS name_lev
       |FROM m ORDER BY id""".stripMargin,
-    "l07_bm25_retrieval" -> """
-      |WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
-      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
-      |st AS (SELECT count(*) AS n, sum(len(words)) AS sdl FROM w),
-      |post AS (SELECT doc_id, term, count(*) AS tf
-      |  FROM (SELECT doc_id, unnest(words) AS term FROM w) GROUP BY 1, 2),
-      |dfr AS (SELECT term, count(*) AS df FROM post GROUP BY term),
-      |dl AS (SELECT doc_id, len(words) AS dl FROM w),
-      |qt AS (SELECT DISTINCT doc_id AS query_id, term
-      |  FROM (SELECT doc_id, unnest(words[1:5]) AS term FROM w WHERE doc_id < 20)),
-      |terms AS (SELECT qt.query_id, post.doc_id,
-      |    CAST(round(ln(1.0 + (st.n - dfr.df + 0.5) / (dfr.df + 0.5))
-      |      * ((post.tf * (1.2 + 1)) / (post.tf + 1.2 * ((1.0 - 0.75)
-      |        + 0.75 * (CAST(dl.dl AS DOUBLE)
-      |          / (CAST(st.sdl AS DOUBLE) / CAST(st.n AS DOUBLE)))))), 9)
-      |      AS DECIMAL(28,9)) AS ts
-      |  FROM qt JOIN post ON post.term = qt.term JOIN dfr ON dfr.term = qt.term
-      |  JOIN dl ON dl.doc_id = post.doc_id, st),
-      |sc AS (SELECT query_id, doc_id, CAST(sum(ts) AS DOUBLE) AS score
-      |  FROM terms GROUP BY 1, 2),
-      |r AS (SELECT query_id, doc_id, score, row_number()
-      |    OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk FROM sc)
+    "l07_bm25_retrieval" -> s"""
+      |WITH $bm25Cte
       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
-      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+      |FROM rb WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "l08_hybrid_rrf" -> s"""
+      |WITH $bm25Cte,
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pr AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+      |        list_dot_product(q.v, n.v) AS sim
+      |      FROM e q JOIN e n ON q.vec_id <> n.vec_id WHERE q.vec_id < 20),
+      |dr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+      |        ORDER BY sim DESC, nid) AS drank FROM pr),
+      |dn AS (SELECT qid AS query_id, nid AS doc_id, drank FROM dr WHERE drank <= 3),
+      |sp AS (SELECT query_id, doc_id, rnk AS srank FROM rb WHERE rnk <= 5),
+      |f AS (SELECT coalesce(dn.query_id, sp.query_id) AS query_id,
+      |    coalesce(dn.doc_id, sp.doc_id) AS doc_id,
+      |    coalesce(1.0 / (60 + dn.drank), 0.0)
+      |      + coalesce(1.0 / (60 + sp.srank), 0.0) AS rrf
+      |  FROM dn FULL OUTER JOIN sp
+      |    ON sp.query_id = dn.query_id AND sp.doc_id = dn.doc_id),
+      |rr AS (SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+      |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, round(rrf, 6) AS rrf
+      |FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
 }

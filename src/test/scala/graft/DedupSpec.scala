@@ -238,6 +238,56 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("group split keeps every near-dup group on one side; naive split leaks") {
+    val rows = DedupPack.groupSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every group is single-sided: split is a function of the keeper
+    rows.groupBy(_._2).foreach { case (keeper, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"group $keeper straddles the split")
+    }
+    // both sides are populated (the 0.8 hash split really splits)
+    val sides = rows.map(_._3).toSet
+    assert(sides == Set("train", "test"))
+    // the naive per-doc split DOES leak: at least one multi-member
+    // group ends up with members on both sides — the failure mode
+    // d14 exists to remove
+    val naive = graft.sample.Sampling.hashSplit(
+        DedupPack.augmented(spark, sf).select(col("doc_id")), col("doc_id"), 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val leaked = rows.groupBy(_._2).values
+      .filter(_.length > 1)
+      .count(members => members.map(m => naive(m._1)).distinct.length > 1)
+    assert(leaked > 0, "synthetic corpus unexpectedly leak-free under naive split")
+  }
+
+  test("substring dedup: copies emptied, keepers and background untouched") {
+    val rows = DedupPack.substringDedupQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val by = rows.map(r => r._1 -> r).toMap
+    // exact copies: every 10-gram span is kept by the lower-id
+    // original, so the whole copy is covered and removed
+    (0L until 50L).foreach { i =>
+      assert(by(i + 200000)._3 == 0, s"copy of $i not fully removed")
+    }
+    // doc 0 is the global min id, so it is the keeper of every span
+    // it holds — it can never lose a word (other originals CAN: a
+    // naturally repeated 10-gram with a lower-id doc elects that doc)
+    assert(by(0L)._3 == by(0L)._2, "doc 0 lost words despite being global keeper")
+    // nothing ever grows
+    rows.foreach(r => assert(r._3 <= r._2))
+    // near-copies (first word dropped): all their spans equal the
+    // original's shifted spans → fully covered when ≥ 10 words remain
+    (0L until 100L).filter(i => by(i + 100000)._2 >= 10).foreach { i =>
+      assert(by(i + 100000)._3 == 0, s"near-copy of $i not fully removed")
+    }
+    // the word-soup background mostly has no repeated 10-grams
+    val bg = rows.filter(r => r._1 >= 100 && r._1 < 100000)
+    assert(bg.count(r => r._3 == r._2) > bg.length / 2)
+    // empty cleanings hash the empty string on both engines
+    assert(by(200000L)._4 == by(200001L)._4)
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -123,6 +123,30 @@ class LlmSpec extends AnyFunSuite {
     assert(uncapped.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
   }
 
+  test("hybrid rrf ranks both-list docs above any single-list doc") {
+    // worst both-lists score 1/63 + 1/65 ≈ 0.0313 beats best
+    // single-list score 1/61 ≈ 0.0164, so consensus docs must
+    // dominate the fused ranking — the property RRF is chosen for
+    val dense = graft.vector.KnnJoin.exactSelfTop3(spark, sf)
+      .filter(col("query_id") < 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sparse = LlmPack.bm25Retrieval(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val fused = LlmPack.hybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fused.nonEmpty)
+    fused.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      val scores = byRank.map(_._4)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      val inBoth = byRank.filter(r => dense((q, r._3)) && sparse((q, r._3)))
+      val inOne = byRank.filter(r => dense((q, r._3)) ^ sparse((q, r._3)))
+      if (inBoth.nonEmpty && inOne.nonEmpty)
+        assert(inBoth.map(_._2).max < inOne.map(_._2).min,
+          s"query $q: single-list doc outranked a consensus doc")
+    }
+  }
+
   test("confirmation applies the 2-of-3 rule") {
     val d = LlmPack.confirmation(spark, sf).collect()
       .map(r => r.getInt(0) -> r.getString(4)).toMap

@@ -225,9 +225,21 @@ object DedupPack extends QueryPack {
     * exactly the planted redundancy. Whole pipeline — seed sample,
     * Lloyd, assignment, within-cluster pairs, keeper rule — replays
     * in SQL via the shared v10 chain. */
-  def semdedup(spark: SparkSession, dir: String): DataFrame =
-    graft.vector.SemDedup.semDedup(spark, augmentedVectors(spark, dir), 0.98)
+  /** The augmented-vector coarse index shared by d12 and v14 — same
+    * artifact discipline as the embeddings-table index in
+    * [[graft.vector.VectorPack]] (deterministic build, so consuming
+    * the memo is bitwise-identical to inline construction). */
+  private[graft] def augIvfArtifacts(spark: SparkSession,
+                                     dir: String): (DataFrame, DataFrame) =
+    graft.vector.SemDedup.ivfArtifacts(spark, s"aug:$dir",
+      augmentedVectors(spark, dir))
+
+  def semdedup(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, asg) = augIvfArtifacts(spark, dir)
+    graft.vector.SemDedup.semDedup(spark, augmentedVectors(spark, dir), 0.98,
+        centroidsOpt = Some(cents), assignmentsOpt = Some(asg))
       .orderBy(col("vec_id"))
+  }
 
   /** d13: Bloom-filter decontamination — d09's check through a
     * fixed-size filter instead of the exact test-shingle join. The
@@ -294,7 +306,9 @@ object DedupPack extends QueryPack {
     "d06_embedding_near_dups" -> embeddingNearDups)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
-    Map("jaccard_pairs" -> jaccardPairsArtifact)
+    Map("jaccard_pairs" -> jaccardPairsArtifact,
+      "aug_ivf_centroids" -> ((s, d) => augIvfArtifacts(s, d)._1),
+      "aug_ivf_assign" -> ((s, d) => augIvfArtifacts(s, d)._2))
 
   /** Shared SQL: distinct 3-gram shingle rows over `aug`. */
   private val shingleSql = """

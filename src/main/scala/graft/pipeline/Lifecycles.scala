@@ -226,4 +226,41 @@ object Lifecycles {
     Seq(aug, qual, ex, exSh, nr, trSh, dec).foreach(_.unpersist(false))
     counts.toDF("stage_idx", "stage", "n_docs").orderBy(col("stage_idx"))
   }
+
+  /** p03: the corpus DATASHEET (Gebru et al. 2021, "Datasheets for
+    * Datasets") — the per-source summary a data curator publishes with
+    * a release: document and token volume, exact-duplicate rate, and
+    * mean quality, with an Overall rollup row. Runs over the augmented
+    * corpus (planted dups give the dup-rate column real signal);
+    * planted ids inherit their base document's source via id % 100000.
+    *
+    * Scale shape: one scan computes digest + word count + quality as
+    * scan-stage expressions; the report is a single ROLLUP aggregation
+    * (partial-aggregatable; `countDistinct` rewrites to a two-level
+    * expand-aggregate). Quality means go through the rounded-decimal
+    * sum (order-independent, the a08 discipline). */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.dedup.DedupPack.augmented(spark, dir)
+    val src = Tables(spark, dir).documents
+      .select(col("doc_id").as("base_id"), col("source"))
+    val scored = aug
+      .withColumn("base_id", pmod(col("doc_id"), lit(100000L)))
+      .join(broadcast(src), Seq("base_id"))
+      .select(col("source"), col("doc_id"),
+        md5(col("text")).as("h"),
+        size(TextOps.words(col("text"))).cast("long").as("nw"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6)
+          .cast("decimal(18,6)").as("q"))
+    scored.rollup(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("q")).cast("double").as("qsum"))
+      .select(coalesce(col("source"), lit("Overall")).as("source"),
+        col("n_docs"), col("n_words"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 6).as("dup_frac"),
+        round(col("qsum") / col("n_docs").cast("double"), 6).as("mean_quality"))
+      .orderBy(col("source"))
+  }
 }

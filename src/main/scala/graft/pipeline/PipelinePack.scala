@@ -14,7 +14,9 @@ object PipelinePack extends QueryPack {
     "p01_classify_lifecycle" ->
       ((s, d) => Lifecycles.classifyAndReport(s, d)),
     "p02_corpus_prep" ->
-      ((s, d) => Lifecycles.corpusPrep(s, d)))
+      ((s, d) => Lifecycles.corpusPrep(s, d)),
+    "p03_corpus_report" ->
+      ((s, d) => Lifecycles.corpusReport(s, d)))
 
   /** 0.8 split threshold: round(0.8·65536) = 52429 = 0xcccd (the same
     * constant `Sampling.hashSplit` derives). */
@@ -147,7 +149,35 @@ object PipelinePack extends QueryPack {
     |  (5, 'mixture', (SELECT c FROM smp))) AS t(stage_idx, stage, n_docs)
     |ORDER BY stage_idx""".stripMargin
 
+  /** p03: the datasheet rollup — one scan, one ROLLUP aggregate; the
+    * quality expression mirrors a02/s07. */
+  private val corpusReportSql = s"""
+    |WITH ${graft.dedup.DedupPack.augmentedSql},
+    |w2 AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+    |j AS (SELECT d.source, w2.doc_id, md5(w2.text) AS h,
+    |    len(w2.words) AS nw,
+    |    CAST(round(0.4 * (CASE WHEN len(w2.words) > 0
+    |        THEN CAST(len(list_filter(w2.words, x -> x IN ($stopList))) AS DOUBLE)
+    |          / CAST(len(w2.words) AS DOUBLE) ELSE 0.0 END)
+    |      + 0.3 * (1.0 - (CASE WHEN length(w2.text) > 0
+    |        THEN CAST(length(regexp_replace(w2.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+    |          / CAST(length(w2.text) AS DOUBLE) ELSE 0.0 END))
+    |      + 0.3 * least(1.0, CAST(len(w2.words) AS DOUBLE) / 100.0), 6)
+    |      AS DECIMAL(18,6)) AS q
+    |  FROM w2 JOIN documents d ON d.doc_id = w2.doc_id % 100000),
+    |g AS (SELECT source, count(*) AS n_docs, sum(nw) AS n_words,
+    |    count(DISTINCT h) AS n_distinct, CAST(sum(q) AS DOUBLE) AS qsum
+    |  FROM j GROUP BY ROLLUP(source))
+    |SELECT coalesce(source, 'Overall') AS source,
+    |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_words AS BIGINT) AS n_words,
+    |  CAST(n_distinct AS BIGINT) AS n_distinct,
+    |  round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_frac,
+    |  round(qsum / CAST(n_docs AS DOUBLE), 6) AS mean_quality
+    |FROM g ORDER BY source""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_classify_lifecycle" -> graft.metrics.MetricsPack.reportSqlFrom(splitCte),
-    "p02_corpus_prep" -> corpusPrepSql)
+    "p02_corpus_prep" -> corpusPrepSql,
+    "p03_corpus_report" -> corpusReportSql)
 }

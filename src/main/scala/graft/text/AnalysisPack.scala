@@ -205,7 +205,8 @@ object AnalysisPack extends QueryPack {
     * sort/ntile window, which would single-partition at corpus
     * scale). Per-word terms round to 9 decimals then sum through
     * decimals, so the mean is order-independent on both engines. */
-  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared per-doc mean-NLL relation of a08/a11. */
+  private def meanNllBase(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val w = docs.select(col("doc_id"),
       explode(TextOps.words(col("text"))).as("w"))
@@ -218,16 +219,46 @@ object AnalysisPack extends QueryPack {
           .cast("decimal(28,9)").as("nll"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nw"), sum(col("nll")).as("s"))
-    val base = docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("nw"), lit(0L)).as("n_words"),
         round(coalesce(col("s").cast("double") / col("nw").cast("double"),
           lit(0.0)), 6).as("mean_nll"))
+  }
+
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val base = meanNllBase(spark, dir)
     val qs = base.agg(
       percentile(col("mean_nll"), lit(1.0 / 3)).as("q1"),
       percentile(col("mean_nll"), lit(2.0 / 3)).as("q2"))
     base.crossJoin(broadcast(qs))
       .select(col("doc_id"), col("n_words"), col("mean_nll"),
+        when(col("mean_nll") <= col("q1"), "head")
+          .when(col("mean_nll") <= col("q2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** a11: a08's buckets with SAMPLED thresholds — the corpus-scale
+    * form of quantile bucketing. Exact percentiles over the full
+    * column need every value in one sorted pass; when the quantile is
+    * only a THRESHOLD (not a report), the standard move is exact
+    * percentiles over a deterministic hash sample (~25% here — at
+    * real scale a fixed-size sample), then a map-side bucket compare
+    * for the whole corpus. Sampling error only shifts docs near the
+    * tercile boundaries; the spec bounds disagreement vs a08's exact
+    * buckets. The hash sample replays in SQL, so a11 is fully
+    * oracle-checked — no sketch-opacity compromise. */
+  def sampledTerciles(spark: SparkSession, dir: String): DataFrame = {
+    val base = meanNllBase(spark, dir)
+    val samp = base.filter(
+      substring(md5(concat(lit("q"), col("doc_id").cast("string"))), 1, 4)
+        < "4000")
+    val qs = samp.agg(
+      percentile(col("mean_nll"), lit(1.0 / 3)).as("q1"),
+      percentile(col("mean_nll"), lit(2.0 / 3)).as("q2"))
+    base.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("mean_nll"),
         when(col("mean_nll") <= col("q1"), "head")
           .when(col("mean_nll") <= col("q2"), "middle")
           .otherwise("tail").as("bucket"))
@@ -251,6 +282,7 @@ object AnalysisPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
     "a10_dsir_resample" -> dsirResample,
+    "a11_sampled_terciles" -> sampledTerciles,
     "a02_quality" -> quality,
     "a03_fingerprint" -> fingerprint,
     "a04_repetition" -> repetition,
@@ -273,6 +305,21 @@ object AnalysisPack extends QueryPack {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
     s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
   }
+
+  /** The per-doc mean-NLL chain (`b`) shared by the a08/a11 oracles —
+    * assumes the `w` words CTE in scope. */
+  private val meanNllSql = """
+    |u AS (SELECT doc_id, unnest(words) AS wd FROM w),
+    |c AS (SELECT wd, count(*) AS cnt FROM u GROUP BY wd),
+    |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
+    |s AS (SELECT u.doc_id, count(*) AS nw,
+    |   sum(CAST(round(-ln(CAST(c.cnt AS DOUBLE) / CAST(t.t AS DOUBLE)), 9)
+    |       AS DECIMAL(28,9))) AS s
+    |  FROM u JOIN c USING (wd), t GROUP BY u.doc_id),
+    |b AS (SELECT d.doc_id,
+    |   CAST(coalesce(s.nw, 0) AS BIGINT) AS n_words,
+    |   round(coalesce(CAST(s.s AS DOUBLE) / CAST(s.nw AS DOUBLE), 0.0), 6) AS mean_nll
+    |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "a10_dsir_resample" -> s"""
@@ -436,20 +483,20 @@ object AnalysisPack extends QueryPack {
       |FROM p ORDER BY doc_id""".stripMargin,
     "a08_unigram_logprob" -> s"""
       |WITH $wordsCte,
-      |u AS (SELECT doc_id, unnest(words) AS wd FROM w),
-      |c AS (SELECT wd, count(*) AS cnt FROM u GROUP BY wd),
-      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM c),
-      |s AS (SELECT u.doc_id, count(*) AS nw,
-      |   sum(CAST(round(-ln(CAST(c.cnt AS DOUBLE) / CAST(t.t AS DOUBLE)), 9)
-      |       AS DECIMAL(28,9))) AS s
-      |  FROM u JOIN c USING (wd), t GROUP BY u.doc_id),
-      |b AS (SELECT d.doc_id,
-      |   CAST(coalesce(s.nw, 0) AS BIGINT) AS n_words,
-      |   round(coalesce(CAST(s.s AS DOUBLE) / CAST(s.nw AS DOUBLE), 0.0), 6) AS mean_nll
-      |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id),
+      |$meanNllSql,
       |q AS (SELECT quantile_cont(mean_nll, 1.0/3) AS q1,
       |   quantile_cont(mean_nll, 2.0/3) AS q2 FROM b)
       |SELECT doc_id, n_words, mean_nll,
+      |  CASE WHEN mean_nll <= q.q1 THEN 'head'
+      |       WHEN mean_nll <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM b, q ORDER BY doc_id""".stripMargin,
+    "a11_sampled_terciles" -> s"""
+      |WITH $wordsCte,
+      |$meanNllSql,
+      |q AS (SELECT quantile_cont(mean_nll, 1.0/3) AS q1,
+      |   quantile_cont(mean_nll, 2.0/3) AS q2 FROM b
+      |  WHERE substr(md5('q' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+      |SELECT doc_id, mean_nll,
       |  CASE WHEN mean_nll <= q.q1 THEN 'head'
       |       WHEN mean_nll <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket
       |FROM b, q ORDER BY doc_id""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.vector
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -44,11 +45,15 @@ object SemDedup {
     * id — making this row the pair's redundant member). */
   def semDedup(spark: SparkSession, vectors: DataFrame, tau: Double,
                nClusters: Int = 16, seed: String = "42",
-               lloydIters: Int = 2): DataFrame = {
+               lloydIters: Int = 2,
+               centroidsOpt: Option[DataFrame] = None,
+               assignmentsOpt: Option[DataFrame] = None): DataFrame = {
     val v = graft.core.Caches.transient(vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
-    val centroids = KnnJoin.ivfCentroids(spark, v, nClusters, seed, lloydIters)
-    val asg = KnnJoin.nearestCentroids(spark, v, centroids, 1)
+    val centroids = centroidsOpt.getOrElse(
+      KnnJoin.ivfCentroids(spark, v, nClusters, seed, lloydIters))
+    val asg = assignmentsOpt.getOrElse(
+      KnnJoin.nearestCentroids(spark, v, centroids, 1))
     // cosine to the assigned centroid — the keeper-selection key
     val withC = graft.core.Caches.transient(asg
       .join(v, Seq("vec_id"))
@@ -82,5 +87,68 @@ object SemDedup {
       .select(col("vec_id"), col("centroid_id"),
         round(col("csim"), 6).as("sim_centroid"),
         when(col("rm").isNotNull, 0L).otherwise(1L).as("kept"))
+  }
+
+  /** Session-artifact form of the coarse index over an arbitrary
+    * vector corpus (keyed by the caller's corpus key) — the same
+    * train-once discipline as the embeddings-table artifacts in
+    * `VectorPack`; both builds are deterministic, so consumers are
+    * bitwise-identical to inline construction. */
+  def ivfArtifacts(spark: SparkSession, key: String, vectors: => DataFrame,
+                   nClusters: Int = 16, seed: String = "42",
+                   lloydIters: Int = 2): (DataFrame, DataFrame) = {
+    def prep = vectors.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cents = graft.core.Artifacts.memo(spark, s"ivf_centroids:$key")(
+      KnnJoin.ivfCentroids(spark, prep, nClusters, seed, lloydIters))
+    val asg = graft.core.Artifacts.memo(spark, s"ivf_assign:$key")(
+      KnnJoin.nearestCentroids(spark, prep, cents, 1))
+    (cents, asg)
+  }
+
+  /** Contrastive TRIPLET mining — the training-pair generator for
+    * embedding models (the DPR/SimCSE hard-negative recipe): each
+    * near-duplicate pair (cos ≥ `tau`) yields an (anchor, positive);
+    * the hard negative is the anchor's MOST similar same-cluster
+    * non-duplicate (highest cos below `tau`, ties min id) — near
+    * misses train better margins than random negatives. Clustering
+    * bounds the candidate space exactly as in [[semDedup]]: the pair
+    * join shuffles on centroid id, never n². Deterministic and
+    * SQL-replayable via the same v10 chain. */
+  def contrastiveTriplets(spark: SparkSession, vectors: DataFrame, tau: Double,
+                          nClusters: Int = 16, seed: String = "42",
+                          lloydIters: Int = 2,
+                          centroidsOpt: Option[DataFrame] = None,
+                          assignmentsOpt: Option[DataFrame] = None): DataFrame = {
+    val v = graft.core.Caches.transient(vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
+    val centroids = centroidsOpt.getOrElse(
+      KnnJoin.ivfCentroids(spark, v, nClusters, seed, lloydIters))
+    val asg = assignmentsOpt.getOrElse(
+      KnnJoin.nearestCentroids(spark, v, centroids, 1))
+    val a = asg.select(col("centroid_id"), col("vec_id").as("anchor"))
+    val b = asg.select(col("centroid_id"), col("vec_id").as("cand"))
+    val va = v.select(col("vec_id").as("anchor"), col("embedding").as("av"))
+    val vb = v.select(col("vec_id").as("cand"), col("embedding").as("bv"))
+    // DIRECTIONAL within-cluster pairs: each member anchors its own
+    // triplet, so one planted pair yields two training rows
+    val prs = graft.core.Caches.transient(
+      a.join(b, Seq("centroid_id")).filter(col("anchor") =!= col("cand"))
+        .join(va, Seq("anchor")).join(vb, Seq("cand"))
+        .withColumn("cos", VectorOps.dot(col("av"), col("bv")) /
+          (sqrt(VectorOps.dot(col("av"), col("av"))) *
+            sqrt(VectorOps.dot(col("bv"), col("bv")))))
+        .select(col("anchor"), col("cand"), col("cos")))
+    val pos = prs.filter(col("cos") >= tau)
+      .select(col("anchor"), col("cand").as("pos_id"), col("cos").as("pos_cos"))
+    val wNeg = Window.partitionBy(col("anchor"))
+      .orderBy(col("cos").desc, col("cand"))
+    val neg = prs.filter(col("cos") < tau)
+      .withColumn("rn", row_number().over(wNeg)).filter(col("rn") === 1)
+      .select(col("anchor"), col("cand").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("anchor"))
+      .select(col("anchor"), col("pos_id"), col("neg_id"),
+        round(col("pos_cos"), 6).as("pos_cos"),
+        round(col("neg_cos"), 6).as("neg_cos"))
   }
 }

@@ -218,7 +218,21 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v14: contrastive triplet mining over the augmented vectors —
+    * every planted near-dup pair yields two (anchor, positive, hard
+    * negative) training rows; the hard negative is the anchor's most
+    * similar same-cluster non-duplicate ([[SemDedup
+    * .contrastiveTriplets]]). */
+  def contrastive(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, asg) = graft.dedup.DedupPack.augIvfArtifacts(spark, dir)
+    SemDedup.contrastiveTriplets(spark,
+        graft.dedup.DedupPack.augmentedVectors(spark, dir), 0.98,
+        centroidsOpt = Some(cents), assignmentsOpt = Some(asg))
+      .orderBy(col("anchor"), col("pos_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_contrastive_triplets" -> contrastive,
     "v09_knn_plan_node" -> knnPlanNode,
     "v10_knn_ivf" -> ivf,
     "v12_knn_pq" -> pq,
@@ -452,8 +466,34 @@ object VectorPack extends QueryPack {
 
   /** v09/v11 share v01's oracle: same semantics through the custom
     * plan node and the optimizer-rule rewrite respectively. */
+  /** The planted-near-copy augmented vector relation (mirrors
+    * `DedupPack.augmentedVectors`) — the v14 oracle's `e`. */
+  private val augVecCte = """
+    |e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    |e AS (SELECT vec_id, v FROM e0
+    |  UNION ALL SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:])
+    |    FROM e0 WHERE vec_id < 100)""".stripMargin
+
+  private val contrastiveSql = s"""
+    |WITH $augVecCte,
+    |$ivfCtes,
+    |prs AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
+    |    list_dot_product(ea.v, eb.v)
+    |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+    |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+    |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id),
+    |pos AS (SELECT anchor, cand AS pos_id, cos AS pos_cos FROM prs WHERE cos >= 0.98),
+    |neg AS (SELECT anchor, cand AS neg_id, cos AS neg_cos,
+    |    row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, cand) AS rn
+    |  FROM prs WHERE cos < 0.98)
+    |SELECT p.anchor, p.pos_id, n.neg_id, round(p.pos_cos, 6) AS pos_cos,
+    |  round(n.neg_cos, 6) AS neg_cos
+    |FROM pos p JOIN neg n ON n.anchor = p.anchor AND n.rn = 1
+    |ORDER BY p.anchor, p.pos_id""".stripMargin
+
   val oracles: Map[String, String] =
     oracles0 +
+      ("v14_contrastive_triplets" -> contrastiveSql) +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
       ("v10_knn_ivf" -> ivfSql) +

@@ -288,6 +288,25 @@ class DedupSpec extends AnyFunSuite {
     assert(by(200000L)._4 == by(200001L)._4)
   }
 
+  test("contrastive triplets pair each planted anchor with its twin + a hard negative") {
+    val rows = graft.vector.VectorPack.contrastive(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (anchor, pos, neg, posCos, negCos) =>
+      // the positive is the planted twin (±100000)
+      assert(math.abs(anchor - pos) == 100000L, s"anchor $anchor pos $pos")
+      assert(posCos >= 0.98 && negCos < 0.98)
+      assert(neg != pos && neg != anchor)
+      // hard negative is genuinely the near-miss tier, not a dup
+      assert(negCos < posCos)
+    }
+    // triplets come in both directions of each pair
+    val anchors = rows.map(_._1).toSet
+    assert(rows.map(_._2).toSet == anchors.map(a =>
+      if (a < 100000) a + 100000 else a - 100000))
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -104,4 +104,22 @@ class PipelineSpec extends AnyFunSuite {
     // dedup stages must actually remove the planted duplicates
     assert(counts(2) < counts(1) && counts(3) < counts(2))
   }
+
+  test("corpus report: rollup is consistent and dup rate reflects planted copies") {
+    val rows = graft.pipeline.Lifecycles.corpusReport(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val overall = rows.find(_._1 == "Overall").get
+    val sources = rows.filterNot(_._1 == "Overall")
+    assert(sources.length == 20)
+    // the rollup row is the column sums of the per-source rows
+    assert(sources.map(_._2).sum == overall._2 && overall._2 == 650)
+    assert(sources.map(_._3).sum == overall._3)
+    // only the 50 planted exact copies repeat content: overall
+    // distinct = 600 → dup_frac = 1 − 600/650
+    assert(overall._4 == 600)
+    assert(math.abs(overall._5 - (1.0 - 600.0 / 650.0)) < 1e-6)
+    // quality is a weighted-sum score in (0, 1]
+    assert(rows.forall(r => r._6 > 0.0 && r._6 <= 1.0))
+  }
 }

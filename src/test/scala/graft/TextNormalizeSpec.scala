@@ -153,4 +153,20 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(run(3) == expected)
     assert(run(7) == run(3), "positions must not depend on partitioning")
   }
+
+  test("sampled terciles agree with exact terciles away from the boundaries") {
+    val sf = SparkTestSession.sf
+    val exact = graft.text.AnalysisPack.unigramLogprob(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val sampled = graft.text.AnalysisPack.sampledTerciles(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sampled.keySet == exact.keySet)
+    // thresholds from a ~25% hash sample only shift docs near the
+    // tercile boundaries — the overwhelming majority agree
+    val agree = exact.count { case (id, b) => sampled(id) == b }
+    assert(agree >= exact.size * 85 / 100,
+      s"only $agree/${exact.size} bucket agreements")
+    // all three buckets are populated under the sampled thresholds
+    assert(sampled.values.toSet == Set("head", "middle", "tail"))
+  }
 }

@@ -97,8 +97,15 @@ class WebSourceSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       assert(spark.table("web_stream").count() == 3)
-      // the watch loop: appended manifest lines become the next batch
-      Files.writeString(manifest, urls.mkString("\n") + "\n")
+      // the watch loop: appended manifest lines become the next batch.
+      // Replace ATOMICALLY — a plain writeString truncates first, and
+      // a latestOffset() poll landing in that window would see the
+      // manifest SHRINK (the flake a loaded box exposed).
+      val tmp = manifest.resolveSibling("manifest.txt.tmp")
+      Files.writeString(tmp, urls.mkString("\n") + "\n")
+      Files.move(tmp, manifest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       q.processAllAvailable()
       assert(spark.table("web_stream").count() == 5)
       assert(CountingFetcher.fetches.get() == 5,

@@ -109,13 +109,19 @@ object LlmPack extends QueryPack {
     * of each doc_id < 20 as that query's term set; top-5 docs per
     * query. The self-doc ranking at/near the top is the expected
     * retrieval sanity signal (spec-asserted). */
-  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-    val qt = docs.filter(col("doc_id") < 20)
+  /** The l07/l08 query-term set: first 5 words of each doc_id < 20 —
+    * ONE definition, mirrored once by the shared `bm25Cte` qt CTE, so
+    * the two retrieval queries can never drift apart. */
+  private def bm25QueryTerms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 20)
       .select(col("doc_id").as("query_id"),
         explode(slice(TextOps.words(col("text")), 1, 5)).as("term"))
       .distinct()
-    Bm25.topK(docs, qt, 5).orderBy(col("query_id"), col("rank"))
+
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    Bm25.topK(docs, bm25QueryTerms(docs), 5)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** l08: hybrid retrieval — reciprocal-rank fusion (Cormack, Clarke
@@ -133,11 +139,7 @@ object LlmPack extends QueryPack {
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("drank"))
     val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-    val qt = docs.filter(col("doc_id") < 20)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(TextOps.words(col("text")), 1, 5)).as("term"))
-      .distinct()
-    val sparse = Bm25.topK(docs, qt, 5)
+    val sparse = Bm25.topK(docs, bm25QueryTerms(docs), 5)
       .select(col("query_id"), col("doc_id"), col("rank").as("srank"))
     val rrf = coalesce(lit(1.0) / (lit(60L) + col("drank")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60L) + col("srank")), lit(0.0))

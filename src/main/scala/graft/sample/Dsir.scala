@@ -81,11 +81,14 @@ object Dsir {
         (-log(-log(u))).as("g"))
       .select(col("doc_id"), col("n_feats"), col("logw"),
         round(col("logw") + col("g"), 6).as("score"))
-    // distributed top-k (TakeOrdered), then rank over the k survivors
+    // distributed top-k (TakeOrdered), then rank over the k survivors;
+    // the final orderBy pins output row order for the hash-compared
+    // dump (every oracle-checked query ends with an explicit sort)
     val top = pool.orderBy(col("score").desc, col("doc_id")).limit(k)
     val wr = Window.orderBy(col("score").desc, col("doc_id"))
     top.withColumn("rank", row_number().over(wr).cast("long"))
       .select(col("doc_id"), col("rank"), col("n_feats"),
         round(col("logw"), 6).as("logw"), col("score"))
+      .orderBy(col("rank"))
   }
 }

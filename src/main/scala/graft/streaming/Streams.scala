@@ -97,13 +97,6 @@ object Streams {
           .as("lag_us"))
   }
 
-  /** Keyed dedup: at-least-once delivery collapses to exactly-once on
-    * (user, type, 5-minute bucket). The dedup key keeps the raw
-    * `window` struct — it carries the event-time metadata, so under a
-    * watermark the streaming run evicts state for buckets older than
-    * the horizon (bounded state; the batch twin is plain DISTINCT and
-    * the watermark is a no-op there). Formatting to string happens
-    * only AFTER the dedup, where the metadata no longer matters. */
   /** The streaming INGEST GATE — the corpus-prep front door running
     * continuously: per-row quality score (pure scalar expressions, so
     * the filter sits in the scan stage and is stream-safe by
@@ -121,6 +114,13 @@ object Streams {
       .filter(col("quality") >= minQuality)
       .dropDuplicates("content_hash")
 
+  /** Keyed dedup: at-least-once delivery collapses to exactly-once on
+    * (user, type, 5-minute bucket). The dedup key keeps the raw
+    * `window` struct — it carries the event-time metadata, so under a
+    * watermark the streaming run evicts state for buckets older than
+    * the horizon (bounded state; the batch twin is plain DISTINCT and
+    * the watermark is a no-op there). Formatting to string happens
+    * only AFTER the dedup, where the metadata no longer matters. */
   def dedupKeys(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")

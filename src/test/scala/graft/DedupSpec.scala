@@ -85,6 +85,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("second-wave operators plan without quadratic join operators") {
+    // the scale contract of the continuation-session surface: every
+    // new operator's physical plan must stay free of cartesian /
+    // nested-loop joins — the oracle can't catch a plan regression
+    // that is merely slow
+    // scalarAttach: queries that cross-join a ONE-ROW stats/threshold
+    // aggregate — Spark plans that as a BroadcastNestedLoopJoin with a
+    // single-row build side, which is the sanctioned scalar-attach
+    // shape (a08/a06 use it too), so only the cartesian check applies
+    val plans = Seq(
+      ("d13", DedupPack.bloomDecontamination(spark, sf), false),
+      ("d14", DedupPack.groupSplit(spark, sf), false),
+      ("d15", DedupPack.substringDedupQuery(spark, sf), false),
+      ("l07", graft.llm.LlmPack.bm25Retrieval(spark, sf), true),
+      ("l08", graft.llm.LlmPack.hybridRrf(spark, sf), true),
+      ("a10", graft.text.AnalysisPack.dsirResample(spark, sf), true),
+      ("s07", graft.streaming.StreamPack.ingestGate(spark, sf), false),
+      ("p03", graft.pipeline.Lifecycles.corpusReport(spark, sf), false))
+    plans.foreach { case (name, df, scalarAttach) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product")
+      if (!scalarAttach)
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name has a nested-loop join")
+    }
+  }
+
   test("d06 finds exactly the planted embedding near-copies") {
     val pairs = DedupPack.embeddingNearDups(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -23,14 +23,22 @@ object Bench {
     // one warmup pass primes the JIT + parquet footer caches so the
     // numbers measure the queries, not JVM startup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      // a broken flagship must be VISIBLE: the timed numbers below
+      // would silently include JIT warm-up if this failed quietly
+      System.err.println(s"BENCH WARMUP FAIL: $e")
+    }
     // a failed query records -1 (NOT a normal-looking elapsed time) and
     // goes to stderr, so the bench JSON distinguishes crash from fast
-    // SPARK_GRAFT_ONLY=d02,f01 limits the run for local iteration
+    // SPARK_GRAFT_ONLY=d02,f01 limits the run for local iteration;
+    // a bare family prefix (ONLY=d02) selects d02_* but "d1" does NOT
+    // select d10..d15 — a prefix must be the full name or end at '_'
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    def matches(n: String, o: String): Boolean =
+      n == o || n.startsWith(o + "_") || (o.contains("_") && n.startsWith(o))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(o => o.exists(n.startsWith)) }
+      .filter { case (n, _) => only.forall(_.exists(matches(n, _))) }
     // Session artifacts (extraction long frame, self-kNN top-3, pair
     // mining, trained heads) are compute-once state shared by many
     // queries — the reference builds its FAISS index/checkpoint ONCE.
@@ -43,11 +51,16 @@ object Bench {
     // index builds it never reads; artifact cost then lands inside
     // whichever selected query builds it, exactly as pre-warm runs do.
     val tArt = System.nanoTime()
+    var artifactsFailed = 0
     if (only.isEmpty)
       SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
         .foreach { case (name, build) =>
           try build(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
+            // tracked in the JSON: a failed warm silently shifts the
+            // artifact's cost into whichever query rebuilds it, so a
+            // bench line with artifacts_failed>0 is not comparable
+            artifactsFailed += 1
             System.err.println(s"BENCH ARTIFACT FAIL $name: $e")
           }
         }
@@ -90,7 +103,7 @@ object Bench {
     // total includes the one-time artifact build so the headline stays
     // honest about ALL work done; "artifacts" breaks it out
     val total = results.map(_._2).filter(_ >= 0).sum + artifactsSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,33 @@ object PerfProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // `runMain graft.PerfProbe crossover` — the d10/d05 band-width
+    // crossover measurement: banded vs all-pairs wall time on 1× and
+    // a 10×-unioned corpus (distinct ids, duplicated text — realistic
+    // dup clusters). All-pairs is quadratic (2.5e9 candidate pairs at
+    // 50k docs); banded stays near-linear.
+    if (args.contains("crossover")) {
+      val base = graft.core.Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("text"))
+      val x10 = (0 until 10).map { k =>
+        base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      for ((nm, corpus) <- Seq("1x" -> base, "10x" -> x10)) {
+        val n = corpus.count()
+        time(s"crossover $nm ($n docs) banded60")(noop(
+          Dedup.simhashPairsBandedWide(corpus, col("doc_id"), col("text"))))
+        time(s"crossover $nm ($n docs) allpairs60")(noop(
+          Dedup.simhashPairsAllPairsWide(corpus, col("doc_id"), col("text"))))
+        time(s"crossover $nm ($n docs) banded32")(noop(
+          Dedup.simhashPairsBanded(corpus, col("doc_id"), col("text"), 2)))
+        time(s"crossover $nm ($n docs) allpairs32")(noop(
+          Dedup.simhashPairsAllPairs(corpus, col("doc_id"), col("text"), 2)))
+      }
+      spark.stop()
+      return
+    }
+
     time("augmented scan")(noop(aug))
     val exploded = aug.select(col("doc_id").as("id"),
       explode(Dedup.shingles(col("text"), 3)).as("sh"))

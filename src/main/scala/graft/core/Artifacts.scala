@@ -20,16 +20,25 @@ import org.apache.spark.storage.StorageLevel
 object Artifacts {
 
   private val memoMap =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   /** The memoized frame for (session, key), built on first call.
     * Re-persists (lazily) if an external cache sweep dropped it — the
     * data is then recomputed once by the next consumer, never the
     * prompt/training stage itself for packs that layer their own
-    * executor-scope caches underneath. */
+    * executor-scope caches underneath.
+    *
+    * Keys hold the session OBJECT (reference equality — collision-free
+    * while the entry lives, unlike an identityHashCode, which a GC'd
+    * session could share with a new one), and entries bound to a
+    * stopped SparkContext are evicted on the next call so a long-lived
+    * JVM cycling through sessions doesn't accumulate dead frames or
+    * ever hand one to a new session. */
   def memo(spark: org.apache.spark.sql.SparkSession, key: String)
           (build: => DataFrame): DataFrame = {
-    val df = memoMap.getOrElseUpdate((System.identityHashCode(spark), key), build)
+    memoMap.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val df = memoMap.getOrElseUpdate((spark, key), build)
     // a builder may have routed the frame through Caches.transient
     // (e.g. the IVF centroid chain caches itself for within-query
     // reuse) — promotion to artifact status must exempt it from the

@@ -58,7 +58,7 @@ object MetricsPack extends QueryPack {
   /** Confidence = rescaled top-1 sim; outcome = top-1 correct. */
   private def calibInput(spark: SparkSession, dir: String): DataFrame =
     hits(spark, dir).filter(col("rank") === 1)
-      .select(
+      .select(col("query_id"),
         round((lit(1.0) + col("sim")) / 2.0, 6).as("prob"),
         when(col("true_label") === col("n_label"), 1L).otherwise(0L).as("y"))
 
@@ -68,6 +68,31 @@ object MetricsPack extends QueryPack {
 
   def ece(spark: SparkSession, dir: String): DataFrame =
     Calibration.ece(calibInput(spark, dir), col("prob"), col("y"))
+
+  /** m08: the full calibration summary — ECE + MCE + Brier. */
+  def calibSummary(spark: SparkSession, dir: String): DataFrame =
+    Calibration.calibrationSummary(calibInput(spark, dir), col("prob"), col("y"))
+
+  /** m09: temperature scaling fit on the 80% deterministic split
+    * (query_id mod 5 < 4), ECE before/after reported on the held-out
+    * 20% — the M2-split discipline. On THIS head t_star lands at the
+    * grid's upper edge by construction, not by accident: every
+    * confidence-derived logit is positive while accuracy ≈ the 10%
+    * base rate, so NLL improves monotonically as T flattens p toward
+    * 0.5 — a boundary t_star is the operator's honest signal that the
+    * head is miscalibrated beyond what rescaling can fix (the
+    * CalibrationSpec shows exact T recovery on a plantable head). */
+  def temperature(spark: SparkSession, dir: String): DataFrame = {
+    val ci = calibInput(spark, dir)
+    Calibration.temperatureScale(
+      ci.filter(pmod(col("query_id"), lit(5L)) < 4),
+      ci.filter(pmod(col("query_id"), lit(5L)) === 4),
+      col("prob"), col("y"))
+  }
+
+  /** m10: isotonic calibration over the reliability bins. */
+  def isotonic(spark: SparkSession, dir: String): DataFrame =
+    Calibration.isotonicBins(calibInput(spark, dir), col("prob"), col("y"))
 
   /** A6: wide pivot with a deterministic `last` (max_by on doc_id). */
   def pivotWide(spark: SparkSession, dir: String): DataFrame = {
@@ -88,7 +113,10 @@ object MetricsPack extends QueryPack {
     "m04_agreement" -> agreement,
     "m05_reliability_bins" -> reliability,
     "m06_ece" -> ece,
-    "m07_pivot_wide" -> pivotWide)
+    "m07_pivot_wide" -> pivotWide,
+    "m08_calibration_summary" -> calibSummary,
+    "m09_temperature_scaling" -> temperature,
+    "m10_isotonic_bins" -> isotonic)
 
   private val predsCte = """
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
@@ -192,6 +220,82 @@ object MetricsPack extends QueryPack {
       |SELECT CAST(sum(CAST(CAST(n AS DOUBLE) * abs(accuracy - confidence)
       |    AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ece
       |FROM rb""".stripMargin,
+    "m08_calibration_summary" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT round((1.0 + sim) / 2.0, 6) AS prob,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |b AS (SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+      |        CAST(prob AS DECIMAL(18,6)) AS pd, y FROM ci),
+      |rb AS (SELECT bin, count(*) AS n,
+      |    sum(CAST(round((CAST(pd AS DOUBLE) - CAST(y AS DOUBLE))
+      |          * (CAST(pd AS DOUBLE) - CAST(y AS DOUBLE)), 9) AS DECIMAL(28,9))) AS sq,
+      |    CAST(sum(pd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS confidence,
+      |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |  FROM b GROUP BY bin)
+      |SELECT CAST(sum(CAST(CAST(n AS DOUBLE) * abs(accuracy - confidence)
+      |    AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ece,
+      |  max(abs(accuracy - confidence)) AS mce,
+      |  CAST(sum(sq) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS brier
+      |FROM rb""".stripMargin,
+    "m09_temperature_scaling" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT qid, round((1.0 + sim) / 2.0, 6) AS prob,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |fz AS (SELECT round(ln(greatest(least(prob, 1.0 - 1e-6), 1e-6)
+      |           / (1.0 - greatest(least(prob, 1.0 - 1e-6), 1e-6))), 9) AS z, y
+      |       FROM ci WHERE qid % 5 < 4),
+      |grid AS (SELECT CAST(i AS DOUBLE) * 0.05 AS t FROM generate_series(5, 200) AS g(i)),
+      |nl AS (SELECT t,
+      |    CAST(sum(CAST(round(ln(1.0 + exp((1.0 - 2.0 * y) * z / t)), 9)
+      |      AS DECIMAL(28,9))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS nll
+      |  FROM fz CROSS JOIN grid GROUP BY t),
+      |ts AS (SELECT t AS t_star, round(nll, 6) AS nll_star
+      |       FROM nl ORDER BY nll, t LIMIT 1),
+      |ez AS (SELECT round(ln(greatest(least(prob, 1.0 - 1e-6), 1e-6)
+      |           / (1.0 - greatest(least(prob, 1.0 - 1e-6), 1e-6))), 9) AS z,
+      |         CAST(prob AS DECIMAL(18,6)) AS p, y
+      |       FROM ci WHERE qid % 5 = 4),
+      |sc AS (SELECT t_star, nll_star, p, y,
+      |    CAST(round(1.0 / (1.0 + exp(-z / t_star)), 6) AS DECIMAL(18,6)) AS p_cal
+      |  FROM ez CROSS JOIN ts),
+      |lng AS (SELECT t_star, nll_star, 0 AS which, p AS pp, y FROM sc
+      |        UNION ALL SELECT t_star, nll_star, 1, p_cal, y FROM sc),
+      |bn AS (SELECT t_star, nll_star, which,
+      |    CAST(least(floor(CAST(pp AS DOUBLE) * 10), 9) AS INT) AS bin,
+      |    count(*) AS n,
+      |    CAST(sum(pp) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS confidence,
+      |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+      |  FROM lng GROUP BY t_star, nll_star, which, CAST(least(floor(CAST(pp AS DOUBLE) * 10), 9) AS INT)),
+      |ec AS (SELECT t_star, nll_star, which,
+      |    CAST(sum(CAST(CAST(n AS DOUBLE) * abs(accuracy - confidence)
+      |      AS DECIMAL(28,12))) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS ece
+      |  FROM bn GROUP BY t_star, nll_star, which)
+      |SELECT t_star, nll_star,
+      |  round(max(CASE WHEN which = 0 THEN ece END), 6) AS ece_before,
+      |  round(max(CASE WHEN which = 1 THEN ece END), 6) AS ece_after
+      |FROM ec GROUP BY t_star, nll_star""".stripMargin,
+    "m10_isotonic_bins" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT round((1.0 + sim) / 2.0, 6) AS prob,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |b AS (SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bin,
+      |        CAST(prob AS DECIMAL(18,6)) AS pd, y FROM ci),
+      |rb AS (SELECT bin, count(*) AS n, sum(pd) AS sp, sum(y) AS sy
+      |       FROM b GROUP BY bin),
+      |iv AS (SELECT j.bin AS j, k.bin AS k,
+      |    CAST(sum(l.sy) AS DOUBLE) / CAST(sum(l.n) AS DOUBLE) AS m
+      |  FROM rb j JOIN rb k ON j.bin <= k.bin
+      |  JOIN rb l ON l.bin BETWEEN j.bin AND k.bin
+      |  GROUP BY j.bin, k.bin),
+      |inn AS (SELECT i.bin AS i, iv.j, min(iv.m) AS mn
+      |  FROM rb i JOIN iv ON iv.j <= i.bin AND i.bin <= iv.k
+      |  GROUP BY i.bin, iv.j),
+      |iso AS (SELECT i, max(mn) AS iso FROM inn GROUP BY i)
+      |SELECT rb.bin, rb.n,
+      |  CAST(rb.sp AS DOUBLE) / CAST(rb.n AS DOUBLE) AS confidence,
+      |  CAST(rb.sy AS DOUBLE) / CAST(rb.n AS DOUBLE) AS accuracy,
+      |  iso.iso
+      |FROM rb JOIN iso ON rb.bin = iso.i ORDER BY bin""".stripMargin,
     "m07_pivot_wide" -> """
       |SELECT doc_id % 50 AS fn,
       |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'de'), 'NULL') AS de,

@@ -243,9 +243,12 @@ object Lifecycles {
     val aug = graft.dedup.DedupPack.augmented(spark, dir)
     val src = Tables(spark, dir).documents
       .select(col("doc_id").as("base_id"), col("source"))
+    // no broadcast hint: `src` is one row per BASE document — unbounded
+    // at corpus scale — so the join strategy is left to AQE, which
+    // broadcasts when the mapping actually fits and shuffles when not
     val scored = aug
       .withColumn("base_id", pmod(col("doc_id"), lit(100000L)))
-      .join(broadcast(src), Seq("base_id"))
+      .join(src, Seq("base_id"))
       .select(col("source"), col("doc_id"),
         md5(col("text")).as("h"),
         size(TextOps.words(col("text"))).cast("long").as("nw"),

@@ -234,6 +234,44 @@ object RelationalPack extends QueryPack {
       .orderBy(col("l_returnflag"))
   }
 
+  /** The r15 column set: lineitem's four 2-decimal measures. */
+  private val corrCols = Seq("l_quantity" -> "q", "l_extendedprice" -> "ep",
+    "l_discount" -> "d", "l_tax" -> "t")
+  private val corrPairs: Seq[((String, String), (String, String))] =
+    corrCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+
+  /** r15: pairwise correlation matrix + strongest-correlations report
+    * (reference `gra_4_24.py:248-252` computes the full `corr()`
+    * matrix and `:114-118` keeps the top 4 by absolute value). Every
+    * co-moment for all 4 columns comes from ONE aggregate pass over
+    * lineitem — a per-pair `corr()` call would rescan the fact table
+    * 6 times — then the 6 pair rows are unpivoted from that single
+    * row and ranked by |corr|. Exact decimal sums + the closed-form
+    * [[Exact.corrOf]] make the doubles (and so the ordering) bitwise
+    * equal on both engines. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    val moments = corrCols.flatMap { case (c, a) =>
+      val x = Exact.dec2(col(c))
+      Seq(sum(x).cast("decimal(38,2)").as(s"s_$a"),
+        sum((x * x).cast("decimal(18,4)")).cast("decimal(38,4)").as(s"ss_$a"))
+    } ++ corrPairs.map { case ((ca, aa), (cb, ab)) =>
+      sum((Exact.dec2(col(ca)) * Exact.dec2(col(cb))).cast("decimal(18,4)"))
+        .cast("decimal(38,4)").as(s"sx_${aa}_$ab")
+    }
+    val one = li.agg(count(lit(1)).as("n"), moments: _*)
+    val pairRows = corrPairs.map { case ((ca, aa), (cb, ab)) =>
+      struct(lit(ca).as("col_a"), lit(cb).as("col_b"),
+        Exact.corrOf(col(s"s_$aa"), col(s"s_$ab"), col(s"sx_${aa}_$ab"),
+          col(s"ss_$aa"), col(s"ss_$ab"), col("n")).as("corr"))
+    }
+    one.select(explode(array(pairRows: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.corr").as("corr"))
+      .orderBy(abs(col("corr")).desc, col("col_a"), col("col_b"))
+      .limit(4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> pricingSummary,
     "r02_revenue_topk" -> revenueTopK,
@@ -248,7 +286,8 @@ object RelationalPack extends QueryPack {
     "r11_describe_quantity" -> describeQuantity,
     "r12_corr_price_discount" -> corrPriceDiscount,
     "r13_approx_distinct" -> approxDistinct,
-    "r14_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)))
+    "r14_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
+    "r15_corr_matrix" -> corrMatrix)
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -355,5 +394,30 @@ object RelationalPack extends QueryPack {
       |  CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
       |       ELSE 63.0 / (CAST(hk AS DOUBLE) / 1152921504606846976.0)
       |  END AS est_distinct
-      |FROM g ORDER BY l_returnflag""".stripMargin)
+      |FROM g ORDER BY l_returnflag""".stripMargin,
+    "r15_corr_matrix" -> {
+      val momentSelects = corrCols.flatMap { case (_, a) =>
+        Seq(s"CAST(sum($a) AS DECIMAL(38,2)) AS s_$a",
+          s"CAST(sum(CAST($a*$a AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS ss_$a")
+      } ++ corrPairs.map { case ((_, aa), (_, ab)) =>
+        s"CAST(sum(CAST($aa*$ab AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sx_${aa}_$ab"
+      }
+      val baseSelects = corrCols.map { case (c, a) =>
+        s"CAST($c AS DECIMAL(18,2)) AS $a"
+      }
+      def corrExpr(sa: String, sb: String, sx: String) =
+        s"""(CAST($sx AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sb AS DOUBLE) / CAST(n AS DOUBLE))
+           |    / sqrt((CAST(ss_${sa.drop(2)} AS DOUBLE) - CAST($sa AS DOUBLE) * CAST($sa AS DOUBLE) / CAST(n AS DOUBLE))
+           |         * (CAST(ss_${sb.drop(2)} AS DOUBLE) - CAST($sb AS DOUBLE) * CAST($sb AS DOUBLE) / CAST(n AS DOUBLE)))""".stripMargin
+      val pairSelects = corrPairs.map { case ((ca, aa), (cb, ab)) =>
+        s"  SELECT '$ca' AS col_a, '$cb' AS col_b,\n  ${corrExpr(s"s_$aa", s"s_$ab", s"sx_${aa}_$ab")} AS corr FROM s"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH s AS (SELECT count(*) AS n,
+         |  ${momentSelects.mkString(",\n  ")}
+         |  FROM (SELECT ${baseSelects.mkString(", ")} FROM lineitem)),
+         |p AS (
+         |$pairSelects)
+         |SELECT col_a, col_b, corr FROM p
+         |ORDER BY abs(corr) DESC, col_a, col_b LIMIT 4""".stripMargin
+    })
 }

@@ -162,17 +162,25 @@ object AnalysisPack extends QueryPack {
     * line (kills the whole page). Both engines synthesize the exact
     * same lines. */
   private def withPlantedLines(spark: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.words(col("text"))
-    val nChunks = ceil(size(ws).cast("double") / 8.0).cast("int")
-    val body = when(size(ws) === 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
-        concat(concat_ws(" ", slice(ws, i * 8 + 1, lit(8))),
-          when(i % 2 === 0, lit(".")).otherwise(lit("")))))
+    // `words(text)` is let-bound ([[graft.core.Expr.let]]): the
+    // chunking lambda reads it per element, and a lambda body is
+    // re-evaluated per ELEMENT — with the regex-split tree inline
+    // there, every 8-word chunk would re-split the whole document
+    // (O(lines·len) per doc instead of O(len)). The binding holds
+    // regardless of how CollapseProject rewrites the projection.
+    def linesOf(ws: org.apache.spark.sql.Column) = {
+      val nChunks = ceil(size(ws).cast("double") / 8.0).cast("int")
+      when(size(ws) === 0, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+          concat(concat_ws(" ", slice(ws, i * 8 + 1, lit(8))),
+            when(i % 2 === 0, lit(".")).otherwise(lit("")))))
+    }
     def planted(cond: org.apache.spark.sql.Column, line: String) =
       when(cond, array(lit(line))).otherwise(array().cast("array<string>"))
     Tables(spark, dir).documents
       .select(col("doc_id"),
-        concat(body,
+        concat(
+          graft.core.Expr.let(TextOps.words(col("text")))(linesOf),
           planted(pmod(col("doc_id"), lit(7L)) === 0, "javascript void menu here."),
           planted(pmod(col("doc_id"), lit(11L)) === 0, "lorem ipsum dolor sit."))
           .as("lines"))

@@ -526,10 +526,14 @@ object KnnJoin {
       import spark.implicits._
       val nc = nCandidates
       val mm = m
-      // chunk membership is qid % nChunks, so NO driver collect is
-      // ever unbounded: the only per-chunk materializations are that
-      // chunk's ids and its LUT rows (≤ ~queryChunk each). Chunks are
-      // disjoint and cover every query, and per-query heaps are
+      // chunk membership is HASH(qid) % nChunks — a hash, not the raw
+      // id, because an id space with a common stride sharing a factor
+      // with nChunks would collapse most queries into one chunk and
+      // restore the unbounded driver collect the chunking exists to
+      // prevent. With hashed membership no driver collect is ever
+      // unbounded in expectation: the per-chunk materializations are
+      // that chunk's ids and its LUT rows (≈ queryChunk each). Chunks
+      // are disjoint and cover every query, and per-query heaps are
       // independent, so the union below is chunk-layout-invariant
       // (the spec pins chunked ≡ unchunked bitwise).
       val totalQ = qv.select(col("qid")).count()
@@ -552,7 +556,8 @@ object KnnJoin {
         if (nChunks > 1) graft.core.Caches.transient(qdotsTyped0)
         else qdotsTyped0
       val partials = (0 until nChunks).map { ci =>
-        val member = pmod(col("qid"), lit(nChunks.toLong)) === ci.toLong
+        val member =
+          pmod(hash(col("qid")).cast("long"), lit(nChunks.toLong)) === ci.toLong
         val qids: Array[Long] =
           qv.select(col("qid")).filter(member).as[Long].collect().sorted
         val qIdx = qids.zipWithIndex.toMap
@@ -642,11 +647,17 @@ object KnnJoin {
     val v = index.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     // silent dimension mismatch would slice() into truncated or empty
-    // subvectors and degrade results with no error — reject it here
-    v.limit(1).select(size(col("v")).as("d")).collect().headOption.foreach {
-      r => require(r.getInt(0) == m * subDim,
-        s"embedding dim ${r.getInt(0)} != m*subDim = ${m * subDim}")
-    }
+    // subvectors and degrade results with no error — reject it here.
+    // min/max over ALL rows (one scan-stage aggregate) so a MIXED-
+    // dimension corpus is rejected too, not just a wrong first row;
+    // the build behind this check is a once-per-session artifact, so
+    // the extra scan amortizes with the codebook itself.
+    v.agg(min(size(col("v"))).as("lo"), max(size(col("v"))).as("hi"))
+      .collect().headOption.filterNot(_.isNullAt(0)).foreach { r =>
+        require(r.getInt(0) == m * subDim && r.getInt(1) == m * subDim,
+          s"embedding dims [${r.getInt(0)}, ${r.getInt(1)}] must all equal " +
+            s"m*subDim = ${m * subDim}")
+      }
     val sub = pqSubspaces(v, "vec_id", "x", m, subDim)
     val wSeed = Window.partitionBy(col("s")).orderBy(
       md5(concat_ws("_", lit(seed), col("s"), col("vec_id"))), col("vec_id"))

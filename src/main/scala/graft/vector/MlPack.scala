@@ -1,6 +1,6 @@
 package graft.vector
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -23,10 +23,16 @@ import graft.normalize.Normalize
   * from features), unlike the f04 parity rule, which stays as the
   * oracle-checked composite-key twin.
   *
-  * No SQL oracle exists for trained models → rows-only driver checks
-  * (l05/l06) + seeded spec-level accuracy assertions. Both heads are
-  * session-memoized artifacts (train once, every consumer reads the
-  * persisted predictions — the discipline of `KnnJoin.exactSelfTop3`).
+  * HASH-CHECKED SCORING: training itself can never be replayed by a
+  * SQL oracle, but scoring a FITTED model is plain linear algebra —
+  * so the fitted parameters are exported as flat weight frames
+  * (session artifacts, trained once), the l05/l06 queries score
+  * relationally from those weights (sigmoid/argmax over per-row
+  * folds, the eval half of `combined_fai_3_13.py:12-102`), and
+  * [[oracles]] emits DuckDB SQL with the SAME fitted weights embedded
+  * as list literals — identical folds in identical order, so the
+  * predictions hash-match bitwise. Only `fit()` stays outside the
+  * oracle; the spec pins relational scoring ≡ `model.transform`.
   */
 object MlPack extends QueryPack {
 
@@ -42,35 +48,22 @@ object MlPack extends QueryPack {
         array_to_vector(col("embedding").cast("array<double>")).as("features"))
   }
 
-  /** Doc-type head: 10-class MLP, trained once per (session, dir). */
-  def mlpClassify(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "label")(mlpPlan(spark, dir))
+  // --- training (once per session, behind the weight artifacts) ---
 
-  /** Un-memoized MLP head build — the determinism spec trains twice
-    * through this seam and asserts identical predictions. */
-  private[graft] def mlpPlan(spark: SparkSession, dir: String): DataFrame = {
+  private def trainMlp(spark: SparkSession, dir: String)
+      : org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel = {
     import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
     val data = features(spark, dir)
       .select(col("vec_id"), col("label").cast("double").as("label"),
         col("features"))
-    val mlp = new MultilayerPerceptronClassifier()
+    new MultilayerPerceptronClassifier()
       .setLayers(Array(64, 32, 10))
       .setSeed(42L).setMaxIter(40).setBlockSize(64)
-    val model = mlp.fit(data)
-    model.transform(data)
-      .select(col("vec_id"),
-        col("label").cast("long").as("true_label"),
-        col("prediction").cast("long").as("pred_label"))
-      .orderBy(col("vec_id"))
+      .fit(data)
   }
 
-  /** first_pg head: seeded logistic regression on the same features,
-    * trained once per (session, dir). */
-  def firstPgClassify(spark: SparkSession, dir: String): DataFrame =
-    memoized(spark, dir, "first_pg")(firstPgPlan(spark, dir))
-
-  /** Un-memoized first_pg head build (see [[mlpPlan]]). */
-  private[graft] def firstPgPlan(spark: SparkSession, dir: String): DataFrame = {
+  private def trainFirstPg(spark: SparkSession, dir: String)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
     import org.apache.spark.ml.classification.LogisticRegression
     val data = features(spark, dir)
       .select(col("vec_id"),
@@ -80,14 +73,133 @@ object MlPack extends QueryPack {
     // — LBFGS from a fixed zero init has no randomness to seed), so
     // determinism rests on the deterministic optimizer; the MlSpec
     // train-twice assertion pins it empirically.
-    val lr = new LogisticRegression().setMaxIter(50)
-    val model = lr.fit(data)
-    model.transform(data)
+    new LogisticRegression().setMaxIter(50).fit(data)
+  }
+
+  /** MLP head parameters as ONE flat weight vector (MLlib layout for
+    * layers [64,32,10]: W1 column-major 64×32, b1[32], W2 column-major
+    * 32×10, b2[10] — 2410 doubles, one row). Session artifact: the
+    * training cost lives here; every scoring consumer reads it. */
+  def mlpWeights(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "mlp_weights") {
+      import spark.implicits._
+      Seq(Tuple1(trainMlp(spark, dir).weights.toArray.toSeq)).toDF("wv")
+    }
+
+  /** first_pg head parameters: 64 coefficients then the intercept
+    * (65 doubles, one row). Session artifact. */
+  def firstPgWeights(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, dir, "first_pg_weights") {
+      import spark.implicits._
+      val m = trainFirstPg(spark, dir)
+      Seq(Tuple1(m.coefficients.toArray.toSeq :+ m.intercept)).toDF("wv")
+    }
+
+  /** Last fitted parameter vectors, recorded when a query collects
+    * them, so [[oracles]] can embed the SAME doubles as SQL literals
+    * at Verify's post-run dump. (Verify runs every query before it
+    * dumps oracle SQL; a targeted run that skips l05/l06 simply omits
+    * their oracle entries — the pre-refactor no_oracle behavior.) */
+  @volatile private var mlpWvRec: Option[Seq[Double]] = None
+  @volatile private var lrWvRec: Option[Seq[Double]] = None
+
+  private def collectWv(df: DataFrame): Seq[Double] =
+    // bounded driver collect: one row of ≤2410 doubles (model size)
+    df.collect()(0).getSeq[Double](0)
+
+  // --- relational scoring (the hash-checked surface) ---
+
+  /** Index helpers mirror the MLlib flat layout, 1-based to match
+    * both `element_at` and DuckDB list indexing:
+    * W1(i,j) at i*32+j+1 · b1(j) at 2049+j · W2(j,k) at 2081+j*10+k ·
+    * b2(k) at 2401+k. */
+  private def w1(w: Column, i: Column, j: Column) =
+    element_at(w, (i * 32 + j + 1).cast("int"))
+
+  import graft.core.Expr.let
+
+  /** Relational MLP scoring from a flat weight vector: h = σ(W1ᵀx+b1)
+    * rounded to 9 decimals (the a08 transcendental-rounding
+    * discipline), logits = W2ᵀh+b2, argmax with first-index ties.
+    * Sequential left-folds in fixed index order — the identical fold
+    * the oracle's `list_reduce` performs, so every double matches
+    * bitwise. Pure scan-stage expressions: no shuffle, no UDF. */
+  private[graft] def mlpScore(df: DataFrame, wv: Seq[Double]): DataFrame = {
+    val w = typedLit(wv)
+    def hiddenOf(x: Column) = transform(sequence(lit(0), lit(31)), j =>
+      round(lit(1.0) / (lit(1.0) + exp(-(element_at(w, (lit(2049) + j).cast("int")) +
+        aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
+          acc + element_at(x, (i + 1).cast("int")) * w1(w, i, j))))), 9))
+    def logitsOf(hh: Column) = transform(sequence(lit(0), lit(9)), k =>
+      round(element_at(w, (lit(2401) + k).cast("int")) +
+        aggregate(sequence(lit(0), lit(31)), lit(0.0), (acc, j) =>
+          acc + element_at(hh, (j + 1).cast("int")) *
+            element_at(w, (lit(2081) + j * 10 + k).cast("int"))), 9))
+    val pred = let(col("emb")) { x =>
+      let(hiddenOf(x)) { hh =>
+        let(logitsOf(hh)) { la =>
+          array_position(la, array_max(la)) - 1
+        }
+      }
+    }
+    df.select(col("vec_id"),
+        col("label").cast("long").as("true_label"),
+        pred.cast("long").as("pred_label"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Relational logistic scoring: margin = Σ cᵢxᵢ + b (same fold
+    * order as the oracle), predict 1 iff margin > 0 — exactly MLlib's
+    * 0.5-threshold decision on σ(margin). */
+  private[graft] def lrScore(df: DataFrame, wv: Seq[Double]): DataFrame = {
+    val w = typedLit(wv)
+    val margin = let(col("emb")) { x =>
+      aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
+        acc + element_at(x, (i + 1).cast("int")) *
+          element_at(w, (i + 1).cast("int"))) + element_at(w, lit(65))
+    }
+    df.select(col("vec_id"),
+        (element_at(col("emb"), 1) > 0).cast("long").as("true_first_pg"),
+        (margin > 0).cast("long").as("pred_first_pg"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Doc-type head (l05): train-once weights, score relationally. */
+  def mlpClassify(spark: SparkSession, dir: String): DataFrame = {
+    val wv = collectWv(mlpWeights(spark, dir))
+    mlpWvRec = Some(wv)
+    mlpScore(features(spark, dir), wv)
+  }
+
+  /** first_pg head: train-once weights, score relationally. */
+  def firstPgClassify(spark: SparkSession, dir: String): DataFrame = {
+    val wv = collectWv(firstPgWeights(spark, dir))
+    lrWvRec = Some(wv)
+    lrScore(features(spark, dir), wv)
+  }
+
+  /** Model.transform twins of the two heads — the MlSpec pins
+    * (a) train-twice determinism and (b) relational scoring ≡ MLlib
+    * scoring through these seams. Not memoized: each call retrains. */
+  private[graft] def mlpPlan(spark: SparkSession, dir: String): DataFrame =
+    trainMlp(spark, dir).transform(features(spark, dir)
+        .select(col("vec_id"), col("label").cast("double").as("label"),
+          col("features")))
+      .select(col("vec_id"),
+        col("label").cast("long").as("true_label"),
+        col("prediction").cast("long").as("pred_label"))
+      .orderBy(col("vec_id"))
+
+  /** Un-memoized first_pg transform twin (see [[mlpPlan]]). */
+  private[graft] def firstPgPlan(spark: SparkSession, dir: String): DataFrame =
+    trainFirstPg(spark, dir).transform(features(spark, dir)
+        .select(col("vec_id"),
+          (element_at(col("emb"), 1) > 0).cast("double").as("label"),
+          col("features")))
       .select(col("vec_id"),
         col("label").cast("long").as("true_first_pg"),
         col("prediction").cast("long").as("pred_first_pg"))
       .orderBy(col("vec_id"))
-  }
 
   /** L7 joint eval (`combined_fai_3_13.py:351-385`): both trained
     * heads' predictions joined per vector, scored on the composite
@@ -111,7 +223,70 @@ object MlPack extends QueryPack {
     "l06_joint_two_head" -> jointEval)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
-    Map("ml_mlp_head" -> mlpClassify, "ml_first_pg_head" -> firstPgClassify)
+    Map("ml_mlp_weights" -> mlpWeights,
+      "ml_first_pg_weights" -> firstPgWeights)
 
-  val oracles: Map[String, String] = Map()
+  // --- oracle SQL with the fitted weights as literals ---
+
+  private def fmt(xs: Seq[Double]): String =
+    xs.map(d => java.lang.Double.toString(d)).mkString("[", ", ", "]")
+
+  /** The MLP scoring CTE chain ending in mp(vec_id, true_label,
+    * pred_label) — identical folds/rounding to [[mlpScore]]. */
+  private def mlpCte(mw: Seq[Double]): String = s"""
+    |wt AS (SELECT ${fmt(mw)}::DOUBLE[] AS wv),
+    |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    |h AS (SELECT vec_id, label, wv, list_transform(generate_series(0, 31), j ->
+    |    round(1.0 / (1.0 + exp(-( wv[2049 + j] +
+    |      list_reduce([0.0] || list_transform(generate_series(0, 63), i ->
+    |        x[i + 1] * wv[i * 32 + j + 1]), (a, b) -> a + b) ))), 9)) AS hh
+    |  FROM e CROSS JOIN wt),
+    |lg AS (SELECT vec_id, label, list_transform(generate_series(0, 9), k ->
+    |    round(wv[2401 + k] +
+    |      list_reduce([0.0] || list_transform(generate_series(0, 31), j ->
+    |        hh[j + 1] * wv[2081 + j * 10 + k]), (a, b) -> a + b), 9)) AS ll
+    |  FROM h),
+    |mp AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+    |    CAST(list_position(ll, list_max(ll)) - 1 AS BIGINT) AS pred_label
+    |  FROM lg)""".stripMargin
+
+  /** The logistic scoring CTE fp(vec_id, true_first_pg,
+    * pred_first_pg) — identical fold to [[lrScore]]. */
+  private def lrCte(lw: Seq[Double]): String = s"""
+    |wl AS (SELECT ${fmt(lw)}::DOUBLE[] AS cv),
+    |e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    |fp AS (SELECT vec_id,
+    |    CASE WHEN x[1] > 0 THEN 1 ELSE 0 END AS true_first_pg,
+    |    CASE WHEN list_reduce([0.0] || list_transform(generate_series(0, 63), i ->
+    |        x[i + 1] * cv[i + 1]), (a, b) -> a + b) + cv[65] > 0
+    |      THEN 1 ELSE 0 END AS pred_first_pg
+    |  FROM e2 CROSS JOIN wl)""".stripMargin
+
+  /** Emitted AFTER the queries run (Verify's dump order): the fitted
+    * weights recorded by the scoring queries become SQL literals, so
+    * the oracle replays the exact prediction arithmetic — `fit()` is
+    * the only piece outside the check. */
+  override def oracles: Map[String, String] = {
+    val l05 = mlpWvRec.map { mw =>
+      "l05_mlp_classify" -> s"""
+        |WITH ${mlpCte(mw)}
+        |SELECT vec_id, true_label, pred_label FROM mp ORDER BY vec_id""".stripMargin
+    }
+    val l06 = for { mw <- mlpWvRec; lw <- lrWvRec } yield
+      "l06_joint_two_head" -> s"""
+        |WITH ${mlpCte(mw)},
+        |${lrCte(lw)},
+        |c AS (SELECT CAST(m.true_label AS VARCHAR) || ':' ||
+        |    (CASE WHEN f.true_first_pg = 1 THEN 'true' ELSE 'false' END) AS actual,
+        |    CAST(m.pred_label AS VARCHAR) || ':' ||
+        |    (CASE WHEN f.pred_first_pg = 1 THEN 'true' ELSE 'false' END) AS predicted
+        |  FROM mp m JOIN fp f ON m.vec_id = f.vec_id)
+        |SELECT coalesce(actual, 'Overall') AS field,
+        |  CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        |  count(*) AS support,
+        |  CAST(CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS accuracy
+        |FROM c GROUP BY ROLLUP(actual) ORDER BY field""".stripMargin
+    (l05.toSeq ++ l06.toSeq).toMap
+  }
 }

@@ -120,6 +120,19 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run() == run())
   }
 
+  test("relational scoring from exported weights replays MLlib transform") {
+    // the l05/l06 oracle story rests on this: argmax(W2·σ(W1x+b1)+b2)
+    // computed as rounded relational folds must equal model.transform
+    // row for row (and the logistic margin sign must equal the LR
+    // 0.5-threshold decision)
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(sig(graft.vector.MlPack.mlpClassify(spark, sf)) ==
+      sig(graft.vector.MlPack.mlpPlan(spark, sf)))
+    assert(sig(graft.vector.MlPack.firstPgClassify(spark, sf)) ==
+      sig(graft.vector.MlPack.firstPgPlan(spark, sf)))
+  }
+
   test("RETRAINING both heads reproduces identical predictions") {
     // bypasses the session memo: two full training runs per head
     // (seeded MLP; LogisticRegression has no seed param — LBFGS from
@@ -160,7 +173,7 @@ class PqSpec extends org.scalatest.funsuite.AnyFunSuite {
 
   test("query chunking is invisible in the result") {
     // 500 queries at chunk 64 = 8 successive LUT broadcasts + scans;
-    // chunks partition the sorted id range, so the output must be
+    // chunks partition the id space by hash, so the output must be
     // bitwise-identical to the single-chunk run
     val e = graft.core.Tables(spark, sf).embeddings
     def run(chunk: Int) =

@@ -47,6 +47,10 @@ object VectorPack extends QueryPack {
     graft.core.Artifacts.memo(spark, s"pq_codes:$dir")(
       KnnJoin.pqCodes(embCast(spark, dir), pqCodebookArtifact(spark, dir), 4, 16))
 
+  private[vector] def sq8StatsArtifact(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"sq8_stats:$dir")(
+      KnnJoin.sq8Stats(embCast(spark, dir)))
+
   /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN,
     * served from the session-memoized self-join artifact. */
   def knnTop3(spark: SparkSession, dir: String): DataFrame =
@@ -218,6 +222,22 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v15: SQ8 scalar-quantized kNN — the 4×-compression member of the
+    * index ladder ([[KnnJoin.approxSq8]]): per-dimension 8-bit linear
+    * quantization, asymmetric scoring against reconstructed vectors,
+    * exact top-20 rerank. Deterministic end to end (no
+    * transcendentals), so the full pipeline — including the min/max
+    * "training" — replays in the SQL oracle; recall is asserted in
+    * the Sq8 spec. */
+  def sq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.approxSq8(spark, e, e, K,
+        statsOpt = Some(sq8StatsArtifact(spark, dir)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** v14: contrastive triplet mining over the augmented vectors —
     * every planted near-dup pair yields two (anchor, positive, hard
     * negative) training rows; the hard negative is the anchor's most
@@ -245,14 +265,16 @@ object VectorPack extends QueryPack {
     "v06_sample_by_label" -> sampleByLabel,
     "v07_doc_split" -> docSplit,
     "v08_topk_softmax" -> topkSoftmax,
-    "v13_knn_ivfpq" -> ivfPq)
+    "v13_knn_ivfpq" -> ivfPq,
+    "v15_knn_sq8" -> sq8)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
       "ivf_centroids" -> ivfCentroidsArtifact,
       "ivf_assign" -> ivfAssignmentsArtifact,
       "pq_codebook" -> pqCodebookArtifact,
-      "pq_codes" -> pqCodesArtifact)
+      "pq_codes" -> pqCodesArtifact,
+      "sq8_stats" -> sq8StatsArtifact)
 
   private val knnCte = s"""
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
@@ -464,6 +486,34 @@ object VectorPack extends QueryPack {
     |  round(sim, 6) AS sim
     |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** v15 oracle: the whole SQ8 pipeline — min/max train, 8-bit
+    * quantize + reconstruct, asymmetric top-20, exact rerank —
+    * arithmetic mirrored operation-for-operation (floor-based
+    * quantization, so there is no rounding-mode ambiguity). */
+  private val sq8Sql = s"""
+    |WITH xs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+    |ex AS (SELECT vec_id, generate_subscripts(x, 1) AS d, unnest(x) AS v FROM xs),
+    |dims AS (SELECT d, min(v) AS lo, max(v) AS hi FROM ex GROUP BY d),
+    |rec AS (SELECT vec_id, list(lo +
+    |      (floor((CASE WHEN hi > lo
+    |          THEN least(greatest((v - lo) / (hi - lo), 0.0), 1.0)
+    |          ELSE 0.0 END) * 255.0 + 0.5) / 255.0) * (hi - lo)
+    |      ORDER BY d) AS xhat
+    |  FROM ex JOIN dims USING (d) GROUP BY vec_id),
+    |ap AS (SELECT q.vec_id AS qid, r.vec_id AS nid,
+    |    list_dot_product(q.x, r.xhat) AS approx
+    |  FROM xs q JOIN rec r ON q.vec_id <> r.vec_id),
+    |cand AS (SELECT qid, nid FROM (
+    |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+    |      ORDER BY approx DESC, nid) AS arnk FROM ap) WHERE arnk <= 20),
+    |r AS (SELECT cand.qid, cand.nid, list_dot_product(q.x, n.x) AS sim,
+    |    row_number() OVER (PARTITION BY cand.qid
+    |      ORDER BY list_dot_product(q.x, n.x) DESC, cand.nid) AS rnk
+    |  FROM cand JOIN xs q ON q.vec_id = cand.qid JOIN xs n ON n.vec_id = cand.nid)
+    |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
+    |  round(sim, 6) AS sim
+    |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
+
   /** v09/v11 share v01's oracle: same semantics through the custom
     * plan node and the optimizer-rule rewrite respectively. */
   /** The planted-near-copy augmented vector relation (mirrors
@@ -498,5 +548,6 @@ object VectorPack extends QueryPack {
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
       ("v10_knn_ivf" -> ivfSql) +
       ("v12_knn_pq" -> pqSql) +
-      ("v13_knn_ivfpq" -> ivfPqSql)
+      ("v13_knn_ivfpq" -> ivfPqSql) +
+      ("v15_knn_sq8" -> sq8Sql)
 }

@@ -120,6 +120,20 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run() == run())
   }
 
+  test("SQ8 quantized kNN: near-exact recall through 4x-compressed codes") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.vector.KnnJoin.exact(spark, e, e, 3))
+    val sq8 = pairs(graft.vector.KnnJoin.approxSq8(spark, e, e, 3))
+    val recall = (exact & sq8).size.toDouble / exact.size
+    assert(recall >= 0.95, s"SQ8 recall@3 $recall — 8-bit + rerank-20 " +
+      "should be near-exact")
+    // deterministic: a second build/search replays identically
+    assert(sq8 == pairs(graft.vector.KnnJoin.approxSq8(spark, e, e, 3)))
+  }
+
   test("relational scoring from exported weights replays MLlib transform") {
     // the l05/l06 oracle story rests on this: argmax(W2·σ(W1x+b1)+b2)
     // computed as rounded relational folds must equal model.transform

@@ -61,7 +61,14 @@ object StreamPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** s08: the admission-cap batch twin ([[Streams.rateLimitBatch]]) —
+    * first 5 events per user by (ts, event_id). */
+  def rateLimit(spark: SparkSession, dir: String): DataFrame =
+    Streams.rateLimitBatch(Tables(spark, dir).events, 5)
+      .orderBy(col("user_id"), col("admit_seq"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_rate_limit" -> rateLimit,
     "s07_ingest_gate" -> ingestGate,
     "s01_tumbling_counts" -> tumbling,
     "s02_sliding_counts" -> sliding,
@@ -136,5 +143,11 @@ object StreamPack extends QueryPack {
       |FROM events a JOIN events b ON a.user_id = b.user_id
       |WHERE a.event_type = 'view' AND b.event_type = 'purchase'
       |  AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 30 MINUTE
-      |ORDER BY view_id, purchase_id""".stripMargin)
+      |ORDER BY view_id, purchase_id""".stripMargin,
+    "s08_rate_limit" -> """
+      |SELECT user_id, event_id, CAST(rn AS BIGINT) AS admit_seq FROM (
+      |  SELECT user_id, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 5 ORDER BY user_id, admit_seq""".stripMargin)
 }

@@ -287,8 +287,53 @@ object AnalysisPack extends QueryPack {
         col("source")),
       targetSource = "src0", k = 50)
 
+  /** a12: bigram language-model scoring — the 2-gram step up from
+    * a08's unigram CCNet stand-in (Wenzek et al. 2020 filter with a
+    * 5-gram KenLM; the seam is identical — swap this corpus-trained
+    * model for real LM scores at the same join). Add-one (Laplace)
+    * smoothed conditional: P(w2|w1) = (c(w1w2)+1)/(c(w1·)+V), with
+    * c(w1·) the count of bigrams starting w1 and V the corpus
+    * vocabulary size. Per doc: mean of round(−ln P, 9) over its
+    * bigrams through decimal sums (order-independent, the a08
+    * discipline). Bigram extraction is a let-bound scan-stage array
+    * transform; model counts are two linear groupBys joined back by
+    * bigram key — inverted-index shapes only, nothing quadratic. */
+  def bigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val bg = docs.select(col("doc_id"),
+        explode(graft.core.Expr.let(TextOps.words(col("text"))) { ws =>
+          when(size(ws) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(transform(sequence(lit(1), size(ws) - 1), i =>
+              struct(element_at(ws, i).as("w1"),
+                element_at(ws, i + 1).as("w2"))))
+        }).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgShared = graft.core.Caches.transient(bg)
+    val bgCounts = bgShared.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val prefCounts = bgShared.groupBy(col("w1")).agg(count(lit(1)).as("cp"))
+    val vocab = docs.select(explode(TextOps.words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("vv"))
+    val scored = bgShared
+      .join(bgCounts, Seq("w1", "w2")).join(prefCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("cb").cast("double") + 1.0) /
+          (col("cp").cast("double") + col("vv").cast("double"))), 9)
+          .cast("decimal(28,9)").as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nb"), sum(col("nll")).as("s"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("s").cast("double") / col("nb").cast("double"),
+          lit(0.0)), 6).as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
+    "a12_bigram_logprob" -> bigramLogprob,
     "a10_dsir_resample" -> dsirResample,
     "a11_sampled_terciles" -> sampledTerciles,
     "a02_quality" -> quality,
@@ -541,5 +586,26 @@ object AnalysisPack extends QueryPack {
       |FROM base
       |$joins
       |ORDER BY base.doc_id""".stripMargin
-    })
+    }) +
+    ("a12_bigram_logprob" -> s"""
+      |WITH $wordsCte,
+      |bg AS (SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+      |  FROM (SELECT doc_id, words,
+      |          unnest(generate_series(1, len(words) - 1)) AS i
+      |        FROM w WHERE len(words) >= 2)),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+      |pc AS (SELECT w1, count(*) AS cp FROM bg GROUP BY w1),
+      |v AS (SELECT count(DISTINCT wd) AS vv
+      |      FROM (SELECT unnest(words) AS wd FROM w)),
+      |sc AS (SELECT doc_id,
+      |    CAST(round(-ln((CAST(cb AS DOUBLE) + 1.0)
+      |      / (CAST(cp AS DOUBLE) + CAST(vv AS DOUBLE))), 9)
+      |      AS DECIMAL(28,9)) AS nll
+      |  FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1) CROSS JOIN v),
+      |ag AS (SELECT doc_id, count(*) AS nb, sum(nll) AS s
+      |       FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
+      |  round(coalesce(CAST(s AS DOUBLE) / CAST(nb AS DOUBLE), 0.0), 6) AS mean_nll
+      |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+      |ORDER BY d.doc_id""".stripMargin)
 }

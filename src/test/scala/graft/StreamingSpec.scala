@@ -160,6 +160,34 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spark.table("gate_out").count() > 0)
   }
 
+  test("rate-limit gate: flatMapGroupsWithState carries per-user counts across batches") {
+    val dir = Files.createTempDirectory("graft_ratestream").toString
+    val ev = Tables(spark, sf).events
+    // time-ordered arrival in TWO files = two micro-batches; per-user
+    // admission state must carry from batch 1 into batch 2
+    val split = ev.agg(expr("percentile_approx(unix_micros(ts), 0.5)"))
+      .collect()(0).getLong(0)
+    ev.filter(unix_micros(col("ts")) <= split).coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    ev.filter(unix_micros(col("ts")) > split).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val stream = Streams.watchedFolder(spark, dir, ev.schema, 1)
+    val q = Streams.rateLimitStream(spark, stream, 5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("rate_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Streams.rateLimitBatch(ev, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      s"stream ${streamed.size} admissions vs batch ${batch.size}")
+    // the cap really binds: no user exceeds 5, and some user hits it
+    val perUser = spark.table("rate_out").groupBy("user_id").count()
+      .collect().map(_.getLong(1))
+    assert(perUser.max <= 5 && perUser.contains(5L))
+  }
+
   test("streaming dropDuplicates removes replayed events exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
     val events = graft.core.Tables(spark, sf).events.limit(500)

@@ -109,42 +109,40 @@ object MlPack extends QueryPack {
 
   // --- relational scoring (the hash-checked surface) ---
 
-  /** Index helpers mirror the MLlib flat layout, 1-based to match
-    * both `element_at` and DuckDB list indexing:
-    * W1(i,j) at i*32+j+1 · b1(j) at 2049+j · W2(j,k) at 2081+j*10+k ·
-    * b2(k) at 2401+k. */
-  private def w1(w: Column, i: Column, j: Column) =
-    element_at(w, (i * 32 + j + 1).cast("int"))
-
-  import graft.core.Expr.let
-
+  // MLlib flat layout (0-based): W1(i,j) at i*32+j · b1(j) at 2048+j
+  // · W2(j,k) at 2080+j*10+k · b2(k) at 2400+k — mirrored 1-based in
+  // the oracle's DuckDB list indexing.
   /** Relational MLP scoring from a flat weight vector: h = σ(W1ᵀx+b1)
     * rounded to 9 decimals (the a08 transcendental-rounding
     * discipline), logits = W2ᵀh+b2, argmax with first-index ties.
-    * Sequential left-folds in fixed index order — the identical fold
-    * the oracle's `list_reduce` performs, so every double matches
-    * bitwise. Pure scan-stage expressions: no shuffle, no UDF. */
+    *
+    * The mat-vec products are UNROLLED into 32+10 native [[graft
+    * .plans.ArrayDot]] calls against per-column weight literals, so
+    * the whole scorer runs inside whole-stage codegen — an HOF
+    * `aggregate` formulation executes interpreted, two lambda closures
+    * per element. `ArrayDot` performs the same sequential left fold as
+    * the oracle's `list_reduce`, so every double matches bitwise.
+    * Each unrolled stage lands in its own projection whose alias is
+    * referenced MANY times statically (32×/10×/2×), which keeps
+    * CollapseProject from inlining it (the a07 pitfall). Pure
+    * scan-stage expressions: no shuffle, no UDF. */
   private[graft] def mlpScore(df: DataFrame, wv: Seq[Double]): DataFrame = {
-    val w = typedLit(wv)
-    def hiddenOf(x: Column) = transform(sequence(lit(0), lit(31)), j =>
-      round(lit(1.0) / (lit(1.0) + exp(-(element_at(w, (lit(2049) + j).cast("int")) +
-        aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
-          acc + element_at(x, (i + 1).cast("int")) * w1(w, i, j))))), 9))
-    def logitsOf(hh: Column) = transform(sequence(lit(0), lit(9)), k =>
-      round(element_at(w, (lit(2401) + k).cast("int")) +
-        aggregate(sequence(lit(0), lit(31)), lit(0.0), (acc, j) =>
-          acc + element_at(hh, (j + 1).cast("int")) *
-            element_at(w, (lit(2081) + j * 10 + k).cast("int"))), 9))
-    val pred = let(col("emb")) { x =>
-      let(hiddenOf(x)) { hh =>
-        let(logitsOf(hh)) { la =>
-          array_position(la, array_max(la)) - 1
-        }
-      }
-    }
-    df.select(col("vec_id"),
+    def w1col(j: Int): Seq[Double] = (0 until 64).map(i => wv(i * 32 + j))
+    def w2col(k: Int): Seq[Double] = (0 until 32).map(j => wv(2080 + j * 10 + k))
+    val hidden = array((0 until 32).map { j =>
+      round(lit(1.0) / (lit(1.0) + exp(-(lit(wv(2048 + j)) +
+        graft.plans.ArrayDot.dotNative(col("emb"), typedLit(w1col(j)))))), 9)
+    }: _*)
+    val logits = array((0 until 10).map { k =>
+      round(lit(wv(2400 + k)) +
+        graft.plans.ArrayDot.dotNative(col("hh"), typedLit(w2col(k))), 9)
+    }: _*)
+    df.select(col("vec_id"), col("label"), hidden.as("hh"))
+      .select(col("vec_id"), col("label"), logits.as("ll"))
+      .select(col("vec_id"),
         col("label").cast("long").as("true_label"),
-        pred.cast("long").as("pred_label"))
+        (array_position(col("ll"), array_max(col("ll"))) - 1)
+          .cast("long").as("pred_label"))
       .orderBy(col("vec_id"))
   }
 
@@ -152,12 +150,8 @@ object MlPack extends QueryPack {
     * order as the oracle), predict 1 iff margin > 0 — exactly MLlib's
     * 0.5-threshold decision on σ(margin). */
   private[graft] def lrScore(df: DataFrame, wv: Seq[Double]): DataFrame = {
-    val w = typedLit(wv)
-    val margin = let(col("emb")) { x =>
-      aggregate(sequence(lit(0), lit(63)), lit(0.0), (acc, i) =>
-        acc + element_at(x, (i + 1).cast("int")) *
-          element_at(w, (i + 1).cast("int"))) + element_at(w, lit(65))
-    }
+    val margin = graft.plans.ArrayDot.dotNative(col("emb"),
+      typedLit(wv.take(64))) + lit(wv(64))
     df.select(col("vec_id"),
         (element_at(col("emb"), 1) > 0).cast("long").as("true_first_pg"),
         (margin > 0).cast("long").as("pred_first_pg"))

@@ -17,7 +17,10 @@ object ExplainAudit {
         "d06_embedding_near_dups", "i03_web_scrape", "v10_knn_ivf",
         "l07_bm25_retrieval", "l08_hybrid_rrf", "a10_dsir_resample",
         "d12_semdedup", "d13_bloom_decontam", "d14_group_split",
-        "d15_substring_dedup", "s07_ingest_gate")
+        "d15_substring_dedup", "s07_ingest_gate",
+        "a07_c4_clean", "a12_bigram_logprob", "l05_mlp_classify",
+        "m09_temperature_scaling", "m10_isotonic_bins", "r15_corr_matrix",
+        "v15_knn_sq8", "s08_rate_limit")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

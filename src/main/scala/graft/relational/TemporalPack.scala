@@ -1,6 +1,7 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -71,10 +72,51 @@ object TemporalPack extends QueryPack {
         percentile(col("l_quantity"), lit(0.9)).as("p90"))
       .orderBy(col("l_returnflag"))
 
+  /** x04: histogram-sketch quantiles — the 100 TB path where x03's
+    * exact per-value aggregation map no longer fits. One pass builds
+    * an equi-width 1000-bin histogram (plus a min/max/count bounds
+    * scan); quantiles read off the cumulative histogram with linear
+    * interpolation inside the hit bin. The shuffle carries ≤1000
+    * sketch rows, bins MERGE by addition (per-partition / per-day
+    * sketches compose), and error is bounded by one bin width
+    * (hi−lo)/1000. Unlike `percentile_approx`'s GK sketch, every step
+    * is plain IEEE arithmetic on identical inputs, so the estimate
+    * replays bit-for-bit in DuckDB — the r14-KMV story, for
+    * quantiles. The cumulative window runs over ≤1000 sketch rows
+    * (bounded — the d08/t07 exemption to the no-global-sort rule). */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val B = 1000
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+      count(lit(1)).as("n"))
+    val h = li.crossJoin(broadcast(bounds))
+      .select(least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * B),
+        lit((B - 1).toLong)).cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val wc = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = h.withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("cum_before", col("cum") - col("cnt"))
+    val qf = bounds.select(
+      explode(array(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(lit): _*)).as("q"),
+      col("lo"), col("hi"), col("n"))
+    val target = col("q") * col("n").cast("double")
+    qf.join(c, col("cum_before").cast("double") < target &&
+        target <= col("cum").cast("double"))
+      .select(col("q"),
+        (col("lo") + (col("bin").cast("double") +
+          (target - col("cum_before").cast("double")) /
+            col("cnt").cast("double")) *
+          ((col("hi") - col("lo")) / lit(B.toDouble))).as("est"))
+      .orderBy(col("q"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_asof_join" -> asofClickView,
     "x02_range_band_join" -> rangeBandJoin,
-    "x03_quantiles_exact" -> quantilesExact)
+    "x03_quantiles_exact" -> quantilesExact,
+    "x04_histogram_quantiles" -> histogramQuantiles)
 
   val oracles: Map[String, String] = Map(
     "x01_asof_join" -> """
@@ -105,5 +147,23 @@ object TemporalPack extends QueryPack {
       |  quantile_cont(l_quantity, 0.25) AS p25,
       |  quantile_cont(l_quantity, 0.5) AS p50,
       |  quantile_cont(l_quantity, 0.9) AS p90
-      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "x04_histogram_quantiles" -> """
+      |WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+      |b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
+      |h AS (SELECT CAST(least(floor((x - lo) / (hi - lo) * 1000), 999) AS INT) AS bin,
+      |        count(*) AS cnt
+      |      FROM v CROSS JOIN b GROUP BY 1),
+      |c AS (SELECT bin, cnt,
+      |        sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM h),
+      |q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+      |SELECT q.q,
+      |  b.lo + (CAST(c.bin AS DOUBLE) +
+      |    (q.q * CAST(b.n AS DOUBLE) - CAST(c.cum - c.cnt AS DOUBLE))
+      |      / CAST(c.cnt AS DOUBLE)) * ((b.hi - b.lo) / 1000.0) AS est
+      |FROM q CROSS JOIN b JOIN c
+      |  ON CAST(c.cum - c.cnt AS DOUBLE) < q.q * CAST(b.n AS DOUBLE)
+      |  AND q.q * CAST(b.n AS DOUBLE) <= CAST(c.cum AS DOUBLE)
+      |ORDER BY q.q""".stripMargin)
 }

@@ -112,4 +112,20 @@ class RelationalPackSpec extends AnyFunSuite {
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("histogram-sketch quantiles land within one bin width of exact") {
+    import org.apache.spark.sql.functions.{col, lit, max, min, percentile}
+    val est = relational.TemporalPack.histogramQuantiles(spark, sf)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val li = graft.core.Tables(spark, sf).lineitem
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val Array(lo, hi) = li.agg(min(col("x")), max(col("x")))
+      .collect()(0).toSeq.map(_.asInstanceOf[Double]).toArray
+    val binWidth = (hi - lo) / 1000.0
+    for (q <- Seq(0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val exact = li.agg(percentile(col("x"), lit(q))).collect()(0).getDouble(0)
+      assert(math.abs(est(q) - exact) <= binWidth,
+        s"q=$q est=${est(q)} exact=$exact width=$binWidth")
+    }
+  }
 }

@@ -331,9 +331,46 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** a13: metadata association audit — mutual information and the
+    * χ² independence statistic between two categorical columns
+    * (lang × source), the datasheet-level check for "is this signal
+    * confounded with that one?" before a column is trusted as a
+    * sampling/stratification key. One groupBy for the joint counts,
+    * two for marginals (broadcast-joined back — marginal cardinality
+    * is the number of distinct labels, always tiny), N from one
+    * aggregate. MI terms (p·ln p-ratio) and χ² terms ((o−e)²/e)
+    * round at 9 decimals then decimal-sum, so both statistics are
+    * order-independent and bitwise-replayable in the oracle. */
+  def miChi2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val joint = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("nxy"))
+    val mx = docs.groupBy(col("lang")).agg(count(lit(1)).as("nx"))
+    val my = docs.groupBy(col("source")).agg(count(lit(1)).as("ny"))
+    val tot = docs.agg(count(lit(1)).as("n"),
+      countDistinct(col("lang")).as("cx"),
+      countDistinct(col("source")).as("cy"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val e = d(col("nx")) * d(col("ny")) / d(col("n"))
+    joint.join(broadcast(mx), Seq("lang")).join(broadcast(my), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("cx"), col("cy"), col("n"),
+        round((d(col("nxy")) / d(col("n"))) *
+          log((d(col("nxy")) * d(col("n"))) / (d(col("nx")) * d(col("ny")))), 9)
+          .cast("decimal(28,9)").as("mi_term"),
+        round((d(col("nxy")) - e) * (d(col("nxy")) - e) / e, 9)
+          .cast("decimal(28,9)").as("chi2_term"))
+      .groupBy(col("cx"), col("cy"), col("n"))
+      .agg(round(sum(col("mi_term")).cast("double"), 6).as("mi"),
+        round(sum(col("chi2_term")).cast("double"), 6).as("chi2"))
+      .select(col("mi"), col("chi2"),
+        ((col("cx") - 1) * (col("cy") - 1)).as("dof"), col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
     "a12_bigram_logprob" -> bigramLogprob,
+    "a13_mi_chi2" -> miChi2,
     "a10_dsir_resample" -> dsirResample,
     "a11_sampled_terciles" -> sampledTerciles,
     "a02_quality" -> quality,
@@ -607,5 +644,28 @@ object AnalysisPack extends QueryPack {
       |SELECT d.doc_id, coalesce(nb, 0) AS n_bigrams,
       |  round(coalesce(CAST(s AS DOUBLE) / CAST(nb AS DOUBLE), 0.0), 6) AS mean_nll
       |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
-      |ORDER BY d.doc_id""".stripMargin)
+      |ORDER BY d.doc_id""".stripMargin) +
+    ("a13_mi_chi2" -> """
+      |WITH j AS (SELECT lang, source, count(*) AS nxy
+      |           FROM documents GROUP BY lang, source),
+      |mx AS (SELECT lang, count(*) AS nx FROM documents GROUP BY lang),
+      |my AS (SELECT source, count(*) AS ny FROM documents GROUP BY source),
+      |t AS (SELECT count(*) AS n, count(DISTINCT lang) AS cx,
+      |        count(DISTINCT source) AS cy FROM documents),
+      |terms AS (SELECT cx, cy, n,
+      |    CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+      |        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+      |      AS DECIMAL(28,9)) AS mi_term,
+      |    CAST(round((CAST(nxy AS DOUBLE)
+      |        - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+      |      * (CAST(nxy AS DOUBLE)
+      |        - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9)) AS chi2_term
+      |  FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t)
+      |SELECT round(CAST(sum(mi_term) AS DOUBLE), 6) AS mi,
+      |  round(CAST(sum(chi2_term) AS DOUBLE), 6) AS chi2,
+      |  (cx - 1) * (cy - 1) AS dof, n
+      |FROM terms GROUP BY cx, cy, n""".stripMargin)
 }

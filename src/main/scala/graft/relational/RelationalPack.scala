@@ -272,6 +272,56 @@ object RelationalPack extends QueryPack {
       .limit(4)
   }
 
+  /** r16: Spearman rank correlation (quantity vs discount) — the
+    * robust companion to r12/r15's Pearson tier. Ranks are built WITHOUT
+    * a global row sort: one groupBy per column yields distinct-value
+    * counts (cardinality-bounded — ~50 quantities, 11 discounts), a
+    * window over those few rows assigns each value its average
+    * (mid-)rank, and the tiny rank tables broadcast back onto the
+    * fact rows. Average ranks are exact halves, so they carry through
+    * `decimal(18,1)` sums and the closed-form [[Exact.corrOf]] is
+    * bitwise-reproducible. At 100 TB the only shuffles are the two
+    * distinct-value aggregations; the windows run over value
+    * cardinality, never row count. */
+  def spearman(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+    def ranks(c: String) = {
+      val counts = li.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // mid-rank in DOUBLE: integer + (integer+1)/2 — every step is
+      // IEEE-exact (halves, powers of two), so the decimal(18,1) cast
+      // is lossless and identical on both engines; decimal DIVISION
+      // is avoided because Spark and DuckDB scale its result
+      // differently
+      counts.withColumn("cum", sum(col("cnt")).over(w))
+        .select(col("v"),
+          ((col("cum") - col("cnt")).cast("double") +
+            (col("cnt").cast("double") + 1) / 2)
+            .cast("decimal(18,1)").as("rk"))
+    }
+    val rx = ranks("l_quantity")
+      .select(col("v").as("l_quantity"), col("rk").as("rxv"))
+    val ry = ranks("l_discount")
+      .select(col("v").as("l_discount"), col("rk").as("ryv"))
+    val joined = li.select(col("l_quantity"), col("l_discount"))
+      .join(broadcast(rx), Seq("l_quantity"))
+      .join(broadcast(ry), Seq("l_discount"))
+    val x = col("rxv")
+    val y = col("ryv")
+    joined.agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,1)").as("sx"),
+        sum(y).cast("decimal(38,1)").as("sy"),
+        sum((x * y).cast("decimal(28,2)")).cast("decimal(38,2)").as("sxy"),
+        sum((x * x).cast("decimal(28,2)")).cast("decimal(38,2)").as("sxx"),
+        sum((y * y).cast("decimal(28,2)")).cast("decimal(38,2)").as("syy"))
+      .select(
+        Exact.corrOf(col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("syy"), col("n")).as("spearman_qty_discount"),
+        col("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> pricingSummary,
     "r02_revenue_topk" -> revenueTopK,
@@ -287,7 +337,8 @@ object RelationalPack extends QueryPack {
     "r12_corr_price_discount" -> corrPriceDiscount,
     "r13_approx_distinct" -> approxDistinct,
     "r14_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
-    "r15_corr_matrix" -> corrMatrix)
+    "r15_corr_matrix" -> corrMatrix,
+    "r16_spearman" -> spearman)
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -419,5 +470,30 @@ object RelationalPack extends QueryPack {
          |$pairSelects)
          |SELECT col_a, col_b, corr FROM p
          |ORDER BY abs(corr) DESC, col_a, col_b LIMIT 4""".stripMargin
-    })
+    },
+    "r16_spearman" -> """
+      |WITH cx AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |rx AS (SELECT v, CAST(CAST(cum - cnt AS DOUBLE)
+      |          + (CAST(cnt AS DOUBLE) + 1) / 2 AS DECIMAL(18,1)) AS rk
+      |       FROM (SELECT v, cnt,
+      |          sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM cx)),
+      |cy AS (SELECT l_discount AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+      |ry AS (SELECT v, CAST(CAST(cum - cnt AS DOUBLE)
+      |          + (CAST(cnt AS DOUBLE) + 1) / 2 AS DECIMAL(18,1)) AS rk
+      |       FROM (SELECT v, cnt,
+      |          sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM cy)),
+      |j AS (SELECT rx.rk AS x, ry.rk AS y FROM lineitem l
+      |      JOIN rx ON l.l_quantity = rx.v JOIN ry ON l.l_discount = ry.v),
+      |m AS (SELECT count(*) AS n,
+      |  CAST(sum(x) AS DECIMAL(38,1)) AS sx, CAST(sum(y) AS DECIMAL(38,1)) AS sy,
+      |  CAST(sum(CAST(x*y AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS sxy,
+      |  CAST(sum(CAST(x*x AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS sxx,
+      |  CAST(sum(CAST(y*y AS DECIMAL(28,2))) AS DECIMAL(38,2)) AS syy
+      |  FROM j)
+      |SELECT
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS spearman_qty_discount,
+      |  n
+      |FROM m""".stripMargin)
 }

@@ -427,7 +427,10 @@ object KnnJoin {
     * refined by `lloydIters` Lloyd iterations whose per-dimension
     * means sum through exact decimals (order-independent) — bitwise
     * reproducible on any partitioning, replayable in SQL. */
-  private[vector] def ivfCentroids(spark: SparkSession, index: DataFrame,
+  // public: index TRAINING is caller-facing API (the FAISS `train`
+  // analog) — a built centroid frame is a persistable artifact that
+  // reloads from parquet into `centroidsOpt` (spec-pinned round-trip)
+  def ivfCentroids(spark: SparkSession, index: DataFrame,
                                    nCentroids: Int, seed: String,
                                    lloydIters: Int): DataFrame = {
     import graft.sample.Sampling

@@ -120,6 +120,27 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run() == run())
   }
 
+  test("index artifacts persist to parquet and reload to identical searches") {
+    // the reference's faiss.write_index/read_index workflow: a trained
+    // index round-trips through storage and serves identical results.
+    // Artifacts are plain frames, so persistence IS parquet write/read.
+    val e = graft.core.Tables(spark, sf).embeddings
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    def sig(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    val emb = e.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val cents = graft.vector.KnnJoin.ivfCentroids(spark, emb, 16, "42", 2)
+    cents.write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    val loaded = spark.read.parquet(s"$dir/ivf_centroids")
+    val fresh = sig(graft.vector.KnnJoin.approxIvf(spark, e, e, 3,
+      centroidsOpt = Some(cents)))
+    val replayed = sig(graft.vector.KnnJoin.approxIvf(spark, e, e, 3,
+      centroidsOpt = Some(loaded)))
+    assert(fresh == replayed, "IVF search from reloaded centroids diverged")
+  }
+
   test("SQ8 quantized kNN: near-exact recall through 4x-compressed codes") {
     val e = graft.core.Tables(spark, sf).embeddings
     def pairs(df: org.apache.spark.sql.DataFrame) = df

@@ -113,6 +113,26 @@ class RelationalPackSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("filters push down to the parquet scan and projections prune it") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def formatted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // r04's range predicate must reach the parquet reader as
+    // PushedFilters — a post-scan Filter over a full-table read is the
+    // plan that stops working at 100 TB
+    val fr = formatted(relational.RelationalPack.filterRange(spark, sf))
+    assert(fr.contains("PushedFilters: ["), s"no pushdown in:\n$fr")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan|PushedFilters: \\[[^\\]]*LessThan".r
+      .findFirstIn(fr).isDefined, s"range predicate not pushed:\n$fr")
+    // a narrow projection must prune the read schema: the lineitem
+    // scan behind r02 reads a handful of columns, not all 16
+    val rs = "ReadSchema: [^\\n]*".r
+      .findFirstIn(formatted(relational.RelationalPack.revenueTopK(spark, sf)))
+      .getOrElse("")
+    assert(rs.nonEmpty && !rs.contains("l_comment"),
+      s"projection not pruned: $rs")
+  }
+
   test("histogram-sketch quantiles land within one bin width of exact") {
     import org.apache.spark.sql.functions.{col, lit, max, min, percentile}
     val est = relational.TemporalPack.histogramQuantiles(spark, sf)

@@ -367,10 +367,48 @@ object AnalysisPack extends QueryPack {
         ((col("cx") - 1) * (col("cy") - 1)).as("dof"), col("n"))
   }
 
+  /** a14 planting: a VALID test card for doc_id < 50, a Luhn-FAILING
+    * near-miss (last digit bumped) for 50 ≤ doc_id < 100 — the
+    * checksum must accept the first and reject the second, which a
+    * pattern-only scrubber (a05) cannot distinguish. */
+  private val validCard = "4539 1488 0343 6467"
+  private val invalidCard = "4539 1488 0343 6468"
+  private def withPlantedCards(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(col("doc_id"),
+      when(col("doc_id") < 50,
+        concat(col("text"), lit(s" pay $validCard now")))
+        .when(col("doc_id") < 100,
+          concat(col("text"), lit(s" pay $invalidCard now")))
+        .otherwise(col("text")).as("text"))
+
+  /** a14: Luhn-validated card redaction — the checksum tier of the
+    * PII scrub (a05 is pattern-only): candidate digit runs from one
+    * regex pass, each VALIDATED by the Luhn fold
+    * ([[TextAnalysis.luhnValid]]), and only validated numbers redact.
+    * Scan-stage: regex + a ≤19-step integer fold per candidate, no
+    * shuffle; false-positive digit runs (invoice ids, timestamps)
+    * survive untouched, which is exactly why production scrubbers
+    * checksum before redacting. */
+  def luhnRedact(spark: SparkSession, dir: String): DataFrame = {
+    val cands = call_function("regexp_extract_all", col("text"),
+      lit("[0-9][0-9 -]{10,22}[0-9]"), lit(0))
+    val valid = filter(col("cands"), c =>
+      TextAnalysis.luhnValid(regexp_replace(c, "[ -]", "")))
+    withPlantedCards(spark, dir)
+      .select(col("doc_id"), col("text"), cands.as("cands"))
+      .select(col("doc_id"), col("text"), valid.as("valid"))
+      .select(col("doc_id"),
+        size(col("valid")).cast("long").as("n_cards"),
+        aggregate(col("valid"), col("text"),
+          (acc, c) => replace(acc, c, lit("<card>"))).as("text_redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_lang_id" -> langId,
     "a12_bigram_logprob" -> bigramLogprob,
     "a13_mi_chi2" -> miChi2,
+    "a14_luhn_redact" -> luhnRedact,
     "a10_dsir_resample" -> dsirResample,
     "a11_sampled_terciles" -> sampledTerciles,
     "a02_quality" -> quality,
@@ -667,5 +705,29 @@ object AnalysisPack extends QueryPack {
       |SELECT round(CAST(sum(mi_term) AS DOUBLE), 6) AS mi,
       |  round(CAST(sum(chi2_term) AS DOUBLE), 6) AS chi2,
       |  (cx - 1) * (cy - 1) AS dof, n
-      |FROM terms GROUP BY cx, cy, n""".stripMargin)
+      |FROM terms GROUP BY cx, cy, n""".stripMargin) +
+    ("a14_luhn_redact" -> s"""
+      |WITH pl AS (SELECT doc_id,
+      |    CASE WHEN doc_id < 50 THEN text || ' pay $validCard now'
+      |         WHEN doc_id < 100 THEN text || ' pay $invalidCard now'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |cn AS (SELECT doc_id, text,
+      |    regexp_extract_all(text, '[0-9][0-9 -]{10,22}[0-9]') AS cands
+      |  FROM pl),
+      |vf AS (SELECT doc_id, text,
+      |    list_filter(cands, c ->
+      |      len(regexp_replace(c, '[ -]', '', 'g')) BETWEEN 13 AND 19 AND
+      |      list_reduce([0] || list_transform(
+      |          generate_series(1, length(regexp_replace(c, '[ -]', '', 'g'))), i ->
+      |        CASE WHEN i % 2 = 0
+      |          THEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS BIGINT) * 2
+      |            - CASE WHEN CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS BIGINT) * 2 > 9
+      |                THEN 9 ELSE 0 END
+      |          ELSE CAST(substr(reverse(regexp_replace(c, '[ -]', '', 'g')), i, 1) AS BIGINT)
+      |        END), (a, b) -> a + b) % 10 = 0) AS valid
+      |  FROM cn)
+      |SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
+      |  list_reduce([text] || valid, (a, c) -> replace(a, c, '<card>')) AS text_redacted
+      |FROM vf ORDER BY doc_id""".stripMargin)
 }

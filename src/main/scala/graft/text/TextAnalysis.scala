@@ -174,6 +174,22 @@ object TextAnalysis {
       size(call_function("regexp_extract_all", text, lit(p), lit(0)))
     }.reduce(_ + _)
 
+  /** Luhn checksum over a digit string (ISO/IEC 7812) — the
+    * VALIDATION step that separates a real card number from any
+    * 13-19 digit run, which no regex can express: from the right,
+    * every second digit doubles (minus 9 when that overflows), and
+    * the total must divide by 10. Pure integer arithmetic over a
+    * ≤19-element sequence, identical on both engines. */
+  def luhnValid(ds: Column): Column = {
+    val rs = reverse(ds)
+    val total = aggregate(sequence(lit(1), length(ds)), lit(0L), (acc, i) => {
+      val d = rs.substr(i, lit(1)).cast("long")
+      val e = d * 2 - when(d * 2 > 9, 9L).otherwise(0L)
+      acc + when(pmod(i.cast("long"), lit(2L)) === 0L, e).otherwise(d)
+    })
+    length(ds).between(13, 19) && pmod(total, lit(10L)) === 0
+  }
+
   // --- C4-style page cleaning (Raffel et al. 2020 §2.2, the rules
   // that built the Colossal Clean Crawled Corpus). Line level: keep
   // only lines ending in terminal punctuation, with ≥ 3 words, and

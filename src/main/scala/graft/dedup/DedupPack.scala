@@ -40,6 +40,34 @@ object DedupPack extends QueryPack {
       .filter(col("n_copies") > 1)
       .orderBy(col("content_hash"))
 
+  /** d16: INCREMENTAL dedup — the daily-ingest shape d01 doesn't
+    * cover: a new batch (the planted ids ≥ 100000) dedups against the
+    * HISTORICAL corpus digest set (base ids) plus itself, without
+    * ever rescanning history text. Per batch doc: 'dup_of_history'
+    * (digest already in the historical set), 'dup_in_batch' (an
+    * earlier batch doc-id owns the digest), or 'new'. The history
+    * side carries ONE md5 per historical doc — at 100 TB that digest
+    * relation joins by hash (or pre-screens through the d13 Bloom
+    * relation when even digests shouldn't shuffle); the batch side is
+    * a day's ingest, not the corpus. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    val hist = aug.filter(col("doc_id") < 100000)
+      .select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val batch = aug.filter(col("doc_id") >= 100000)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val firstInBatch = batch.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    batch.join(hist, Seq("h"), "left")
+      .join(firstInBatch, Seq("h"))
+      .select(col("doc_id"), col("h").as("content_hash"),
+        when(coalesce(col("in_hist"), lit(false)), "dup_of_history")
+          .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Session-scoped Jaccard-pair artifact: d02 reports the pairs, d08
     * resolves them into groups — one mining pass serves both (the
     * `exactSelfTop3` discipline). */
@@ -308,6 +336,7 @@ object DedupPack extends QueryPack {
     "d09_decontamination" -> decontamination,
     "d07_jaccard_stopshingle" -> jaccardStopShingle,
     "d01_exact_dedup" -> exactDedup,
+    "d16_incremental_dedup" -> incrementalDedup,
     "d02_jaccard_pairs" -> jaccard,
     "d03_minhash_candidates" -> minhash,
     "d04_simhash_values" -> simhashValues,
@@ -485,6 +514,17 @@ object DedupPack extends QueryPack {
       |  count(*) AS n_copies
       |FROM aug GROUP BY md5(text) HAVING count(*) > 1
       |ORDER BY content_hash""".stripMargin,
+    "d16_incremental_dedup" -> s"""
+      |WITH $augmentedSql,
+      |hist AS (SELECT DISTINCT md5(text) AS h FROM aug WHERE doc_id < 100000),
+      |batch AS (SELECT doc_id, md5(text) AS h FROM aug WHERE doc_id >= 100000),
+      |fb AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+      |SELECT b.doc_id, b.h AS content_hash,
+      |  CASE WHEN hist.h IS NOT NULL THEN 'dup_of_history'
+      |       WHEN b.doc_id <> fb.first_id THEN 'dup_in_batch'
+      |       ELSE 'new' END AS status
+      |FROM batch b LEFT JOIN hist ON b.h = hist.h JOIN fb ON b.h = fb.h
+      |ORDER BY b.doc_id""".stripMargin,
     "d02_jaccard_pairs" -> s"""
       |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
       |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),

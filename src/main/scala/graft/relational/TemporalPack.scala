@@ -90,9 +90,13 @@ object TemporalPack extends QueryPack {
       .select(col("l_extendedprice").cast("double").as("x"))
     val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
       count(lit(1)).as("n"))
+    // hi == lo (constant column) guards to bin 0 — without it the bin
+    // expression is 0/0 = NaN; the interpolation below already
+    // degrades correctly there ((hi−lo)/B = 0 ⇒ est = lo)
     val h = li.crossJoin(broadcast(bounds))
-      .select(least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * B),
-        lit((B - 1).toLong)).cast("int").as("bin"))
+      .select(when(col("hi") > col("lo"),
+        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * B),
+          lit((B - 1).toLong))).otherwise(0L).cast("int").as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
     val wc = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -151,7 +155,9 @@ object TemporalPack extends QueryPack {
     "x04_histogram_quantiles" -> """
       |WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
       |b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM v),
-      |h AS (SELECT CAST(least(floor((x - lo) / (hi - lo) * 1000), 999) AS INT) AS bin,
+      |h AS (SELECT CAST(CASE WHEN hi > lo
+      |          THEN least(floor((x - lo) / (hi - lo) * 1000), 999)
+      |          ELSE 0 END AS INT) AS bin,
       |        count(*) AS cnt
       |      FROM v CROSS JOIN b GROUP BY 1),
       |c AS (SELECT bin, cnt,

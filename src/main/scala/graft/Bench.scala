@@ -33,8 +33,10 @@ object Bench {
     // SPARK_GRAFT_ONLY=d02,f01 limits the run for local iteration;
     // a bare family prefix (ONLY=d02) selects d02_* but "d1" does NOT
     // select d10..d15 — a prefix must be the full name or end at '_'
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    // blank env (SPARK_GRAFT_ONLY= exported-but-empty) means "unset",
+    // not "select nothing"
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def matches(n: String, o: String): Boolean =
       n == o || n.startsWith(o + "_") || (o.contains("_") && n.startsWith(o))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -17,13 +17,31 @@ import org.apache.spark.sql.functions._
   */
 object Calibration {
 
+  /** The shared binning projection: (bin, p decimal, y long) — ONE
+    * definition so the binning rule cannot drift between the
+    * calibration operators (their SQL mirrors stay explicit per
+    * query, as oracle strings must). */
+  private def binned(df: DataFrame, prob: Column, label: Column,
+                     bins: Int): DataFrame =
+    df.select(
+      least(floor(prob * bins), lit(bins - 1)).cast("int").as("bin"),
+      prob.cast("decimal(18,6)").as("p"),
+      label.cast("long").as("y"))
+
+  /** The ECE aggregation over per-bin (n, confidence, accuracy) rows:
+    * |acc−conf|·n addends through a decimal(28,12) cast so the
+    * ≤`bins`-term sum is order-independent (and the oracle can
+    * reproduce it exactly). Shared by ece/calibrationSummary/
+    * temperatureScale. */
+  private def eceOverBins: Column =
+    (sum((col("n").cast("double") * abs(col("accuracy") - col("confidence")))
+      .cast("decimal(28,12)")).cast("double") /
+      sum(col("n")).cast("double"))
+
   /** Per-bin reliability table: bin, n, avg confidence, avg accuracy. */
   def reliabilityBins(df: DataFrame, prob: Column, label: Column,
-                      bins: Int = 10): DataFrame = {
-    val bin = least(floor(prob * bins), lit(bins - 1)).cast("int").as("bin")
-    df.select(bin,
-        prob.cast("decimal(18,6)").as("p"),
-        label.cast("long").as("y"))
+                      bins: Int = 10): DataFrame =
+    binned(df, prob, label, bins)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("p")).as("sp"),
@@ -32,18 +50,10 @@ object Calibration {
         col("bin"), col("n"),
         (col("sp").cast("double") / col("n").cast("double")).as("confidence"),
         (col("sy").cast("double") / col("n").cast("double")).as("accuracy"))
-  }
 
-  /** Scalar ECE from the reliability bins (driver gets a 1-row frame).
-    * The per-bin |acc−conf|·n addends are doubles; they go through a
-    * decimal(28,12) cast before summation so the ≤`bins`-term sum is
-    * order-independent (and the oracle can reproduce it exactly). */
+  /** Scalar ECE from the reliability bins (driver gets a 1-row frame). */
   def ece(df: DataFrame, prob: Column, label: Column, bins: Int = 10): DataFrame =
-    reliabilityBins(df, prob, label, bins)
-      .agg(
-        (sum((col("n").cast("double") * abs(col("accuracy") - col("confidence")))
-          .cast("decimal(28,12)")).cast("double") /
-          sum(col("n")).cast("double")).as("ece"))
+    reliabilityBins(df, prob, label, bins).agg(eceOverBins.as("ece"))
 
   /** ECE + MCE + Brier in one pass (the full calibration-summary tier
     * the reference plans in `meeting_6_11.py:14` — ECE itself is
@@ -57,11 +67,8 @@ object Calibration {
     * partition-order-independent and oracle-replayable. */
   def calibrationSummary(df: DataFrame, prob: Column, label: Column,
                          bins: Int = 10): DataFrame = {
-    val bin = least(floor(prob * bins), lit(bins - 1)).cast("int").as("bin")
     val d = col("p").cast("double") - col("y").cast("double")
-    val perBin = df.select(bin,
-        prob.cast("decimal(18,6)").as("p"),
-        label.cast("long").as("y"))
+    binned(df, prob, label, bins)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("p")).as("sp"),
@@ -70,12 +77,9 @@ object Calibration {
       .select(col("bin"), col("n"), col("sq"),
         (col("sp").cast("double") / col("n").cast("double")).as("confidence"),
         (col("sy").cast("double") / col("n").cast("double")).as("accuracy"))
-    perBin.agg(
-      (sum((col("n").cast("double") * abs(col("accuracy") - col("confidence")))
-        .cast("decimal(28,12)")).cast("double") /
-        sum(col("n")).cast("double")).as("ece"),
-      max(abs(col("accuracy") - col("confidence"))).as("mce"),
-      (sum(col("sq")).cast("double") / sum(col("n")).cast("double")).as("brier"))
+      .agg(eceOverBins.as("ece"),
+        max(abs(col("accuracy") - col("confidence"))).as("mce"),
+        (sum(col("sq")).cast("double") / sum(col("n")).cast("double")).as("brier"))
   }
 
   /** Logit of a clamped probability, rounded to 9 decimals so both
@@ -133,7 +137,7 @@ object Calibration {
           .as("r"))
       .select(col("t_star"), col("nll_star"), col("r.which").as("which"),
         col("r.pp").as("pp"), col("r.y").as("y"))
-    val binned = long
+    val perWhichBin = long
       .groupBy(col("t_star"), col("nll_star"), col("which"),
         least(floor(col("pp").cast("double") * bins), lit(bins - 1))
           .cast("int").as("bin"))
@@ -141,11 +145,9 @@ object Calibration {
       .select(col("t_star"), col("nll_star"), col("which"), col("n"),
         (col("sp").cast("double") / col("n").cast("double")).as("confidence"),
         (col("sy").cast("double") / col("n").cast("double")).as("accuracy"))
-    binned
+    perWhichBin
       .groupBy(col("t_star"), col("nll_star"), col("which"))
-      .agg((sum((col("n").cast("double") * abs(col("accuracy") - col("confidence")))
-        .cast("decimal(28,12)")).cast("double") /
-        sum(col("n")).cast("double")).as("ece"))
+      .agg(eceOverBins.as("ece"))
       .groupBy(col("t_star"), col("nll_star"))
       .agg(round(max(when(col("which") === 0, col("ece"))), 6).as("ece_before"),
         round(max(when(col("which") === 1, col("ece"))), 6).as("ece_after"))
@@ -163,10 +165,7 @@ object Calibration {
     * ratio, exact on both engines. */
   def isotonicBins(df: DataFrame, prob: Column, label: Column,
                    bins: Int = 10): DataFrame = {
-    val bin = least(floor(prob * bins), lit(bins - 1)).cast("int").as("bin")
-    val perBin = df.select(bin,
-        prob.cast("decimal(18,6)").as("p"),
-        label.cast("long").as("y"))
+    val perBin = binned(df, prob, label, bins)
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("sp"), sum(col("y")).as("sy"))
     val members = perBin.select(col("bin").as("l"), col("n"), col("sy"))

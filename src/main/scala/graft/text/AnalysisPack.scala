@@ -336,15 +336,17 @@ object AnalysisPack extends QueryPack {
     * (lang × source), the datasheet-level check for "is this signal
     * confounded with that one?" before a column is trusted as a
     * sampling/stratification key. One groupBy for the joint counts,
-    * two for marginals (broadcast-joined back — marginal cardinality
-    * is the number of distinct labels, always tiny), N from one
-    * aggregate. MI terms (p·ln p-ratio) and χ² terms ((o−e)²/e)
-    * round at 9 decimals then decimal-sum, so both statistics are
-    * order-independent and bitwise-replayable in the oracle. */
+    * two for marginals, N from one aggregate; the term relation is
+    * the FULL marginal cross grid (cardinality |lang|·|source| —
+    * label counts, always tiny) so absent cells pay their χ²
+    * expected-count term. MI terms (p·ln p-ratio) and χ² terms
+    * ((o−e)²/e) round at 9 decimals then decimal-sum, so both
+    * statistics are order-independent and bitwise-replayable in the
+    * oracle. */
   def miChi2(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
     val joint = docs.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("nxy"))
+      .agg(count(lit(1)).as("nxy0"))
     val mx = docs.groupBy(col("lang")).agg(count(lit(1)).as("nx"))
     val my = docs.groupBy(col("source")).agg(count(lit(1)).as("ny"))
     val tot = docs.agg(count(lit(1)).as("n"),
@@ -352,11 +354,21 @@ object AnalysisPack extends QueryPack {
       countDistinct(col("source")).as("cy"))
     val d = (c: org.apache.spark.sql.Column) => c.cast("double")
     val e = d(col("nx")) * d(col("ny")) / d(col("n"))
-    joint.join(broadcast(mx), Seq("lang")).join(broadcast(my), Seq("source"))
-      .crossJoin(broadcast(tot))
+    // the FULL cx×cy grid, not just observed combos: χ² owes every
+    // absent cell its (0−e)²/e = e contribution — exactly the cells a
+    // strongly-confounded pair produces — or the strongest
+    // associations would report the most understated statistic. MI
+    // keeps the standard 0·ln0 = 0 convention for those cells.
+    val grid = mx.crossJoin(my)
+      .join(joint, Seq("lang", "source"), "left")
+      .select(col("nx"), col("ny"),
+        coalesce(col("nxy0"), lit(0L)).as("nxy"))
+    grid.crossJoin(broadcast(tot))
       .select(col("cx"), col("cy"), col("n"),
-        round((d(col("nxy")) / d(col("n"))) *
-          log((d(col("nxy")) * d(col("n"))) / (d(col("nx")) * d(col("ny")))), 9)
+        when(col("nxy") > 0,
+          round((d(col("nxy")) / d(col("n"))) *
+            log((d(col("nxy")) * d(col("n"))) / (d(col("nx")) * d(col("ny")))), 9))
+          .otherwise(lit(0.0))
           .cast("decimal(28,9)").as("mi_term"),
         round((d(col("nxy")) - e) * (d(col("nxy")) - e) / e, 9)
           .cast("decimal(28,9)").as("chi2_term"))
@@ -388,7 +400,17 @@ object AnalysisPack extends QueryPack {
     * Scan-stage: regex + a ≤19-step integer fold per candidate, no
     * shuffle; false-positive digit runs (invoice ids, timestamps)
     * survive untouched, which is exactly why production scrubbers
-    * checksum before redacting. */
+    * checksum before redacting.
+    *
+    * Declared limitations (shared with regex-candidate scrubbers
+    * generally, and mirrored by the oracle): two cards adjacent with
+    * no non-digit gap merge into one over-length candidate and
+    * neither redacts (the greedy non-overlapping match cannot split
+    * them — a boundary-anchored `(?<!\\d)` pattern would, but
+    * lookaround sits outside the Java∩RE2 subset the oracle can
+    * replay); and `replace` rewrites a validated number wherever it
+    * occurs, including inside a longer unvalidated digit run that
+    * happens to embed it. */
   def luhnRedact(spark: SparkSession, dir: String): DataFrame = {
     val cands = call_function("regexp_extract_all", col("text"),
       lit("[0-9][0-9 -]{10,22}[0-9]"), lit(0))
@@ -684,24 +706,29 @@ object AnalysisPack extends QueryPack {
       |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
       |ORDER BY d.doc_id""".stripMargin) +
     ("a13_mi_chi2" -> """
-      |WITH j AS (SELECT lang, source, count(*) AS nxy
+      |WITH j AS (SELECT lang, source, count(*) AS nxy0
       |           FROM documents GROUP BY lang, source),
       |mx AS (SELECT lang, count(*) AS nx FROM documents GROUP BY lang),
       |my AS (SELECT source, count(*) AS ny FROM documents GROUP BY source),
       |t AS (SELECT count(*) AS n, count(DISTINCT lang) AS cx,
       |        count(DISTINCT source) AS cy FROM documents),
+      |g AS (SELECT mx.lang, my.source, mx.nx, my.ny,
+      |        coalesce(j.nxy0, 0) AS nxy
+      |      FROM mx CROSS JOIN my
+      |      LEFT JOIN j ON j.lang = mx.lang AND j.source = my.source),
       |terms AS (SELECT cx, cy, n,
-      |    CAST(round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
-      |      * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
-      |        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
-      |      AS DECIMAL(28,9)) AS mi_term,
+      |    CAST(CASE WHEN nxy > 0 THEN
+      |      round((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+      |          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 9)
+      |      ELSE 0.0 END AS DECIMAL(28,9)) AS mi_term,
       |    CAST(round((CAST(nxy AS DOUBLE)
       |        - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
       |      * (CAST(nxy AS DOUBLE)
       |        - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
       |      / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 9)
       |      AS DECIMAL(28,9)) AS chi2_term
-      |  FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN t)
+      |  FROM g CROSS JOIN t)
       |SELECT round(CAST(sum(mi_term) AS DOUBLE), 6) AS mi,
       |  round(CAST(sum(chi2_term) AS DOUBLE), 6) AS chi2,
       |  (cx - 1) * (cy - 1) AS dof, n

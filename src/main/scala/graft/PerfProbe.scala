@@ -31,6 +31,24 @@ object PerfProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // `runMain graft.PerfProbe ivfscale` — the FAISS nlist ∝ √n rule,
+    // measured: with nCentroids FIXED at the sf0.1 default (16), a
+    // 10× corpus probes nProbe/nCentroids = 1/4 of all vectors per
+    // query — quadratic/4 — while √n-scaled lists keep candidate
+    // volume ≈ nProbe·n/√n per query. Same recall ladder, different
+    // wall-clock class.
+    if (args.contains("ivfscale")) {
+      val e = graft.core.Tables(spark, sfDir).embeddings
+      val n = e.count()
+      time(s"ivf n=$n nCentroids=16 nProbe=4 (sf0.1 default)")(noop(
+        graft.vector.KnnJoin.approxIvf(spark, e, e, 3, 16, 4)))
+      val root = math.max(16, math.sqrt(n.toDouble).toInt)
+      time(s"ivf n=$n nCentroids=$root nProbe=8 (sqrt-n rule)")(noop(
+        graft.vector.KnnJoin.approxIvf(spark, e, e, 3, root, 8)))
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe crossover` — the d10/d05 band-width
     // crossover measurement: banded vs all-pairs wall time on 1× and
     // a 10×-unioned corpus (distinct ids, duplicated text — realistic

@@ -82,7 +82,12 @@ object FeedbackPack extends QueryPack {
     * reference's combined classifier eval. */
   def compositeEval(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir).embeddings
-    val preds = KnnJoin.exact(spark, e, e, 1)
+    // rank-1 rows of the SESSION kNN artifact — identical to a fresh
+    // exact(k=1) scan (same TopK ordering), without re-running the
+    // quadratic sweep this query was measured recomputing at 10×
+    // scale (64.5 s vs ~1 s through the artifact; PERF.md round 6)
+    val preds = KnnJoin.exactSelfTop3(spark, dir)
+      .filter(col("rank") === 1)
       .join(e.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), Seq("query_id"))
       .select(col("query_id"),

@@ -847,17 +847,16 @@ object KnnJoin {
     * touch only Q·rerank candidate rows. Quantize → reconstruct →
     * score is pure IEEE arithmetic (no transcendentals), so the whole
     * pipeline replays bit-for-bit in the SQL oracle. */
-  def approxSq8(spark: SparkSession, queries: DataFrame, index: DataFrame,
-                k: Int, rerank: Int = 20, excludeSelf: Boolean = true,
-                statsOpt: Option[DataFrame] = None): DataFrame = {
+  /** Quantize-and-reconstruct expression builder from a collected
+    * stats frame (bounded: 2·dim doubles — the quantizer "model",
+    * the same tier as the collected PQ codebook/LUT). Shared by the
+    * flat [[approxSq8]] and the composed [[approxIvfSq8]]. */
+  private def sq8XhatFn(stats: DataFrame): Column => Column = {
     import graft.core.Expr.let
-    val stats = statsOpt.getOrElse(sq8Stats(index))
-    // bounded driver collect: 2·dim doubles — the quantizer "model",
-    // the same tier as the collected PQ codebook/LUT
     val row = stats.collect()(0)
     val lo = typedLit(row.getSeq[Double](0))
     val hi = typedLit(row.getSeq[Double](1))
-    def xhatOf(x: Column): Column = let(x) { xv =>
+    (x: Column) => let(x) { xv =>
       transform(sequence(lit(0), size(xv) - 1), d => {
         val l = element_at(lo, (d + 1).cast("int"))
         val h = element_at(hi, (d + 1).cast("int"))
@@ -868,6 +867,12 @@ object KnnJoin {
         l + (floor(p * 255.0 + lit(0.5)) / 255.0) * (h - l)
       })
     }
+  }
+
+  def approxSq8(spark: SparkSession, queries: DataFrame, index: DataFrame,
+                k: Int, rerank: Int = 20, excludeSelf: Boolean = true,
+                statsOpt: Option[DataFrame] = None): DataFrame = {
+    val xhatOf = sq8XhatFn(statsOpt.getOrElse(sq8Stats(index)))
     val recon = index.select(col("vec_id"),
       xhatOf(col("embedding").cast("array<double>")).as("embedding"))
     val cands = exactBroadcast(spark, queries, recon, rerank, excludeSelf)
@@ -889,5 +894,59 @@ object KnnJoin {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"), col("n_label"))
+  }
+
+  /** IVF-SQ8 composition (FAISS `IndexIVFScalarQuantizer` shape —
+    * completing the index matrix: Flat / Sharded / LSH / IVF / PQ /
+    * IVF-PQ / SQ8 / IVF-SQ8): the coarse quantizer prunes to
+    * `nProbe` lists, SQ8-reconstructed vectors score ONLY within the
+    * probed lists (asymmetric — queries stay full-precision), and the
+    * top-`nCandidates` per query re-rank on exact dot products.
+    * The 10× scale measurement (PERF.md round 6) is the motivation:
+    * flat SQ8's whole-corpus approx scan is quadratic in n; list
+    * pruning cuts it to nProbe/nCentroids of the corpus per query,
+    * with the stored index at one byte per dimension. The candidate
+    * join shuffles on centroid id; nothing broadcasts past the
+    * bounded centroid set and the collected 2·dim stats. */
+  def approxIvfSq8(spark: SparkSession, queries: DataFrame, index: DataFrame,
+                   k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                   nCandidates: Int = 100, seed: String = "42",
+                   lloydIters: Int = 2,
+                   centroidsOpt: Option[DataFrame] = None,
+                   assignmentsOpt: Option[DataFrame] = None,
+                   statsOpt: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      ivfCentroids(spark, index, nCentroids, seed, lloydIters))
+    val assignments = assignmentsOpt.getOrElse(
+      nearestCentroids(spark, index, centroids, 1))
+    val probes = nearestCentroids(spark, queries, centroids, nProbe)
+      .withColumnRenamed("vec_id", "query_id")
+    val xhatOf = sq8XhatFn(statsOpt.getOrElse(sq8Stats(index)))
+    val recon = index.select(col("vec_id").as("neighbor_id"),
+      xhatOf(col("embedding").cast("array<double>")).as("n_hat"))
+    val pl = probes.join(
+        assignments.select(col("vec_id").as("neighbor_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = pl.join(q, Seq("query_id")).join(recon, Seq("neighbor_id"))
+      .withColumn("approx", VectorOps.dot(col("q_emb"), col("n_hat")))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= nCandidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val nv = index.select(col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("n_emb"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(q, Seq("query_id")).join(nv, Seq("neighbor_id"))
+      .withColumn("sim", VectorOps.dot(col("q_emb"), col("n_emb")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("sim"))
   }
 }

@@ -238,6 +238,22 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v16: IVF-SQ8 composition — coarse lists prune, SQ8-reconstructed
+    * vectors score within probed lists only, exact rerank
+    * ([[KnnJoin.approxIvfSq8]]). Deterministic end to end like
+    * v10/v13/v15, so the full pipeline replays under the composed SQL
+    * oracle. */
+  def ivfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).embeddings
+    KnnJoin.approxIvfSq8(spark, e, e, K,
+        centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
+        assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)),
+        statsOpt = Some(sq8StatsArtifact(spark, dir)))
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** v14: contrastive triplet mining over the augmented vectors —
     * every planted near-dup pair yields two (anchor, positive, hard
     * negative) training rows; the hard negative is the anchor's most
@@ -266,7 +282,8 @@ object VectorPack extends QueryPack {
     "v07_doc_split" -> docSplit,
     "v08_topk_softmax" -> topkSoftmax,
     "v13_knn_ivfpq" -> ivfPq,
-    "v15_knn_sq8" -> sq8)
+    "v15_knn_sq8" -> sq8,
+    "v16_knn_ivfsq8" -> ivfSq8)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
@@ -514,6 +531,35 @@ object VectorPack extends QueryPack {
     |  round(sim, 6) AS sim
     |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** v16 oracle: the IVF coarse chain composed with SQ8
+    * quantize/reconstruct scoring inside probed lists — mirrors
+    * [[KnnJoin.approxIvfSq8]] operation-for-operation. */
+  private val ivfSq8Sql = s"""
+    |WITH $eCte,
+    |$ivfCtes,
+    |ex8 AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS xv FROM e),
+    |dims AS (SELECT d, min(xv) AS lo, max(xv) AS hi FROM ex8 GROUP BY d),
+    |rec AS (SELECT vec_id, list(lo +
+    |      (floor((CASE WHEN hi > lo
+    |          THEN least(greatest((xv - lo) / (hi - lo), 0.0), 1.0)
+    |          ELSE 0.0 END) * 255.0 + 0.5) / 255.0) * (hi - lo)
+    |      ORDER BY d) AS xhat
+    |  FROM ex8 JOIN dims USING (d) GROUP BY vec_id),
+    |pl AS (SELECT p.qid, a.vec_id AS nid
+    |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+    |ap AS (SELECT pl.qid, pl.nid, list_dot_product(q.v, r.xhat) AS approx
+    |  FROM pl JOIN e q ON q.vec_id = pl.qid JOIN rec r ON r.vec_id = pl.nid),
+    |cand AS (SELECT qid, nid FROM (
+    |    SELECT qid, nid, row_number() OVER (PARTITION BY qid
+    |      ORDER BY approx DESC, nid) AS crn FROM ap) WHERE crn <= 100),
+    |r2 AS (SELECT cand.qid, cand.nid, list_dot_product(q.v, n.v) AS sim,
+    |    row_number() OVER (PARTITION BY cand.qid
+    |      ORDER BY list_dot_product(q.v, n.v) DESC, cand.nid) AS rnk
+    |  FROM cand JOIN e q ON q.vec_id = cand.qid JOIN e n ON n.vec_id = cand.nid)
+    |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
+    |  round(sim, 6) AS sim
+    |FROM r2 WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
+
   /** v09/v11 share v01's oracle: same semantics through the custom
     * plan node and the optimizer-rule rewrite respectively. */
   /** The planted-near-copy augmented vector relation (mirrors
@@ -549,5 +595,6 @@ object VectorPack extends QueryPack {
       ("v10_knn_ivf" -> ivfSql) +
       ("v12_knn_pq" -> pqSql) +
       ("v13_knn_ivfpq" -> ivfPqSql) +
-      ("v15_knn_sq8" -> sq8Sql)
+      ("v15_knn_sq8" -> sq8Sql) +
+      ("v16_knn_ivfsq8" -> ivfSq8Sql)
 }

@@ -155,6 +155,21 @@ class MlSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(sq8 == pairs(graft.vector.KnnJoin.approxSq8(spark, e, e, 3)))
   }
 
+  test("IVF-SQ8 composition holds recall at the IVF level") {
+    val e = graft.core.Tables(spark, sf).embeddings
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(graft.vector.KnnJoin.exact(spark, e, e, 3))
+    val composed = pairs(graft.vector.KnnJoin.approxIvfSq8(spark, e, e, 3))
+    val ivf = pairs(graft.vector.KnnJoin.approxIvf(spark, e, e, 3))
+    val rc = (exact & composed).size.toDouble / exact.size
+    val ri = (exact & ivf).size.toDouble / exact.size
+    assert(rc >= 0.5, s"IVF-SQ8 recall@3 $rc below floor")
+    // quantization costs at most a few points over the coarse pruning
+    assert(rc >= ri - 0.05, s"IVF-SQ8 $rc should track IVF $ri")
+  }
+
   test("relational scoring from exported weights replays MLlib transform") {
     // the l05/l06 oracle story rests on this: argmax(W2·σ(W1x+b1)+b2)
     // computed as rounded relational folds must equal model.transform

@@ -95,13 +95,34 @@ object MlPack extends QueryPack {
       Seq(Tuple1(m.coefficients.toArray.toSeq :+ m.intercept)).toDF("wv")
     }
 
-  /** Last fitted parameter vectors, recorded when a query collects
-    * them, so [[oracles]] can embed the SAME doubles as SQL literals
-    * at Verify's post-run dump. (Verify runs every query before it
-    * dumps oracle SQL; a targeted run that skips l05/l06 simply omits
-    * their oracle entries — the pre-refactor no_oracle behavior.) */
-  @volatile private var mlpWvRec: Option[Seq[Double]] = None
-  @volatile private var lrWvRec: Option[Seq[Double]] = None
+  /** Fitted parameter vectors, recorded when a query collects them,
+    * so [[oracles]] can embed the SAME doubles as SQL literals at
+    * Verify's post-run dump. (Verify runs every query before it dumps
+    * oracle SQL; a targeted run that skips l05/l06 simply omits their
+    * oracle entries — the weaker rows-only check.)
+    *
+    * Keyed by (session object, data dir) — the [[graft.core.Artifacts]]
+    * keying discipline — NOT a JVM-global last-write var: if scoring
+    * ever runs against two dirs (or two live sessions share the JVM),
+    * a single-slot record would embed whichever dir ran last and the
+    * emitted oracle would silently mismatch the dir being verified.
+    * [[oracles]] emits the entries only when exactly one live
+    * (session, dir) recording exists; ambiguity degrades to omission
+    * (rows-only check), never to a wrong oracle. */
+  private val mlpWvRec =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Double]]
+  private val lrWvRec =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Double]]
+
+  /** The sole live recording, if unambiguous (stopped-session entries
+    * evicted first, mirroring Artifacts.memo). */
+  private def soleLive(
+      m: scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[Double]])
+      : Option[Seq[Double]] = {
+    m.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val snap = m.readOnlySnapshot().toSeq
+    if (snap.size == 1) Some(snap.head._2) else None
+  }
 
   private def collectWv(df: DataFrame): Seq[Double] =
     // bounded driver collect: one row of ≤2410 doubles (model size)
@@ -115,6 +136,15 @@ object MlPack extends QueryPack {
   /** Relational MLP scoring from a flat weight vector: h = σ(W1ᵀx+b1)
     * rounded to 9 decimals (the a08 transcendental-rounding
     * discipline), logits = W2ᵀh+b2, argmax with first-index ties.
+    *
+    * Equality with the un-rounded [[mlpPlan]] transform twin (and the
+    * DuckDB oracle's exp()) is EMPIRICAL, not guaranteed: a logit pair
+    * closer than ~1e-9, or an engine exp() differing by an ULP exactly
+    * at a round-half boundary, could flip an argmax. The gate is the
+    * MlSpec pair (train-twice determinism + relational≡transform
+    * parity), which would catch such a flip on this data; treat a
+    * parity-spec failure after a data regen as this documented
+    * boundary condition, not a scoring bug.
     *
     * The mat-vec products are UNROLLED into 32+10 native [[graft
     * .plans.ArrayDot]] calls against per-column weight literals, so
@@ -161,14 +191,14 @@ object MlPack extends QueryPack {
   /** Doc-type head (l05): train-once weights, score relationally. */
   def mlpClassify(spark: SparkSession, dir: String): DataFrame = {
     val wv = collectWv(mlpWeights(spark, dir))
-    mlpWvRec = Some(wv)
+    mlpWvRec.put((spark, dir), wv)
     mlpScore(features(spark, dir), wv)
   }
 
   /** first_pg head: train-once weights, score relationally. */
   def firstPgClassify(spark: SparkSession, dir: String): DataFrame = {
     val wv = collectWv(firstPgWeights(spark, dir))
-    lrWvRec = Some(wv)
+    lrWvRec.put((spark, dir), wv)
     lrScore(features(spark, dir), wv)
   }
 
@@ -261,12 +291,12 @@ object MlPack extends QueryPack {
     * the oracle replays the exact prediction arithmetic — `fit()` is
     * the only piece outside the check. */
   override def oracles: Map[String, String] = {
-    val l05 = mlpWvRec.map { mw =>
+    val l05 = soleLive(mlpWvRec).map { mw =>
       "l05_mlp_classify" -> s"""
         |WITH ${mlpCte(mw)}
         |SELECT vec_id, true_label, pred_label FROM mp ORDER BY vec_id""".stripMargin
     }
-    val l06 = for { mw <- mlpWvRec; lw <- lrWvRec } yield
+    val l06 = for { mw <- soleLive(mlpWvRec); lw <- soleLive(lrWvRec) } yield
       "l06_joint_two_head" -> s"""
         |WITH ${mlpCte(mw)},
         |${lrCte(lw)},

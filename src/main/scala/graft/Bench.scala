@@ -5,7 +5,15 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: every declared query materialized to the
   * no-op sink (full execution including projections — `.count()`
   * would let Catalyst prune most of the work) on
-  * `SPARK_GRAFT_SF_DIR`, one JSON line to stdout. */
+  * `SPARK_GRAFT_SF_DIR`, one JSON line to stdout.
+  *
+  * Observability fields (round 7): `canary` = [pre, post] seconds of a
+  * fixed-work CPU-bound query bracketing the run (box-speed control —
+  * cross-box query ratios are meaningful only relative to the canary
+  * ratio); `artifact_ms` = per-artifact build wall ms (abbreviated
+  * keys); `BENCH_DETAIL.json` in the cwd carries the same with full
+  * names. `tools/benchdiff.py` consumes consecutive rounds' JSON and
+  * flags canary-normalized >1.5x movers. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,6 +45,27 @@ object Bench {
     // not "select nothing"
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.trim).filter(_.nonEmpty)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Fixed-work canary: a constant CPU-bound computation (no input
+    // data, no shuffle past the final one-row sum, fully codegen'd)
+    // that does IDENTICAL work every round and on every box. Its
+    // seconds calibrate the box: driver_canary / local_canary is the
+    // machine-speed factor, so a query whose driver/local ratio far
+    // exceeds the canary ratio is a real anomaly, not box noise —
+    // the attribution instrument the a07 investigation lacked.
+    // Run twice, bracketing the timed work, so mid-run load shifts
+    // (co-located processes on a shared box) are visible as canary
+    // disagreement rather than silently polluting query numbers.
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    def canary(): Double = {
+      val t = System.nanoTime()
+      spark.range(0, 1L << 32, 1, 32)
+        .select(sum(xxhash64(col("id"), xxhash64(col("id")))))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t) / 1e9
+    }
+    // one untimed run JIT-warms the canary codepath so pre/post
+    // measure box speed, not compilation state
+    val canaryPre = if (only.isEmpty) { canary(); canary() } else -1.0
     def matches(n: String, o: String): Boolean =
       n == o || n.startsWith(o + "_") || (o.contains("_") && n.startsWith(o))
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -54,11 +83,17 @@ object Bench {
     // whichever selected query builds it, exactly as pre-warm runs do.
     val tArt = System.nanoTime()
     var artifactsFailed = 0
+    // per-artifact wall ms — the round-6 artifact line (36% of the
+    // driver total) was one opaque aggregate; this is its breakdown
+    val artMs = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     if (only.isEmpty)
       SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
         .foreach { case (name, build) =>
-          try build(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          val t0 = System.nanoTime()
+          try {
+            build(spark, sfDir).write.format("noop").mode("overwrite").save()
+            artMs += name -> ((System.nanoTime() - t0) / 1000000)
+          } catch { case e: Throwable =>
             // tracked in the JSON: a failed warm silently shifts the
             // artifact's cost into whichever query rebuilds it, so a
             // bench line with artifacts_failed>0 is not comparable
@@ -93,6 +128,7 @@ object Bench {
     // abbreviated to the unique family prefix (m01_confusion -> m01)
     // and seconds rounded to 3 decimals to keep this line well under
     // that window (full names are in CORRECTNESS/COVERAGE).
+    val canaryPost = if (only.isEmpty) canary() else -1.0
     def short(n: String): String = n.indexOf('_') match {
       case -1 => n
       case i  => n.substring(0, i)
@@ -101,11 +137,43 @@ object Bench {
     require(keys.distinct.size == keys.size, "bench key abbreviation collision")
     val qs = results.map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // artifact names abbreviate to first-token + initials of the rest
+    // ("aug_ivf_centroids" -> "aug_ic"); a collision falls back to the
+    // colliding full names ("pq_codebook"/"pq_codes"). The full-name
+    // map is in BENCH_DETAIL.json.
+    def artShort(n: String): String = n.split('_').toSeq match {
+      case head +: rest if rest.nonEmpty =>
+        head + "_" + rest.map(_.head).mkString
+      case _ => n
+    }
+    val artKeys = {
+      val abbr = artMs.map { case (n, _) => n -> artShort(n) }
+      val dup = abbr.groupBy(_._2).filter(_._2.size > 1).keySet
+      abbr.map { case (n, s) => if (dup(s)) n else s }
+    }
+    require(artKeys.distinct.size == artKeys.size, "artifact key collision")
+    val artJson = artMs.zip(artKeys)
+      .map { case ((_, ms), k) => "\"" + k + "\":" + ms }
+      .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    // total includes the one-time artifact build so the headline stays
-    // honest about ALL work done; "artifacts" breaks it out
-    val total = results.map(_._2).filter(_ >= 0).sum + artifactsSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"queries":$qs,"sf":"$sfDir"}""")
+    // total includes the one-time artifact build and the two canary
+    // runs so the headline stays honest about ALL work done;
+    // "artifacts"/"canary" break them out
+    val canarySec = Seq(canaryPre, canaryPost).filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum + artifactsSec + canarySec
+    // full-name detail for humans/scripts (stdout must stay inside the
+    // harness's ~2 KB capture window; this file has no such budget)
+    val detail = {
+      val a = artMs.map { case (n, ms) => s""""$n":$ms""" }.mkString("{", ",", "}")
+      val q = results.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,"artifact_ms":$a,"queries":$q,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"BENCH DETAIL WRITE FAIL: $e") }
+    val sfName = new java.io.File(sfDir).getName
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"canary":[$canaryPre%.2f,$canaryPost%.2f],"artifact_ms":$artJson,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Bench regression gate: diff two bench JSON lines, flag real movers.
+
+Usage: tools/benchdiff.py OLD.json NEW.json [--threshold 1.5] [--md]
+
+Each input is either a raw bench JSON line (the object Bench prints) or
+a driver BENCH_r*.json wrapper whose "tail" contains that line.
+
+Movers are CANARY-NORMALIZED when both rounds carry a canary field: a
+query that went 1.0s -> 2.0s on a box whose fixed-work canary also
+doubled is box noise, not a plan regression. Without canaries (pre-r7
+files) raw ratios are reported and flagged as unnormalized — exactly
+the ambiguity the canary exists to remove.
+
+Exit status: 0 = no flagged movers, 1 = movers flagged (gate), 2 = bad
+input. --md emits a PERF.md-ready table instead of the plain report.
+"""
+import json
+import sys
+
+
+def load_bench(path):
+    with open(path) as f:
+        raw = f.read()
+    # driver wrapper: {"n":..,"tail":"...{metric line}..."} or raw line
+    try:
+        obj = json.loads(raw)
+    except json.JSONDecodeError:
+        obj = None
+    if isinstance(obj, dict) and "queries" in obj:
+        return obj
+    text = obj.get("tail", raw) if isinstance(obj, dict) else raw
+    # last parseable {"metric"... line wins
+    best = None
+    for line in text.splitlines():
+        i = line.find('{"metric"')
+        if i < 0:
+            continue
+        try:
+            best = json.loads(line[i:])
+        except json.JSONDecodeError:
+            continue
+    if best is None:
+        raise ValueError(f"{path}: no bench JSON line found")
+    return best
+
+
+def canary_sec(bench):
+    c = bench.get("canary")
+    if isinstance(c, list) and c:
+        vals = [v for v in c if v and v > 0]
+        return sum(vals) / len(vals) if vals else None
+    return None
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    if len(args) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    threshold = 1.5
+    for a in argv:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a
+                              else argv[argv.index(a) + 1])
+    md = "--md" in argv
+    old, new = (load_bench(p) for p in args)
+    c_old, c_new = canary_sec(old), canary_sec(new)
+    box = (c_new / c_old) if (c_old and c_new) else None
+
+    rows = []
+    oq, nq = old["queries"], new["queries"]
+    for name in sorted(set(oq) | set(nq)):
+        a, b = oq.get(name), nq.get(name)
+        if a is None or b is None:
+            rows.append((name, a, b, None, "added" if a is None else "removed"))
+            continue
+        if a < 0 or b < 0:
+            rows.append((name, a, b, None, "FAILED"))
+            continue
+        if a < 0.05 and b < 0.05:
+            continue  # sub-noise floor on both sides
+        ratio = b / a if a > 0 else float("inf")
+        norm = ratio / box if box else ratio
+        status = None
+        if norm > threshold:
+            status = "SLOWER" if box else "SLOWER(unnormalized)"
+        elif norm < 1 / threshold:
+            status = "faster"
+        if status:
+            rows.append((name, a, b, norm, status))
+
+    # artifact breakdown diff (full-ms map, short keys fine for diffing)
+    art_rows = []
+    oa, na = old.get("artifact_ms") or {}, new.get("artifact_ms") or {}
+    for name in sorted(set(oa) | set(na)):
+        a, b = oa.get(name), na.get(name)
+        if a is None or b is None or a < 50 and b < 50:
+            continue
+        ratio = b / a if a else float("inf")
+        norm = ratio / box if box else ratio
+        if norm > threshold or norm < 1 / threshold:
+            art_rows.append((name, a / 1000.0, b / 1000.0, norm,
+                             "SLOWER" if norm > threshold else "faster"))
+
+    flagged = [r for r in rows if r[4] and r[4].startswith("SLOWER")] + \
+              [r for r in art_rows if r[4] == "SLOWER"] + \
+              [r for r in rows if r[4] == "FAILED"]
+
+    if md:
+        print("| query | old s | new s | norm ratio | status |")
+        print("|---|---|---|---|---|")
+        for name, a, b, norm, status in rows + art_rows:
+            fa = f"{a:.2f}" if isinstance(a, float) else a
+            fb = f"{b:.2f}" if isinstance(b, float) else b
+            fn = f"{norm:.2f}x" if norm else ""
+            print(f"| {name} | {fa} | {fb} | {fn} | {status} |")
+        box_s = f"{box:.2f}" if box else "n/a (no canary in both rounds)"
+        print(f"\nBox factor (canary new/old): {box_s}; "
+              f"threshold {threshold}x canary-normalized.")
+    else:
+        if box:
+            print(f"box factor (canary new/old): {box:.2f} "
+                  f"(old {c_old:.2f}s, new {c_new:.2f}s)")
+        else:
+            print("no canary in both rounds -> RAW ratios (unnormalized)")
+        for name, a, b, norm, status in rows + art_rows:
+            fn = f"{norm:.2f}x" if norm else "-"
+            print(f"{status:>22}  {name:<24} {a} -> {b}  ({fn} normalized)")
+        print(f"{len(flagged)} flagged movers at {threshold}x")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

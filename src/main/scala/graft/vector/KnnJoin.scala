@@ -43,7 +43,13 @@ object KnnJoin {
   sealed trait Strategy
   case object Exact extends Strategy
   final case class Sharded(nShards: Int) extends Strategy
-  final case class Ivf(nCentroids: Int = 16, nProbe: Int = 4) extends Strategy
+  /** `nCentroids = 0` (the default) means AUTO: size the coarse index
+    * to ⌈√n⌉ lists for an n-vector index — the measured rule from the
+    * 10× scale run (PERF.md round 6: 16 fixed lists 318 s vs √n lists
+    * 61 s at 20k vectors; FAISS sizes IVF the same way). Pass an
+    * explicit positive value to pin the list count (the oracle
+    * queries do, via prebuilt centroid artifacts). */
+  final case class Ivf(nCentroids: Int = 0, nProbe: Int = 4) extends Strategy
   final case class Lsh(threshold: Double = 1.5, bucketLength: Double = 0.5,
                        numHashTables: Int = 4) extends Strategy
 
@@ -386,7 +392,7 @@ object KnnJoin {
     * lists stay bounded (centroid count scales with √N as usual).
     */
   def approxIvf(spark: SparkSession, queries: DataFrame, index: DataFrame,
-                k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                k: Int, nCentroids: Int = 0, nProbe: Int = 4,
                 seed: String = "42", lloydIters: Int = 2,
                 centroidsOpt: Option[DataFrame] = None,
                 assignmentsOpt: Option[DataFrame] = None): DataFrame = {
@@ -396,7 +402,8 @@ object KnnJoin {
     // every search from it; both stages are deterministic, so a
     // prebuilt frame is bitwise-identical to building inline
     val centroids = centroidsOpt.getOrElse(
-      ivfCentroids(spark, index, nCentroids, seed, lloydIters))
+      ivfCentroids(spark, index, resolveNlist(nCentroids, index), seed,
+        lloydIters))
     // inverted lists: every index vector → nearest centroid
     val assignments = assignmentsOpt.getOrElse(
       nearestCentroids(spark, index, centroids, 1))
@@ -421,6 +428,18 @@ object KnnJoin {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("sim"))
   }
+
+  /** nlist resolution for the IVF family: an explicit positive value
+    * is honored verbatim; the 0/negative "auto" default applies the
+    * measured nlist ∝ √n rule (PERF.md round 6 — fixed 16 lists left
+    * inverted lists of n/16 vectors, degrading the probe-side rerank
+    * quadratically at 10× data; ⌈√n⌉ lists keep both the centroid
+    * scan and the probed-list rerank at O(√n) per query). Costs one
+    * `count()` of the index, and only on the auto path — prebuilt
+    * centroid artifacts and pinned oracle params never reach it. */
+  private[graft] def resolveNlist(nCentroids: Int, index: DataFrame): Int =
+    if (nCentroids > 0) nCentroids
+    else math.max(1, math.ceil(math.sqrt(index.count().toDouble)).toInt)
 
   /** The coarse quantizer of [[approxIvf]]/[[approxIvfPq]]: a
     * deterministic md5-ordered sample of `nCentroids` index vectors,
@@ -725,7 +744,7 @@ object KnnJoin {
     * the posture for indexes that outgrow both [[Exact]]'s broadcast
     * and [[approxPq]]'s full-index code scan per query chunk. */
   def approxIvfPq(spark: SparkSession, queries: DataFrame, index: DataFrame,
-                  k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                  k: Int, nCentroids: Int = 0, nProbe: Int = 4,
                   m: Int = 4, subDim: Int = 16, centroidsPerSub: Int = 16,
                   nCandidates: Int = 100, seed: String = "42",
                   lloydIters: Int = 2,
@@ -734,7 +753,8 @@ object KnnJoin {
                   centsOpt: Option[DataFrame] = None,
                   codesOpt: Option[DataFrame] = None): DataFrame = {
     val centroids = centroidsOpt.getOrElse(
-      ivfCentroids(spark, index, nCentroids, seed, lloydIters))
+      ivfCentroids(spark, index, resolveNlist(nCentroids, index), seed,
+        lloydIters))
     val assignments = assignmentsOpt.getOrElse(
       nearestCentroids(spark, index, centroids, 1))
     val probes = nearestCentroids(spark, queries, centroids, nProbe)
@@ -909,14 +929,15 @@ object KnnJoin {
     * join shuffles on centroid id; nothing broadcasts past the
     * bounded centroid set and the collected 2·dim stats. */
   def approxIvfSq8(spark: SparkSession, queries: DataFrame, index: DataFrame,
-                   k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                   k: Int, nCentroids: Int = 0, nProbe: Int = 4,
                    nCandidates: Int = 100, seed: String = "42",
                    lloydIters: Int = 2,
                    centroidsOpt: Option[DataFrame] = None,
                    assignmentsOpt: Option[DataFrame] = None,
                    statsOpt: Option[DataFrame] = None): DataFrame = {
     val centroids = centroidsOpt.getOrElse(
-      ivfCentroids(spark, index, nCentroids, seed, lloydIters))
+      ivfCentroids(spark, index, resolveNlist(nCentroids, index), seed,
+        lloydIters))
     val assignments = assignmentsOpt.getOrElse(
       nearestCentroids(spark, index, centroids, 1))
     val probes = nearestCentroids(spark, queries, centroids, nProbe)

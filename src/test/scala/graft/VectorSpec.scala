@@ -300,4 +300,24 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("unspecified nCentroids auto-sizes to ceil(sqrt(n)) — measured rule") {
+    import graft.vector.KnnJoin
+    val e = graft.core.Tables(spark, sf).embeddings
+    // two corpus sizes: the full test table and a 100-row slice
+    val full = e.count().toInt                        // 500 at sf0.001
+    val slice = e.orderBy(col("vec_id")).limit(100)
+    assert(KnnJoin.resolveNlist(0, e) ==
+      math.ceil(math.sqrt(full.toDouble)).toInt)
+    assert(KnnJoin.resolveNlist(0, slice) == 10)
+    // explicit values are honored verbatim (the pinned-oracle path)
+    assert(KnnJoin.resolveNlist(16, e) == 16)
+    // and the default-parameter search IS the auto-sized search
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val auto = sig(KnnJoin.approxIvf(spark, e, e, 3))
+    val pinned = sig(KnnJoin.approxIvf(spark, e, e, 3,
+      nCentroids = math.ceil(math.sqrt(full.toDouble)).toInt))
+    assert(auto == pinned, "default nCentroids must equal explicit ceil(sqrt(n))")
+  }
 }

@@ -38,8 +38,16 @@ object LlmPack extends QueryPack {
     graft.core.Artifacts.memo(spark, s"llm_extract:$dir")(
       extractLongPlan(spark, dir))
 
-  private def extractLongPlan(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+  private def extractLongPlan(spark: SparkSession, dir: String): DataFrame =
+    extractLongOn(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+
+  /** The extraction pipeline over an ARBITRARY (doc_id, text) frame —
+    * the seam the p04 streaming lifecycle feeds one micro-batch at a
+    * time (each row's extraction/repair/parse chain is a pure function
+    * of that row, so batch composition is exact: running it per
+    * micro-batch and unioning equals running it once over the union). */
+  private[graft] def extractLongOn(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
     val responses = LlmStage.complete(docs, col("doc_id"),
       LlmStage.extractionPrompt(col("doc_id"), col("text")), StubExtractor)
     val parsed = docs
@@ -195,8 +203,10 @@ object LlmPack extends QueryPack {
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("llm_extract" -> extractLong)
 
-  /** The stub model + repair chain, replayed in SQL. */
-  private val stubCte = """
+  /** The stub model + repair chain, replayed in SQL (shared with the
+    * p04 oracle in [[graft.pipeline.PipelinePack]] — the paired-query
+    * discipline: ONE SQL definition of the extraction chain). */
+  private[graft] val stubCte = """
     |w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
     |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
     |resp AS (SELECT doc_id, words,

@@ -103,6 +103,31 @@ object Lifecycles {
     (confirmed.filter(col("decision") === "yes"),
       confirmed.filter(col("decision") === "no"))
 
+  /** The §3.3/§3.4 tail as ONE relation: extraction results confirmed
+    * field-by-field against the system of record, then routed — `STP`
+    * (straight-through processing, every field confirmed) vs `HITL`
+    * (human in the loop). The reference runs this per watched-folder
+    * arrival (`ocr_agent_8_29.py:19-33` feeding
+    * `validation_confirmation_feedback.py:125-134`); here it is a pure
+    * function of the extraction long frame, so the p04 batch query
+    * (over the session extraction artifact) and the per-micro-batch
+    * streaming form ([[graft.streaming.Streams.extractConfirmRoute]])
+    * are the same plan — one groupBy on doc_id, partial-aggregatable,
+    * no other shuffle. */
+  def confirmRoute(extractLong: DataFrame): DataFrame = {
+    def fld(f: String, c: Column): Column =
+      max(when(col("field") === f, c))
+    extractLong.groupBy(col("doc_id"))
+      .agg(
+        fld("first_word", col("predicted_value")).as("pred_first_word"),
+        fld("word_count", col("predicted_value")).as("pred_word_count"),
+        fld("first_word", col("accuracy")).as("fw_ok"),
+        fld("word_count", col("accuracy")).as("wc_ok"))
+      .withColumn("route",
+        when(col("fw_ok") + col("wc_ok") === 2, "STP").otherwise("HITL"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-corpus preparation funnel — the 100 TB pipeline this
     * engine exists for, composed end-to-end from its own operators:
     *

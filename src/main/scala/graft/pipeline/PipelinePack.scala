@@ -16,7 +16,14 @@ object PipelinePack extends QueryPack {
     "p02_corpus_prep" ->
       ((s, d) => Lifecycles.corpusPrep(s, d)),
     "p03_corpus_report" ->
-      ((s, d) => Lifecycles.corpusReport(s, d)))
+      ((s, d) => Lifecycles.corpusReport(s, d)),
+    // batch twin of the streaming extract→confirm→route lifecycle —
+    // reads the session extraction artifact (the model stage is paid
+    // once, the l01/f-family discipline); the streaming form in
+    // Streams.extractConfirmRoute runs the identical relation per
+    // micro-batch and the StreamingSpec pins stream ≡ batch
+    "p04_confirm_route" ->
+      ((s, d) => Lifecycles.confirmRoute(graft.llm.LlmPack.extractLong(s, d))))
 
   /** 0.8 split threshold: round(0.8·65536) = 52429 = 0xcccd (the same
     * constant `Sampling.hashSplit` derives). */
@@ -176,8 +183,25 @@ object PipelinePack extends QueryPack {
     |  round(qsum / CAST(n_docs AS DOUBLE), 6) AS mean_quality
     |FROM g ORDER BY source""".stripMargin
 
+  /** p04: the extraction chain (the shared stubCte — ONE SQL
+    * definition with the l01/l02 oracles) pivoted wide per doc and
+    * routed STP/HITL on all-fields-confirmed. */
+  private val confirmRouteSql = s"""
+    |WITH ${graft.llm.LlmPack.stubCte},
+    |wide AS (SELECT doc_id,
+    |    max(CASE WHEN field = 'first_word' THEN predicted_value END) AS pred_first_word,
+    |    max(CASE WHEN field = 'word_count' THEN predicted_value END) AS pred_word_count,
+    |    max(CASE WHEN field = 'first_word' THEN accuracy END) AS fw_ok,
+    |    max(CASE WHEN field = 'word_count' THEN accuracy END) AS wc_ok
+    |  FROM longf GROUP BY doc_id)
+    |SELECT doc_id, pred_first_word, pred_word_count,
+    |  CAST(fw_ok AS BIGINT) AS fw_ok, CAST(wc_ok AS BIGINT) AS wc_ok,
+    |  CASE WHEN fw_ok + wc_ok = 2 THEN 'STP' ELSE 'HITL' END AS route
+    |FROM wide ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_classify_lifecycle" -> graft.metrics.MetricsPack.reportSqlFrom(splitCte),
     "p02_corpus_prep" -> corpusPrepSql,
-    "p03_corpus_report" -> corpusReportSql)
+    "p03_corpus_report" -> corpusReportSql,
+    "p04_confirm_route" -> confirmRouteSql)
 }

@@ -169,6 +169,46 @@ object Streams {
       .toDF("user_id", "event_id")
   }
 
+  /** The watched-folder extract→confirm→route lifecycle (p04) in its
+    * STREAMING form — the reference's folder-watching automation
+    * (`ocr_agent_8_29.py:19-33`: new file → OCR/LLM extract →
+    * validation-confirmation → STP/HITL routing,
+    * `validation_confirmation_feedback.py:125-134`) as a
+    * `foreachBatch` composition: each micro-batch of newly-arrived
+    * documents runs the SAME extraction stage and confirm/route
+    * relation the oracle-checked batch twin uses
+    * ([[graft.llm.LlmPack.extractLongOn]] →
+    * [[graft.pipeline.Lifecycles.confirmRoute]]), and lands in
+    * `outDir` PARTITIONED BY route — `route=STP/` is the
+    * auto-processed feed, `route=HITL/` the human review queue, each
+    * independently consumable (the reference writes two folders; a
+    * partitioned sink is the columnar equivalent and prunes on route
+    * for downstream readers).
+    *
+    * Every per-document stage is a pure row function and the
+    * confirm/route groupBy is per-doc, so micro-batch composition is
+    * exact: union-of-batches ≡ one batch (the StreamingSpec pins this
+    * across a forced multi-batch run). `foreachBatch` rather than a
+    * plain streaming sink because the extraction stage is a
+    * `mapPartitions` LLM client with its own retry/cache tier — the
+    * batch seam gives it bounded, replayable units (exactly the
+    * reference's checkpoint-per-run discipline) and lets the routed
+    * write use the batch writer's `partitionBy`. */
+  def extractConfirmRoute(spark: SparkSession, watchDir: String,
+                          schema: StructType, outDir: String,
+                          maxFilesPerTrigger: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    watchedFolder(spark, watchDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Lifecycles
+          .confirmRoute(graft.llm.LlmPack.extractLongOn(batch))
+          .write.mode("append").partitionBy("route").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", outDir + "_ckpt")
+      .start()
+
   /** The deterministic batch twin of [[rateLimitStream]]: per-user
     * row_number over (ts, event_id) capped at `maxPerUser` — a plain
     * keyed window, shuffling once on user_id. */

@@ -188,6 +188,34 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(perUser.max <= 5 && perUser.contains(5L))
   }
 
+  test("extract-confirm-route lifecycle: stream equals batch across micro-batches") {
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_p04_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_p04_out").toString + "/routed"
+    // three input files + maxFilesPerTrigger=1 forces >= 3 micro-batches,
+    // so the equality below really crosses batch boundaries
+    docs.repartition(3).write.mode("overwrite").parquet(watchDir)
+    val q = Streams.extractConfirmRoute(spark, watchDir,
+      docs.schema, outDir, maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "pred_first_word", "pred_word_count", "fw_ok",
+        "wc_ok", "route")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    val streamed = sig(spark.read.parquet(outDir))
+    val batch = sig(graft.pipeline.Lifecycles.confirmRoute(
+      graft.llm.LlmPack.extractLongOn(docs)))
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    // the routing partitions exist as independently consumable feeds
+    // and together cover every document
+    val stp = spark.read.parquet(outDir + "/route=STP").count()
+    val hitl = spark.read.parquet(outDir + "/route=HITL").count()
+    assert(stp > 0 && hitl > 0, s"both routes must carry traffic ($stp/$hitl)")
+    assert(stp + hitl == docs.count())
+  }
+
   test("streaming dropDuplicates removes replayed events exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
     val events = graft.core.Tables(spark, sf).events.limit(500)

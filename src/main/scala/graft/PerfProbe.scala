@@ -49,6 +49,23 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe selfscale` — the declared quadratic
+    // surface vs its strategy-dispatched escape: exact self-top3
+    // (broadcast-heap O(n²·d)) against the IvfSq8-backed selfTop3
+    // artifact at the same corpus. Run with SPARK_GRAFT_SF_DIR set to
+    // the 10× dir for the PERF.md scale row.
+    if (args.contains("selfscale")) {
+      val e = graft.core.Tables(spark, sfDir).embeddings
+      val n = e.count()
+      time(s"selfTop3 n=$n exact (quadratic)")(noop(
+        graft.vector.KnnJoin.exact(spark, e, e, 3)))
+      time(s"selfTop3 n=$n IvfSq8 auto-sqrt-n")(noop(
+        graft.vector.KnnJoin.search(spark, e, e, 3,
+          graft.vector.KnnJoin.IvfSq8())))
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe crossover` — the d10/d05 band-width
     // crossover measurement: banded vs all-pairs wall time on 1× and
     // a 10×-unioned corpus (distinct ids, duplicated text — realistic

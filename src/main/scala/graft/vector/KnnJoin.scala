@@ -50,6 +50,13 @@ object KnnJoin {
     * explicit positive value to pin the list count (the oracle
     * queries do, via prebuilt centroid artifacts). */
   final case class Ivf(nCentroids: Int = 0, nProbe: Int = 4) extends Strategy
+  /** IVF list pruning over a scalar-quantized (1 byte/dim) index with
+    * exact rerank of `nCandidates` — the production posture for
+    * corpora that are both too big to broadcast AND too big to store
+    * full-precision (the v16 composition). Auto-sizes lists like
+    * [[Ivf]]. */
+  final case class IvfSq8(nCentroids: Int = 0, nProbe: Int = 4,
+                          nCandidates: Int = 100) extends Strategy
   final case class Lsh(threshold: Double = 1.5, bucketLength: Double = 0.5,
                        numHashTables: Int = 4) extends Strategy
 
@@ -68,6 +75,9 @@ object KnnJoin {
       val hits = other match {
         case Ivf(nCentroids, nProbe) =>
           approxIvf(spark, queries, index, k, nCentroids, nProbe)
+        case IvfSq8(nCentroids, nProbe, nCandidates) =>
+          approxIvfSq8(spark, queries, index, k, nCentroids, nProbe,
+            nCandidates)
         case Lsh(threshold, bucketLength, numHashTables) =>
           approxLsh(spark, queries, index, k, threshold, bucketLength,
             numHashTables)
@@ -228,6 +238,27 @@ object KnnJoin {
       val e = graft.core.Tables(spark, dir).embeddings
       exact(spark, e, e, 3)
     }
+
+  /** Strategy-dispatched form of the self-top3 artifact — the SAME
+    * seam and output shape as [[exactSelfTop3]] (which it returns
+    * verbatim for [[Exact]], so every oracle query keeps the exact
+    * form), but scale callers pick the search posture: the exact
+    * self-kNN is the engine's one declared quadratic surface (~37×
+    * wall at 10× data, PERF.md round 6), and an [[IvfSq8]]-backed
+    * build keeps the whole downstream evaluation family
+    * (report/rollup/agreement/calibration/RAG) on an O(n·√n) path
+    * with recall spec-bounded against exact (IvfSpec). Each
+    * strategy memoizes under its own key, so mixed consumers (an
+    * exact-checked query next to a scale pipeline) never collide. */
+  def selfTop3(spark: SparkSession, dir: String,
+               strategy: Strategy = Exact): DataFrame = strategy match {
+    case Exact => exactSelfTop3(spark, dir)
+    case s =>
+      graft.core.Artifacts.memo(spark, s"knn_self_top3:$s:$dir") {
+        val e = graft.core.Tables(spark, dir).embeddings
+        search(spark, e, e, 3, s)
+      }
+  }
 
   /** All-pairs similarity above a threshold: broadcast + per-partition
     * primitive loops with precomputed norms; emits (a_id < b_id, cos).

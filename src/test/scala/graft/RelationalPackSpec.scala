@@ -59,18 +59,27 @@ class RelationalPackSpec extends AnyFunSuite {
     }
   }
 
-  test("HLL approx distinct is within 5% of exact countDistinct") {
+  test("HLL approx distinct holds a 5% error budget across three corpus sizes") {
+    // r13 is the suite's one no-oracle query (HLL sketch internals are
+    // engine-private); this error budget is its spec-side guard — the
+    // relative-error bound holds from 6k to 600k rows, i.e. the
+    // estimator's accuracy claim, not just its shape, is pinned at
+    // every tested scale. The deterministic KMV twin (r14) stays the
+    // hash-checked surface.
     import org.apache.spark.sql.functions._
-    val est = graft.relational.RelationalPack.approxDistinct(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    val exact = graft.core.Tables(spark, sf).lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    exact.foreach { case (flag, n) =>
-      val e = est(flag)
-      // rsd 0.01 requested; 5% is a ~5-sigma bound
-      assert(math.abs(e - n) / n < 0.05, s"$flag: est $e vs exact $n")
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val est = graft.relational.RelationalPack.approxDistinct(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val exact = graft.core.Tables(spark, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      exact.foreach { case (flag, n) =>
+        val e = est(flag)
+        // rsd 0.01 requested; 5% is a ~5-sigma bound
+        assert(math.abs(e - n) / n < 0.05, s"$dir $flag: est $e vs exact $n")
+      }
     }
   }
 

@@ -301,6 +301,29 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run() == run())
   }
 
+  test("selfTop3 strategy dispatch: IVF-SQ8-backed artifact tracks exact recall") {
+    import graft.vector.KnnJoin
+    // Exact strategy IS the oracle artifact — same frame, same memo
+    assert(KnnJoin.selfTop3(spark, sf) eq KnnJoin.exactSelfTop3(spark, sf))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(KnnJoin.exactSelfTop3(spark, sf))
+    val scaled = KnnJoin.selfTop3(spark, sf, KnnJoin.IvfSq8())
+    val recall = (exact & pairs(scaled)).size.toDouble / exact.size
+    // generous rerank (100 candidates) makes the composition's recall
+    // the IVF pruning recall; floor matches IvfSpec's
+    assert(recall > 0.5, s"IvfSq8 selfTop3 recall $recall too low")
+    info(s"IvfSq8 selfTop3 recall vs exact: $recall")
+    // per-strategy memo: the second call serves the SAME persisted
+    // frame (artifact identity), distinct from the exact artifact
+    assert(KnnJoin.selfTop3(spark, sf, KnnJoin.IvfSq8()) eq scaled)
+    assert(!(scaled eq KnnJoin.exactSelfTop3(spark, sf)))
+    // label attach + shape match the exact artifact's contract
+    assert(scaled.columns.toSeq ==
+      KnnJoin.exactSelfTop3(spark, sf).columns.toSeq)
+  }
+
   test("unspecified nCentroids auto-sizes to ceil(sqrt(n)) — measured rule") {
     import graft.vector.KnnJoin
     val e = graft.core.Tables(spark, sf).embeddings

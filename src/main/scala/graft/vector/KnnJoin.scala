@@ -509,7 +509,7 @@ object KnnJoin {
   /** (vec_id, centroid_id) rows: each row's `n` nearest centroids by
     * inner product, ties (dot desc, centroid id asc) — the assignment
     * and probing primitive of the IVF family. */
-  private[vector] def nearestCentroids(spark: SparkSession, rows: DataFrame,
+  private[graft] def nearestCentroids(spark: SparkSession, rows: DataFrame,
                                        centroids: DataFrame, n: Int): DataFrame =
     exactBroadcast(spark, rows.select(col("vec_id"), col("embedding")),
         centroids.select(col("centroid_id").as("vec_id"), col("embedding")),
@@ -869,7 +869,7 @@ object KnnJoin {
     * FAISS `IndexScalarQuantizer(QT_8bit)`. Emits a 1-row frame
     * (lo array, hi array, dim-ordered); a session artifact like the
     * IVF centroids / PQ codebook. */
-  private[vector] def sq8Stats(index: DataFrame): DataFrame =
+  private[graft] def sq8Stats(index: DataFrame): DataFrame =
     index
       .select(posexplode(col("embedding").cast("array<double>"))
         .as(Seq("d", "v")))

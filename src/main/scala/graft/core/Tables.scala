@@ -12,6 +12,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a small CPU-dense table across the session's cores.
+    *
+    * The test corpora ship each table as a single parquet row group,
+    * and a row group is the parquet split unit — so the SCAN STAGE of
+    * every consumer runs as ONE task no matter how many cores the
+    * session has. For `documents`/`embeddings` that stage is where
+    * the expensive per-row work lives (shingling, n-gram analysis,
+    * extraction, vector arithmetic): measured at sf0.1×10, the stub
+    * LLM extraction burned 98 s and the dedup-group build 108 s on
+    * one core each while 31 sat idle.
+    *
+    * A round-robin `repartition(defaultParallelism)` after the scan
+    * fixes the local regime; the byte threshold keeps it scale-safe:
+    * a table past 64 MB is left to the ordinary split planner (at
+    * real corpus scale inputs are many files × many row groups and
+    * already parallel — adding a full-table shuffle there would be
+    * the bug). Filters still reach the parquet reader (predicate
+    * pushdown crosses RepartitionOperation); limit pushdown does
+    * not, which is why only the CPU-dense tables spread and the
+    * relational tables keep their raw scans.
+    *
+    * Row-order effects: round-robin changes partition assignment, so
+    * every downstream float aggregation must be (and is) order-
+    * independent — decimal-exact sums ([[Exact]]), md5-ordered
+    * samples, row-local scoring. [[graft.vector.KnnJoin.ivfCentroids]]
+    * documents the same invariant for the k-means path.
+    *
+    * OPT-IN, not automatic: measured at sf0.1, auto-spreading every
+    * `documents`/`embeddings` read cost the suite ~13 s — sixty
+    * shuffle-dominated or sub-second queries each paid an extra
+    * exchange (and MLlib's treeAggregate slowed on 32 near-empty
+    * partitions) to buy wins only where per-row work is real. So the
+    * heavy builders (shingle/minhash/simhash passes, gram counters,
+    * chunkers, the extraction stage, the exact-kNN loops, IVF
+    * assignment) call [[documentsSpread]]/[[embeddingsSpread]]
+    * explicitly, and everything else keeps the raw scan. */
+  private def spreadIfSmall(df: DataFrame, name: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (cores > 1 && Tables.bytesOf(spark, s"$dir/$name.parquet")
+          < Tables.SpreadMaxBytes) df.repartition(cores)
+    else df
+  }
+
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
@@ -39,4 +82,28 @@ final case class Tables(spark: SparkSession, dir: String) {
 
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** CPU-dense readers: the raw scan spread across the session's
+    * cores when the table is small (see [[spreadIfSmall]]). */
+  def documentsSpread: DataFrame = spreadIfSmall(documents, "documents")
+  def embeddingsSpread: DataFrame = spreadIfSmall(embeddings, "embeddings")
+}
+
+object Tables {
+  /** Spread threshold: below this a table is "small" — cheap to
+    * reshuffle wholesale, and likely a handful of splits (often one
+    * row group) that would otherwise serialize its consumers' scan
+    * stages. 64 MB is half a default parquet row group: anything
+    * bigger has real split structure and keeps its scan layout. */
+  val SpreadMaxBytes: Long = 64L * 1024 * 1024
+
+  /** Total bytes of a table path (file or directory); unknown =
+    * Long.MaxValue so the spread never fires on an unreadable path. */
+  private[graft] def bytesOf(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
 }

@@ -16,9 +16,16 @@ import graft.vector.VectorOps
   */
 object DedupPack extends QueryPack {
 
-  /** documents ∪ planted near-dups ∪ planted exact dups. */
+  /** documents ∪ planted near-dups ∪ planted exact dups.
+    *
+    * Reads through [[Tables.documentsSpread]]: every consumer's first
+    * stage is a per-row shingle/hash pass (minhash, simhash, word
+    * n-grams), which on the single-row-group test parquet would
+    * otherwise run as one task — at 10× sf0.1 the dedup-group build
+    * alone burned 113 s on one core while 31 sat idle. */
   def augmented(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val d = Tables(spark, dir).documentsSpread
+      .select(col("doc_id"), col("text"))
     val near = d.filter(col("doc_id") < 100)
       .select((col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))

@@ -39,7 +39,9 @@ object LlmPack extends QueryPack {
       extractLongPlan(spark, dir))
 
   private def extractLongPlan(spark: SparkSession, dir: String): DataFrame =
-    extractLongOn(Tables(spark, dir).documents.select(col("doc_id"), col("text")))
+    // spread scan: the per-row extract/repair/parse chain is the cost
+    extractLongOn(Tables(spark, dir).documentsSpread
+      .select(col("doc_id"), col("text")))
 
   /** The extraction pipeline over an ARBITRARY (doc_id, text) frame —
     * the seam the p04 streaming lifecycle feeds one micro-batch at a

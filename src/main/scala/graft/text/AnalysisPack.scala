@@ -48,7 +48,7 @@ object AnalysisPack extends QueryPack {
     val n = size(col("ws"))
     val d = size(array_distinct(col("ws")))
     val top = TextAnalysis.topCount(col("bg"))
-    Tables(spark, dir).documents
+    Tables(spark, dir).documentsSpread
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"),
         TextAnalysis.bigrams(col("ws")).as("bg"))
@@ -85,7 +85,7 @@ object AnalysisPack extends QueryPack {
     def frac(chars: org.apache.spark.sql.Column) =
       round(when(col("nc") > 0, chars.cast("double") / col("nc").cast("double"))
         .otherwise(0.0), 6)
-    Tables(spark, dir).documents
+    Tables(spark, dir).documentsSpread
       .select(col("doc_id"), length(col("text")).as("nc"),
         TextOps.words(col("text")).as("ws"))
       .select(Seq(col("doc_id")) ++

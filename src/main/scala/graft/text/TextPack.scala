@@ -21,9 +21,10 @@ object TextPack extends QueryPack {
   val ChunkSize = 20
   val Overlap = 5
 
-  /** F14 over documents: one row per chunk with lineage + stats. */
+  /** F14 over documents: one row per chunk with lineage + stats.
+    * Spread scan: the chunk generator's per-row work dominates. */
   def chunkStats(spark: SparkSession, dir: String): DataFrame =
-    TextOps.chunkTable(Tables(spark, dir).documents,
+    TextOps.chunkTable(Tables(spark, dir).documentsSpread,
         col("doc_id"), col("text"), ChunkSize, Overlap)
       .select(col("id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
@@ -34,7 +35,7 @@ object TextPack extends QueryPack {
   /** First chunk's text per document — verifies chunk content, not
     * just counts (md5 keeps the result compact). */
   def chunkFirstText(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    Tables(spark, dir).documentsSpread
       .select(col("doc_id"),
         md5(element_at(TextOps.chunkTexts(col("text"), ChunkSize, Overlap), 1))
           .as("first_chunk_md5"))

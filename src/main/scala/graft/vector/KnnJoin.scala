@@ -235,7 +235,10 @@ object KnnJoin {
     * the selection order is exactly the k=1 result. */
   def exactSelfTop3(spark: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.memo(spark, s"knn_self_top3:$dir") {
-      val e = graft.core.Tables(spark, dir).embeddings
+      // spread scan: the O(N·N·d) heap loop runs in the query side's
+      // scan stage — one task on single-row-group test parquet (50 s
+      // on one core at 10× sf0.1, with 31 idle)
+      val e = graft.core.Tables(spark, dir).embeddingsSpread
       exact(spark, e, e, 3)
     }
 
@@ -255,7 +258,7 @@ object KnnJoin {
     case Exact => exactSelfTop3(spark, dir)
     case s =>
       graft.core.Artifacts.memo(spark, s"knn_self_top3:$s:$dir") {
-        val e = graft.core.Tables(spark, dir).embeddings
+        val e = graft.core.Tables(spark, dir).embeddingsSpread
         search(spark, e, e, 3, s)
       }
   }

@@ -21,7 +21,11 @@ object VectorPack extends QueryPack {
   private val K = 3
 
   private def embCast(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).embeddings
+    // spread scan: feeds the index builds and probe stages, whose
+    // per-row vector arithmetic would otherwise run as one task on
+    // the single-row-group test parquet (MlPack.features stays raw —
+    // MLlib's treeAggregate gets slower on many near-empty partitions)
+    Tables(spark, dir).embeddingsSpread
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
 
   /** Session-scoped index-build artifacts — the FAISS discipline of
@@ -143,7 +147,9 @@ object VectorPack extends QueryPack {
     if (!spark.experimental.extraStrategies.contains(graft.plans.KnnJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.KnnJoinStrategy
-    val e = Tables(spark, dir).embeddings
+    // spread scan: the exec's per-partition heap loop runs in the
+    // query side's scan stage (quadratic work, one task raw)
+    val e = Tables(spark, dir).embeddingsSpread
     graft.plans.KnnJoinPlan.knnJoin(spark, e, e, K)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))
@@ -160,7 +166,7 @@ object VectorPack extends QueryPack {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.KnnRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.KnnRewriteRule
-    val e = Tables(spark, dir).embeddings
+    val e = Tables(spark, dir).embeddingsSpread
     val q = e.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("q_emb"))
     val n = e.select(col("vec_id").as("neighbor_id"),
@@ -182,7 +188,7 @@ object VectorPack extends QueryPack {
     * the full pipeline replays in SQL and v10 is oracle-checked like
     * the exact variants (recall itself is asserted in IvfSpec). */
   def ivf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val e = Tables(spark, dir).embeddingsSpread
     KnnJoin.approxIvf(spark, e, e, K,
         centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
         assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)))
@@ -197,7 +203,7 @@ object VectorPack extends QueryPack {
     * candidates, exact rerank) replays in SQL and v12 is
     * oracle-checked; recall is asserted in PqSpec. */
   def pq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val e = Tables(spark, dir).embeddingsSpread
     KnnJoin.approxPq(spark, e, e, K,
         centsOpt = Some(pqCodebookArtifact(spark, dir)),
         codesOpt = Some(pqCodesArtifact(spark, dir)))
@@ -211,7 +217,7 @@ object VectorPack extends QueryPack {
     * stage deterministic, so v13 replays under the full oracle like
     * v10/v12; recall vs exact is asserted in the IvfPq spec. */
   def ivfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val e = Tables(spark, dir).embeddingsSpread
     KnnJoin.approxIvfPq(spark, e, e, K,
         centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
         assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)),
@@ -230,7 +236,7 @@ object VectorPack extends QueryPack {
     * "training" — replays in the SQL oracle; recall is asserted in
     * the Sq8 spec. */
   def sq8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val e = Tables(spark, dir).embeddingsSpread
     KnnJoin.approxSq8(spark, e, e, K,
         statsOpt = Some(sq8StatsArtifact(spark, dir)))
       .select(col("query_id"), col("rank"), col("neighbor_id"),
@@ -244,7 +250,7 @@ object VectorPack extends QueryPack {
     * v10/v13/v15, so the full pipeline replays under the composed SQL
     * oracle. */
   def ivfSq8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddings
+    val e = Tables(spark, dir).embeddingsSpread
     KnnJoin.approxIvfSq8(spark, e, e, K,
         centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
         assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)),

@@ -121,4 +121,27 @@ class HelperSpec extends AnyFunSuite {
     assert(rest.last.storageLevel != StorageLevel.NONE)
     graft.core.Caches.releaseTransients()
   }
+
+  test("small CPU-dense tables spread scan work across all cores") {
+    val tb = graft.core.Tables(spark, SparkTestSession.sf)
+    val cores = spark.sparkContext.defaultParallelism
+    // single-row-group test parquet reads as one task raw...
+    assert(tb.documents.rdd.getNumPartitions < cores)
+    // ...and the opt-in spread reaches the session's full parallelism
+    assert(tb.documentsSpread.rdd.getNumPartitions == cores)
+    assert(tb.embeddingsSpread.rdd.getNumPartitions == cores)
+    // the spread moves rows, never changes them
+    val raw = tb.documents.select("doc_id").collect().map(_.getLong(0)).sorted
+    val spread = tb.documentsSpread.select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(raw.sameElements(spread))
+  }
+
+  test("spread never fires on unknown paths or big tables") {
+    assert(graft.core.Tables.bytesOf(spark, "/no/such/table.parquet")
+      == Long.MaxValue)
+    val known = graft.core.Tables.bytesOf(
+      spark, s"${SparkTestSession.sf}/documents.parquet")
+    assert(known > 0 && known < graft.core.Tables.SpreadMaxBytes)
+  }
 }

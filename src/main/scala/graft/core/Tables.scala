@@ -63,10 +63,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads
-    * as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
-    * every engine session). Truncating-divide to micros matches how
-    * DuckDB (µs-precision timestamps) reads the same file. */
+  /** `events.ts` normalized to a plain TIMESTAMP regardless of how
+    * the corpus generator annotated it. Observed generator shapes:
+    * parquet TIMESTAMP(NANOS), which Spark only reads as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set by every engine
+    * session); and TIMESTAMP(MICROS, isAdjustedToUTC=false), which
+    * Spark reads as TIMESTAMP_NTZ — a type `unix_micros`/watermarks
+    * reject. Both normalize to the instant type DuckDB's µs-naive
+    * read produces, value-identical because every engine session pins
+    * `spark.sql.session.timeZone=UTC` (the NTZ→TS cast interprets
+    * wall-clock fields in the session zone). */
   def events: DataFrame = {
     val raw = t("events")
     raw.schema("ts").dataType match {
@@ -76,6 +82,9 @@ final case class Tables(spark: SparkSession, dir: String) {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Scale-up harness: build the synthetic NX corpus, bench at 1x and Nx,
+emit SCALE_r{ROUND}.json with per-query scaling factors.
+
+Usage: tools/scalerun.py ROUND [--factor 10] [--skip-build]
+                               [--base-dir /root/testdata/sf0.1]
+
+Institutionalized form of the round-6 one-off 10x measurement (PERF.md),
+which caught f04 silently recomputing a quadratic kNN that was invisible
+at the correctness SF. Run it every round; read the "superlinear" list —
+anything there that is not a documented flat/exact surface is a scale
+bug.
+
+Scaling classes (factor N):
+  sublinear   wall factor < 0.5*N  (fixed overheads amortize)
+  linear      wall factor < 1.5*N
+  superlinear otherwise            (quadratic surfaces; must be declared)
+
+Queries under 0.2s at 1x get times recorded but no factor/class — a
+50ms->300ms move is JIT/scheduling noise, not a scaling signal.
+
+The two bench runs happen in the same wall-clock session on the same
+box; their canary pairs are included so a box-load shift mid-harness is
+visible in the artifact rather than silently polluting factors.
+"""
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+
+
+def sbt_run(main, env_extra):
+    env = dict(os.environ, **env_extra)
+    cmd = ["sbt", "-batch", f"runMain graft.{main}"]
+    print(f"+ {' '.join(cmd)}  ({env_extra})", flush=True)
+    proc = subprocess.run(cmd, cwd=REPO, env=env, stdout=subprocess.PIPE,
+                          stderr=subprocess.STDOUT, text=True)
+    sys.stdout.write(proc.stdout[-3000:])
+    if proc.returncode != 0:
+        sys.exit(f"FATAL: {main} exited {proc.returncode}")
+    return proc.stdout
+
+
+def bench(sf_dir, tag):
+    if os.path.exists(DETAIL):
+        os.remove(DETAIL)
+    out = sbt_run("Bench", {"SPARK_GRAFT_SF_DIR": sf_dir})
+    line = None
+    for ln in out.splitlines():
+        i = ln.find('{"metric"')
+        if i >= 0:
+            try:
+                line = json.loads(ln[i:])
+            except json.JSONDecodeError:
+                pass
+    if line is None:
+        sys.exit(f"FATAL: no bench JSON line in {tag} run")
+    with open(DETAIL) as f:
+        detail = json.load(f)
+    shutil.copy(DETAIL, os.path.join(REPO, f"BENCH_DETAIL_{tag}.json"))
+    return line, detail
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("round", type=int)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skip-build", action="store_true",
+                    help="reuse an existing scale corpus dir")
+    ap.add_argument("--base-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/graft_scale_{args.factor}x")
+
+    if not args.skip_build:
+        sbt_run("ScaleCorpus", {
+            "SPARK_GRAFT_SF_DIR": args.base_dir,
+            "SPARK_GRAFT_SCALE_FACTOR": str(args.factor),
+            "SPARK_GRAFT_SCALE_DIR": scale_dir,
+        })
+    elif not os.path.isdir(scale_dir):
+        sys.exit(f"FATAL: --skip-build but {scale_dir} does not exist")
+
+    base_line, base_detail = bench(args.base_dir, "1x")
+    scale_line, scale_detail = bench(scale_dir, f"{args.factor}x")
+
+    lo, hi = 0.5 * args.factor, 1.5 * args.factor
+    queries, factors, classes = {}, [], {"sublinear": 0, "linear": 0,
+                                         "superlinear": 0}
+    for name, b in sorted(base_detail["queries"].items()):
+        s = scale_detail["queries"].get(name)
+        q = {"base": b, "scale": s}
+        if s is not None and s >= 0 and b >= 0.2:
+            x = s / b
+            q["x"] = round(x, 2)
+            cls = ("sublinear" if x < lo else "linear" if x < hi
+                   else "superlinear")
+            q["class"] = cls
+            classes[cls] += 1
+            factors.append((name, x))
+        queries[name] = q
+
+    artifacts = {}
+    for name, b in sorted(base_detail.get("artifact_ms", {}).items()):
+        s = scale_detail.get("artifact_ms", {}).get(name)
+        artifacts[name] = {"base_ms": b, "scale_ms": s,
+                           "x": round(s / b, 2) if s and b >= 200 else None}
+
+    superlinear = sorted((n for n, x in factors if x >= hi),
+                         key=lambda n: -queries[n]["x"])
+    out = {
+        "round": args.round,
+        "factor": args.factor,
+        "base_sf": args.base_dir,
+        "scale_dir": scale_dir,
+        "base_total": base_line["value"],
+        "scale_total": scale_line["value"],
+        "base_artifacts_sec": base_line.get("artifacts"),
+        "scale_artifacts_sec": scale_line.get("artifacts"),
+        "failed": [n for n, q in queries.items()
+                   if (q["scale"] or 0) < 0 or q["base"] < 0],
+        "canary_base": base_line.get("canary"),
+        "canary_scale": scale_line.get("canary"),
+        "median_factor": round(statistics.median(x for _, x in factors), 2)
+            if factors else None,
+        "classes": classes,
+        "superlinear": superlinear,
+        "queries": queries,
+        "artifacts": artifacts,
+    }
+    path = os.path.join(REPO, f"SCALE_r{args.round:02d}.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+        f.write("\n")
+    print(f"\nwrote {path}")
+    print(f"median factor {out['median_factor']}x at {args.factor}x data; "
+          f"classes {classes}; superlinear: {', '.join(superlinear) or 'none'}")
+
+
+if __name__ == "__main__":
+    main()

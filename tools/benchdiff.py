@@ -45,6 +45,37 @@ def load_bench(path):
     return best
 
 
+def normalize(bench):
+    """Map query keys to the driver's short form (family prefix before
+    the first underscore) so a driver line ("a07") diffs cleanly
+    against a BENCH_DETAIL file ("a07_c4_clean"), and surface a
+    detail file's canary_pre/canary_post as the canary pair."""
+    q = {}
+    for name, v in bench.get("queries", {}).items():
+        short = name.split("_", 1)[0]
+        q[short if short not in q else name] = v
+    out = dict(bench, queries=q)
+    # artifact keys: mirror Bench's abbreviation (head + initials,
+    # collisions keep full names) so detail files diff against driver
+    # lines
+    arts = bench.get("artifact_ms")
+    if arts:
+        def short(n):
+            parts = n.split("_")
+            return (parts[0] + "_" + "".join(p[0] for p in parts[1:])
+                    if len(parts) > 1 else n)
+        abbr = {n: short(n) for n in arts}
+        dup = {s for s in abbr.values()
+               if sum(1 for v in abbr.values() if v == s) > 1}
+        out["artifact_ms"] = {
+            (n if abbr[n] in dup else abbr[n]): v for n, v in arts.items()}
+    if "canary" not in out:
+        pair = [out.get("canary_pre"), out.get("canary_post")]
+        if any(isinstance(v, (int, float)) for v in pair):
+            out["canary"] = pair
+    return out
+
+
 def canary_sec(bench):
     c = bench.get("canary")
     if isinstance(c, list) and c:
@@ -64,7 +95,7 @@ def main(argv):
             threshold = float(a.split("=", 1)[1] if "=" in a
                               else argv[argv.index(a) + 1])
     md = "--md" in argv
-    old, new = (load_bench(p) for p in args)
+    old, new = (normalize(load_bench(p)) for p in args)
     c_old, c_new = canary_sec(old), canary_sec(new)
     box = (c_new / c_old) if (c_old and c_new) else None
 

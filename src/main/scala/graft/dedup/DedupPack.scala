@@ -18,20 +18,33 @@ object DedupPack extends QueryPack {
 
   /** documents ∪ planted near-dups ∪ planted exact dups.
     *
-    * Reads through [[Tables.documentsSpread]]: every consumer's first
-    * stage is a per-row shingle/hash pass (minhash, simhash, word
-    * n-grams), which on the single-row-group test parquet would
-    * otherwise run as one task — at 10× sf0.1 the dedup-group build
-    * alone burned 113 s on one core while 31 sat idle. */
-  def augmented(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documentsSpread
-      .select(col("doc_id"), col("text"))
+    * With `spread` (the default) the UNIONED output is round-robined
+    * across the session's cores once: most consumers' next stage is a
+    * per-row shingle/hash pass (minhash, simhash, word n-grams),
+    * which on the single-row-group test parquet would otherwise run
+    * as one task — at 10× sf0.1 the dedup-group build alone burned
+    * 113 s on one core while 31 sat idle. One exchange after the
+    * union, not one per branch: spreading the source scan instead
+    * paid three exchanges for the same parallelism. Shuffle-light
+    * consumers whose per-row work is a single md5 (d15's offset
+    * election, d16's digest screen) pass `spread = false` — for them
+    * the exchange costs more than the one-task scan (measured: d15
+    * 4.4 → 3.1 s, d16 1.3 → 0.9 s at sf0.1). */
+  def augmented(spark: SparkSession, dir: String,
+                spread: Boolean = true): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.documents.select(col("doc_id"), col("text"))
     val near = d.filter(col("doc_id") < 100)
       .select((col("doc_id") + 100000).as("doc_id"),
         regexp_replace(col("text"), "^\\S+\\s*", "").as("text"))
     val exact = d.filter(col("doc_id") < 50)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
-    d.unionByName(near).unionByName(exact)
+    val u = d.unionByName(near).unionByName(exact)
+    val cores = spark.sparkContext.defaultParallelism
+    if (spread && cores > 1 &&
+        graft.core.Tables.bytesOf(spark, s"$dir/documents.parquet")
+          < graft.core.Tables.SpreadMaxBytes) u.repartition(cores)
+    else u
   }
 
   private[graft] val augmentedSql = """
@@ -58,7 +71,7 @@ object DedupPack extends QueryPack {
     * relation when even digests shouldn't shuffle); the batch side is
     * a day's ingest, not the corpus. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val aug = augmented(spark, dir)
+    val aug = augmented(spark, dir, spread = false)
     val hist = aug.filter(col("doc_id") < 100000)
       .select(md5(col("text")).as("h")).distinct()
       .withColumn("in_hist", lit(true))
@@ -189,7 +202,8 @@ object DedupPack extends QueryPack {
     * oracle replays occurrence offsets, keeper election, coverage,
     * and reassembly. */
   def substringDedupQuery(spark: SparkSession, dir: String): DataFrame =
-    Dedup.substringDedup(augmented(spark, dir), col("doc_id"), col("text"), 10)
+    Dedup.substringDedup(augmented(spark, dir, spread = false),
+      col("doc_id"), col("text"), 10)
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 

@@ -31,6 +31,53 @@ object PerfProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // `runMain graft.PerfProbe artreps` — artifact-build variance
+    // attribution: build every session artifact 3× in ONE JVM, a
+    // fresh SparkSession per rep so the memo can't serve a cached
+    // frame. If rep 2+ is uniformly fast while rep 1 swings, the
+    // run-to-run artifact-line variance (r6 driver: 88.6 s vs 23.0 s
+    // local; reproduced locally 34.5 s vs 77.8 s same box same code)
+    // is JIT-compilation state, not data or plan work.
+    if (args.contains("artreps")) {
+      for (rep <- 1 to 3) {
+        val s = spark.newSession()
+        val t0 = System.nanoTime()
+        SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
+          .foreach { case (name, build) =>
+            val t1 = System.nanoTime()
+            build(s, sfDir).write.format("noop").mode("overwrite").save()
+            println(f"ARTREP $rep $name: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          }
+        println(f"ARTREP $rep TOTAL: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.PerfProbe artwarm` — the mitigation experiment
+    // for the artreps finding: does a cheap small-SF build pass
+    // (compiling the same codegen classes + MLlib/regex loops) bring
+    // the first full-SF build down to the steady-state number?
+    if (args.contains("artwarm")) {
+      val warmDir = "/root/testdata/sf0.01"
+      val t0 = System.nanoTime()
+      SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
+        .foreach { case (_, build) =>
+          build(spark, warmDir).write.format("noop").mode("overwrite").save()
+        }
+      println(f"ARTWARM warm(sf0.01): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val t1 = System.nanoTime()
+      SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
+        .foreach { case (name, build) =>
+          val t2 = System.nanoTime()
+          build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          println(f"ARTWARM $name: ${(System.nanoTime() - t2) / 1e9}%.2f s")
+        }
+      println(f"ARTWARM timed(sf0.1): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe ivfscale` — the FAISS nlist ∝ √n rule,
     // measured: with nCentroids FIXED at the sf0.1 default (16), a
     // 10× corpus probes nProbe/nCentroids = 1/4 of all vectors per

@@ -50,7 +50,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     * explicitly, and everything else keeps the raw scan. */
   private def spreadIfSmall(df: DataFrame, name: String): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
-    if (cores > 1 && Tables.bytesOf(spark, s"$dir/$name.parquet")
+    if (Tables.spreadEnabled && cores > 1 &&
+        Tables.bytesOf(spark, s"$dir/$name.parquet")
           < Tables.SpreadMaxBytes) df.repartition(cores)
     else df
   }
@@ -105,6 +106,13 @@ object Tables {
     * stages. 64 MB is half a default parquet row group: anything
     * bigger has real split structure and keeps its scan layout. */
   val SpreadMaxBytes: Long = 64L * 1024 * 1024
+
+  /** Kill-switch for the small-table spread (`SPARK_GRAFT_NO_SPREAD`):
+    * an A/B instrument for attributing exchange cost vs scan
+    * parallelism on a given box, and the escape hatch if a deployment
+    * has small tables but expensive shuffles. */
+  private[graft] val spreadEnabled: Boolean =
+    !sys.env.get("SPARK_GRAFT_NO_SPREAD").exists(_.trim.nonEmpty)
 
   /** Total bytes of a table path (file or directory); unknown =
     * Long.MaxValue so the spread never fires on an unreadable path. */

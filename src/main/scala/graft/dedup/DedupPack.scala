@@ -41,7 +41,7 @@ object DedupPack extends QueryPack {
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
     val u = d.unionByName(near).unionByName(exact)
     val cores = spark.sparkContext.defaultParallelism
-    if (spread && cores > 1 &&
+    if (spread && graft.core.Tables.spreadEnabled && cores > 1 &&
         graft.core.Tables.bytesOf(spark, s"$dir/documents.parquet")
           < graft.core.Tables.SpreadMaxBytes) u.repartition(cores)
     else u

@@ -133,12 +133,30 @@ class DedupSpec extends AnyFunSuite {
   test("pointer jumping resolves a 64-chain in logarithmic rounds") {
     import spark.implicits._
     val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val (labels, rounds) = Dedup.dedupGroupsWithRounds(pairs)
+    // the distributed loop directly — the scale path above the
+    // small-graph collect threshold
+    val (labels, rounds) = Dedup.dedupGroupsDistributed(pairs)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 64 && got.values.forall(_ == 0L))
     // plain min-propagation would need ~63 rounds; jumping collapses
     // the chain in O(log n) (+1 round to detect the fixpoint)
     assert(rounds <= 12, s"took $rounds rounds")
+  }
+
+  test("small-graph union-find matches the distributed loop exactly") {
+    import spark.implicits._
+    // chains, a star, an isolated pair, and ids that union in
+    // "wrong" order (larger root first) — the shapes that catch a
+    // path-compression or min-root bug
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L),
+      (100L, 7L), (100L, 8L), (100L, 9L), (50L, 60L), (60L, 40L))
+    val pairs = edges.toDF("a_id", "b_id")
+    val fast = Dedup.dedupGroupsWithRounds(pairs)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.dedupGroupsDistributed(pairs)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    assert(fast(5L) == 1L && fast(100L) == 7L && fast(50L) == 40L)
   }
 
   test("d08 groups the planted copies under the original keeper") {

@@ -124,6 +124,33 @@ object Bench {
           name -> -1.0
       }
     }
+    // Anomaly retries: single-shot timings on a shared-host microVM
+    // carry 4-20x transient windows (measured locally: a07 3.6 s and
+    // 15.9 s, d09 2.8 s and 44.9 s, same code/box/canary) that the
+    // pre/post canary brackets cannot see mid-run. Re-run the
+    // outliers once after the sweep: a retry far below the first
+    // pass attributes the first to a transient (contention/JIT), a
+    // retry that matches it confirms the cost is real. Headline
+    // total keeps the first-pass numbers (honest: that work
+    // happened); `retry` carries the second opinion.
+    val med = {
+      val ok = results.map(_._2).filter(_ >= 0).sorted
+      if (ok.isEmpty) 0.0 else ok(ok.size / 2)
+    }
+    val retries = results
+      .filter { case (_, s) => s > math.max(3.0, 8 * med) }
+      .sortBy { case (_, s) => -s }
+      .take(6)
+      .flatMap { case (name, _) =>
+        val t0 = System.nanoTime()
+        val r = try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+        core.Caches.releaseTransients()
+        r
+      }
     // The harness captures only the last ~2 KB of stdout: keys are
     // abbreviated to the unique family prefix (m01_confusion -> m01)
     // and seconds rounded to 3 decimals to keep this line well under
@@ -156,24 +183,34 @@ object Bench {
       .map { case ((_, ms), k) => "\"" + k + "\":" + ms }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
-    // total includes the one-time artifact build and the two canary
-    // runs so the headline stays honest about ALL work done;
-    // "artifacts"/"canary" break them out
+    // "value" keeps its cross-round definition: artifact build +
+    // canary brackets + first-pass queries. Retry seconds are
+    // instrument overhead with a round-dependent trigger count, so
+    // they live in their own field ("retries_sec"; "wall_sec" is the
+    // reconstructed full wall time) instead of silently moving the
+    // headline between rounds.
     val canarySec = Seq(canaryPre, canaryPost).filter(_ >= 0).sum
-    val total = results.map(_._2).filter(_ >= 0).sum + artifactsSec + canarySec
+    val retriesSec = retries.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum + artifactsSec +
+      canarySec
     // full-name detail for humans/scripts (stdout must stay inside the
     // harness's ~2 KB capture window; this file has no such budget)
+    val retryJson = retries
+      .map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val detail = {
       val a = artMs.map { case (n, ms) => s""""$n":$ms""" }.mkString("{", ",", "}")
       val q = results.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,"artifact_ms":$a,"queries":$q,"sf":"$sfDir"}"""
+      val r = retries.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,"artifact_ms":$a,"queries":$q,"retry":$r,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH DETAIL WRITE FAIL: $e") }
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"canary":[$canaryPre%.2f,$canaryPost%.2f],"artifact_ms":$artJson,"queries":$qs,"sf":"$sfName"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"canary":[$canaryPre%.2f,$canaryPost%.2f],"retries_sec":$retriesSec%.3f,"wall_sec":${total + retriesSec}%.3f,"retry":$retryJson,"artifact_ms":$artJson,"queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -59,7 +59,10 @@ object PerfProbe {
     // (compiling the same codegen classes + MLlib/regex loops) bring
     // the first full-SF build down to the steady-state number?
     if (args.contains("artwarm")) {
-      val warmDir = "/root/testdata/sf0.01"
+      // optional second arg picks the warm SF (how little data still
+      // compiles the hot loops?); default sf0.01
+      val warmDir = args.drop(args.indexOf("artwarm") + 1).headOption
+        .getOrElse("/root/testdata/sf0.01")
       val t0 = System.nanoTime()
       SparkEntry.packs.flatMap(_.artifacts.toSeq).sortBy(_._1)
         .foreach { case (_, build) =>

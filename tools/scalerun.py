@@ -47,7 +47,18 @@ def sbt_run(main, env_extra):
     return proc.stdout
 
 
-def bench(sf_dir, tag):
+def bench(sf_dir, tag, reuse=False):
+    line_path = os.path.join(REPO, f"BENCH_LINE_{tag}.json")
+    detail_path = os.path.join(REPO, f"BENCH_DETAIL_{tag}.json")
+    if reuse:
+        # --reuse-bench: re-aggregate from a prior run's saved leg
+        # files (e.g. after fixing the aggregation) without paying
+        # two more full benches
+        with open(line_path) as f:
+            line = json.load(f)
+        with open(detail_path) as f:
+            detail = json.load(f)
+        return line, detail
     if os.path.exists(DETAIL):
         os.remove(DETAIL)
     out = sbt_run("Bench", {"SPARK_GRAFT_SF_DIR": sf_dir})
@@ -63,8 +74,25 @@ def bench(sf_dir, tag):
         sys.exit(f"FATAL: no bench JSON line in {tag} run")
     with open(DETAIL) as f:
         detail = json.load(f)
-    shutil.copy(DETAIL, os.path.join(REPO, f"BENCH_DETAIL_{tag}.json"))
+    shutil.copy(DETAIL, detail_path)
+    with open(line_path, "w") as f:
+        json.dump(line, f)
     return line, detail
+
+
+def representative(detail):
+    """Per-query representative seconds: min(first pass, retry) when
+    the bench's post-sweep retry ran. Contention transients on a
+    shared host are one-sided (they only ADD time), so the smaller of
+    two observations is the better estimate of intrinsic cost — a
+    factor computed from a transient-inflated leg would otherwise
+    report nonsense in either direction (measured: v04 first pass
+    54.7 s, retry 1.25 s, same run)."""
+    qs = dict(detail["queries"])
+    for name, rsec in (detail.get("retry") or {}).items():
+        if name in qs and rsec >= 0:
+            qs[name] = min(qs[name], rsec)
+    return qs
 
 
 def main():
@@ -73,28 +101,33 @@ def main():
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--skip-build", action="store_true",
                     help="reuse an existing scale corpus dir")
+    ap.add_argument("--reuse-bench", action="store_true",
+                    help="re-aggregate from saved BENCH_LINE/DETAIL_{tag} files")
     ap.add_argument("--base-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR", f"/tmp/graft_scale_{args.factor}x")
 
-    if not args.skip_build:
+    if not (args.skip_build or args.reuse_bench):
         sbt_run("ScaleCorpus", {
             "SPARK_GRAFT_SF_DIR": args.base_dir,
             "SPARK_GRAFT_SCALE_FACTOR": str(args.factor),
             "SPARK_GRAFT_SCALE_DIR": scale_dir,
         })
-    elif not os.path.isdir(scale_dir):
+    elif args.skip_build and not os.path.isdir(scale_dir):
         sys.exit(f"FATAL: --skip-build but {scale_dir} does not exist")
 
-    base_line, base_detail = bench(args.base_dir, "1x")
-    scale_line, scale_detail = bench(scale_dir, f"{args.factor}x")
+    base_line, base_detail = bench(args.base_dir, "1x", args.reuse_bench)
+    scale_line, scale_detail = bench(scale_dir, f"{args.factor}x",
+                                     args.reuse_bench)
+    base_q = representative(base_detail)
+    scale_q = representative(scale_detail)
 
     lo, hi = 0.5 * args.factor, 1.5 * args.factor
     queries, factors, classes = {}, [], {"sublinear": 0, "linear": 0,
                                          "superlinear": 0}
-    for name, b in sorted(base_detail["queries"].items()):
-        s = scale_detail["queries"].get(name)
+    for name, b in sorted(base_q.items()):
+        s = scale_q.get(name)
         q = {"base": b, "scale": s}
         if s is not None and s >= 0 and b >= 0.2:
             x = s / b

@@ -32,11 +32,15 @@ object TextAnalysis {
 
   /** N-gram/stopword-heuristic language ID: (detected, score).
     * Ties break toward the earlier profile — encode the same CASE
-    * order in any oracle. */
+    * order in any oracle. Hit counts come from the native
+    * [[graft.plans.ProfileHits]] byte-scan kernel (one pass per
+    * profile, no split array, stays in whole-stage codegen); the
+    * declarative [[profileScore]] twin is the spec cross-check. */
   def langId(text: Column,
              profiles: Seq[(String, Seq[String])] = defaultProfiles): (Column, Column) = {
-    val ws = TextOps.words(text)
-    val scores = profiles.map { case (name, p) => name -> profileScore(ws, p) }
+    val scores = profiles.map { case (name, p) =>
+      name -> graft.plans.ProfileHits.count(text, p)
+    }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     val detected = scores.init.foldRight(lit(scores.last._1)) {
       case ((name, s), rest) => when(s === best, name).otherwise(rest)
@@ -44,22 +48,35 @@ object TextAnalysis {
     (detected, best)
   }
 
-  /** Quality-signal columns (length/punct/stopword ratios). */
-  def alphaChars(text: Column): Column =
+  /** Quality-signal columns (length/punct/stopword ratios) — native
+    * one-pass byte-scan counters ([[graft.plans.CharClassCount]]);
+    * the regex formulations below are the spec twins. */
+  def alphaChars(text: Column): Column = graft.plans.CharClassCount.alpha(text)
+  def punctChars(text: Column): Column = graft.plans.CharClassCount.punct(text)
+  def digitChars(text: Column): Column = graft.plans.CharClassCount.digit(text)
+
+  private[graft] def alphaCharsRegex(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", ""))
-  def punctChars(text: Column): Column =
+  private[graft] def punctCharsRegex(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
-  def digitChars(text: Column): Column =
+  private[graft] def digitCharsRegex(text: Column): Column =
     length(regexp_replace(text, "[^0-9]", ""))
 
   /** Composite quality score in [0,1]: stopword presence + low punct
-    * + reasonable length, the reference-style heuristic blend. */
+    * + reasonable length, the reference-style heuristic blend.
+    * Word/stopword counts come from the native byte-scan kernels
+    * ([[graft.plans.ProfileHits]]/[[graft.plans.WordTokenCount]] —
+    * no split array, no interpreted lambda); identical values to the
+    * declarative forms, spec-pinned. */
   def qualityScore(text: Column,
                    stopwords: Seq[String] = defaultProfiles.flatMap(_._2)): Column = {
-    val ws = TextOps.words(text)
-    val n = size(ws)
+    // coalesce to -1 on null text: the engine's non-ANSI sessions run
+    // with legacy sizeOfNull, where the declarative size(words) form
+    // yields -1 — value parity includes the null row
+    val n = coalesce(graft.plans.WordTokenCount.count(text), lit(-1L))
     val stopRatio = when(n > 0,
-      profileScore(ws, stopwords).cast("double") / n.cast("double"))
+      graft.plans.ProfileHits.count(text, stopwords).cast("double")
+        / n.cast("double"))
       .otherwise(lit(0.0))
     val punctRatio = when(length(text) > 0,
       punctChars(text).cast("double") / length(text).cast("double"))

@@ -128,6 +128,70 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(vals.last._1 == 3L)
   }
 
+  test("native ProfileHits/WordTokenCount match the declarative forms") {
+    import spark.implicits._
+    import graft.plans.{ProfileHits, WordTokenCount}
+    import graft.text.{TextAnalysis, TextOps}
+    val profile = Seq("the", "join", "spark", "a")
+    // whitespace pathologies: leading tab (split keeps one empty
+    // token), mixed runs, trailing whitespace, space-only, empty,
+    // repeated profile words (multiplicity counts)
+    val texts: Seq[String] = Seq(
+      null, "", "   ", "\t", "\tthe join", "the the the", "a b a",
+      "the  join\tspark\nscan ", " nothing matches here ",
+      "joinjoin\fjoin\rthe", "word " * 50 + "the")
+    val df = texts.toDF("t")
+    val m1 = df.select(
+        ProfileHits.count(col("t"), profile).as("native"),
+        TextAnalysis.profileScore(TextOps.words(col("t")), profile)
+          .cast("long").as("twin"))
+      .filter(!(col("native") <=> col("twin"))).count()
+    assert(m1 == 0, "profile hits diverge")
+    // coalesce(-1) mirrors the legacy sizeOfNull of the non-ANSI
+    // session, so the null row participates in the parity check too
+    val m2 = df.select(
+        coalesce(WordTokenCount.count(col("t")), lit(-1L)).as("native"),
+        size(TextOps.words(col("t"))).cast("long").as("twin"))
+      .filter(!(col("native") <=> col("twin"))).count()
+    assert(m2 == 0, "word counts diverge")
+    // corpus sweep: the composed quality score equals the old
+    // declarative formulation on every document
+    val oldQuality = {
+      val ws = TextOps.words(col("text"))
+      val n = size(ws)
+      val stop = when(n > 0,
+        TextAnalysis.profileScore(ws,
+          TextAnalysis.defaultProfiles.flatMap(_._2)).cast("double")
+          / n.cast("double")).otherwise(lit(0.0))
+      val punct = when(length(col("text")) > 0,
+        TextAnalysis.punctCharsRegex(col("text")).cast("double")
+          / length(col("text")).cast("double")).otherwise(lit(0.0))
+      lit(0.4) * stop + lit(0.3) * (lit(1.0) - punct) +
+        lit(0.3) * least(lit(1.0), n.cast("double") / 100.0)
+    }
+    val m3 = graft.core.Tables(spark, sf).documents
+      .select(TextAnalysis.qualityScore(col("text")).as("native"),
+        oldQuality.as("twin"))
+      .filter(!(col("native") <=> col("twin"))).count()
+    assert(m3 == 0, "quality score diverges")
+    // char-class counters vs the regex twins, corpus + pathologies
+    // (multi-byte codepoints land in punct, never alpha/digit)
+    val edge = texts.filter(_ != null) ++ Seq(
+      "héllo wörld", "a1!b2? ", "北京 123", "é中!x9")
+    val chDf = graft.core.Tables(spark, sf).documents.select(col("text"))
+      .unionByName(edge.toDF("text"))
+    val m4 = chDf.select(
+        graft.plans.CharClassCount.alpha(col("text")).as("na"),
+        TextAnalysis.alphaCharsRegex(col("text")).cast("long").as("ta"),
+        graft.plans.CharClassCount.digit(col("text")).as("nd"),
+        TextAnalysis.digitCharsRegex(col("text")).cast("long").as("td"),
+        graft.plans.CharClassCount.punct(col("text")).as("np"),
+        TextAnalysis.punctCharsRegex(col("text")).cast("long").as("tp"))
+      .filter(!(col("na") <=> col("ta")) || !(col("nd") <=> col("td")) ||
+        !(col("np") <=> col("tp"))).count()
+    assert(m4 == 0, "char-class counts diverge from regex twins")
+  }
+
   test("native RepetitionChars survives inside whole-stage codegen") {
     import graft.plans.RepetitionChars
     import graft.text.TextOps

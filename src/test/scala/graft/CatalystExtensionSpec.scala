@@ -192,6 +192,23 @@ class CatalystExtensionSpec extends AnyFunSuite {
     assert(m4 == 0, "char-class counts diverge from regex twins")
   }
 
+  test("native text kernels survive inside whole-stage codegen") {
+    import graft.plans.{CharClassCount, ProfileHits, WordTokenCount}
+    val df = graft.core.Tables(spark, sf).documents
+      .select(CharClassCount.alpha(col("text")).as("a"),
+        CharClassCount.punct(col("text")).as("p"),
+        ProfileHits.count(col("text"), Seq("the", "join")).as("h"),
+        WordTokenCount.count(col("text")).as("w"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+    val r = df.agg(sum(col("a")), sum(col("p")), sum(col("h")),
+      sum(col("w"))).collect()(0)
+    // alpha/hits/words are positive on the word-soup corpus; punct
+    // may legitimately be zero there (letters + whitespace only)
+    assert(r.getLong(0) > 0L && r.getLong(2) > 0L && r.getLong(3) > 0L)
+    assert(r.getLong(1) >= 0L)
+  }
+
   test("native RepetitionChars survives inside whole-stage codegen") {
     import graft.plans.RepetitionChars
     import graft.text.TextOps

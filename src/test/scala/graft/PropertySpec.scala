@@ -48,6 +48,38 @@ class PropertySpec extends AnyFunSuite {
       .foreach { case (a, b) => assert(a == b) }
   }
 
+  test("native text kernels equal their regex/declarative twins under fuzz") {
+    import spark.implicits._
+    import graft.plans.{CharClassCount, ProfileHits, WordTokenCount}
+    import graft.text.TextAnalysis
+    // strings over a whitespace-rich alphabet incl. multi-byte
+    // codepoints — the shapes where byte-scan vs regex could diverge
+    val ch = Gen.frequency(
+      6 -> Gen.alphaNumChar, 3 -> Gen.oneOf(' ', '\t', '\n', '\f',
+        '\r', ''), 2 -> Gen.oneOf('.', ',', '!', '?', '-', '_'),
+      1 -> Gen.oneOf('é', 'ß', '中', '界', 'π'))
+    val gen = Gen.listOfN(400,
+      Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, ch).map(_.mkString)))
+    val texts = gen.sample.get :+ "the join spark" :+ "" :+ "  \t "
+    val profile = Seq("the", "join", "spark", "a", "of")
+    val bad = texts.toDF("t").select(
+        CharClassCount.alpha(col("t")).as("na"),
+        TextAnalysis.alphaCharsRegex(col("t")).cast("long").as("ta"),
+        CharClassCount.digit(col("t")).as("nd"),
+        TextAnalysis.digitCharsRegex(col("t")).cast("long").as("td"),
+        CharClassCount.punct(col("t")).as("np"),
+        TextAnalysis.punctCharsRegex(col("t")).cast("long").as("tp"),
+        ProfileHits.count(col("t"), profile).as("nh"),
+        TextAnalysis.profileScore(TextOps.words(col("t")), profile)
+          .cast("long").as("th"),
+        WordTokenCount.count(col("t")).as("nw"),
+        size(TextOps.words(col("t"))).cast("long").as("tw"))
+      .filter(!(col("na") <=> col("ta")) || !(col("nd") <=> col("td")) ||
+        !(col("np") <=> col("tp")) || !(col("nh") <=> col("th")) ||
+        !(col("nw") <=> col("tw")))
+    assert(bad.count() == 0)
+  }
+
   test("money sign rules: any negative notation yields a leading minus") {
     val notations = Seq("(7.25)", "($7.25)", "7.25-", "-7.25", "-$7.25")
     runMoney(notations).foreach { case (in, out) =>

@@ -60,9 +60,67 @@ object IngestPack extends QueryPack {
       .orderBy(col("fn"))
   }
 
+  private val PairDocs = 30
+  private val PairWords = 12
+
+  /** Deterministic PDF↔text sibling tree: every non-empty doc < 30
+    * gets `docN.txt` (first 12 words); ids with `id % 3 != 0` also get
+    * a sibling `docN.pdf` (stub bytes — the pairing logic under test
+    * is filesystem/schema plumbing, not PDF decoding); doc 100, if
+    * present, is an orphan PDF with no text sibling. */
+  private def writePairFixtures(spark: SparkSession, dir: String): String = {
+    val root = s"target/fixtures_i05_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    Files.createDirectories(Paths.get(root))
+    val docs = Tables(spark, dir).documents
+      .filter(col("doc_id") < PairDocs || col("doc_id") === 100)
+      .select(col("doc_id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (id < PairDocs && words.nonEmpty)
+        Files.writeString(Paths.get(root, s"doc$id.txt"),
+          words.take(PairWords).mkString(" "))
+      if ((id < PairDocs && id % 3 != 0) || id == 100)
+        Files.writeString(Paths.get(root, s"doc$id.pdf"), s"PDF doc$id")
+    }
+    root
+  }
+
+  /** S7 + P8 + S11: pair PDFs with their text siblings by file stem —
+    * two differently-shaped scans ([[Ingest.conformTo]]-aligned, then
+    * schema union) rolled up to one presence row per stem. The rollup
+    * is a partial-aggregatable groupBy, not a join: at corpus scale
+    * the two listings shuffle once on the stem. */
+  def pdfTextPairing(spark: SparkSession, dir: String): DataFrame = {
+    val root = writePairFixtures(spark, dir)
+    val stemOf = (p: org.apache.spark.sql.Column) =>
+      regexp_extract(p, "([^/]+)\\.(txt|pdf)$", 1)
+    val txt = spark.read.text(s"$root/*.txt")
+      .select(stemOf(input_file_name()).as("stem"),
+        md5(col("value")).as("txt_md5"))
+    val pdf = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf").load(root)
+      .select(stemOf(col("path")).as("stem"),
+        col("length").cast("string").as("pdf_size"))
+    val target = Seq("stem", "txt_md5", "pdf_size")
+    Ingest.unionAll(Seq(
+        Ingest.conformTo(txt, Map.empty, target),
+        Ingest.conformTo(pdf, Map.empty, target)))
+      .groupBy(col("stem"))
+      .agg(max(col("txt_md5")).as("txt_md5"),
+        max(col("pdf_size")).as("pdf_size"))
+      .select(col("stem"), col("txt_md5").isNotNull.as("has_txt"),
+        col("pdf_size").isNotNull.as("has_pdf"),
+        (col("txt_md5").isNotNull && col("pdf_size").isNotNull).as("paired"),
+        col("txt_md5"), col("pdf_size"))
+      .orderBy(col("stem"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i01_ingest_pages" -> ingestPages,
-    "i02_ingest_flatten" -> ingestFlatten)
+    "i02_ingest_flatten" -> ingestFlatten,
+    "i05_pdf_text_pairing" -> pdfTextPairing)
 
   private val pagesCte = s"""
     |d AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || '.csv' AS fn,
@@ -84,5 +142,20 @@ object IngestPack extends QueryPack {
     "i02_ingest_flatten" -> s"""
       |WITH $pagesCte
       |SELECT fn, md5(string_agg(page, chr(10) ORDER BY pe_num)) AS full_md5
-      |FROM pages GROUP BY fn ORDER BY fn""".stripMargin)
+      |FROM pages GROUP BY fn ORDER BY fn""".stripMargin,
+    "i05_pdf_text_pairing" -> s"""
+      |WITH t AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
+      |    md5(array_to_string(
+      |      (regexp_split_to_array(trim(text), '\\s+'))[1:$PairWords], ' ')) AS txt_md5
+      |  FROM documents WHERE doc_id < $PairDocs AND length(trim(text)) > 0),
+      |p AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
+      |    CAST(length('PDF doc' || CAST(doc_id AS VARCHAR)) AS VARCHAR) AS pdf_size
+      |  FROM documents
+      |  WHERE (doc_id < $PairDocs AND doc_id % 3 <> 0) OR doc_id = 100)
+      |SELECT coalesce(t.stem, p.stem) AS stem,
+      |  t.stem IS NOT NULL AS has_txt, p.stem IS NOT NULL AS has_pdf,
+      |  (t.stem IS NOT NULL AND p.stem IS NOT NULL) AS paired,
+      |  t.txt_md5, p.pdf_size
+      |FROM t FULL OUTER JOIN p ON t.stem = p.stem
+      |ORDER BY stem""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -194,13 +194,97 @@ object LlmPack extends QueryPack {
       .orderBy(col("id"))
   }
 
+  /** l09: the L1 batch-embed stage end to end — the `mapPartitions`
+    * encoder seam run with the deterministic [[EmbedStage
+    * .HashingEmbedder]], exploded to (doc, dim, value) rows so the
+    * oracle hash covers every coordinate of every embedding. The
+    * stage itself is the thing under test: a model-backed encoder
+    * plugs into the same seam unchanged. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documentsSpread
+      .select(col("doc_id"), col("text"))
+    EmbedStage.embed(docs, col("doc_id"), col("text"),
+        new EmbedStage.HashingEmbedder())
+      .select(col("id").as("doc_id"),
+        posexplode(col("embedding")).as(Seq("dim", "value")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        round(col("value"), 6).as("value"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  /** l10: retrieval-quality metrics over the BM25 ranking (the
+    * training-data-curation eval loop: is the retriever good enough
+    * to mine hard negatives / RAG context from?). Graded relevance is
+    * derived from the corpus itself — the query's own doc (gain 2),
+    * same-`source` docs (gain 1) — so MRR, nDCG@5 and capped
+    * recall@5 are all oracle-replayable. DCG/IDCG terms follow the
+    * a08 transcendental discipline (round 9 → exact DECIMAL sum);
+    * the ideal ranking is materialized per query, never a global
+    * sort. The trailing `query_id = -1` row is the macro average. */
+  def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir).documents
+    val docs = t.select(col("doc_id"), col("text"))
+    val srcs = t.select(col("doc_id"), col("source"))
+    val hits = Bm25.topK(docs, bm25QueryTerms(docs), 5)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val srcN = srcs.groupBy(col("source")).agg(count(lit(1)).as("src_n"))
+    val q = srcs.filter(col("doc_id") < 20)
+      .join(srcN, Seq("source"))
+      .select(col("doc_id").as("query_id"), col("source").as("q_source"),
+        (col("src_n") - 1L).as("n_same"))
+    def dcgTerm(rel: Column, rank: Column): Column =
+      round(rel / (log(rank.cast("double") + 1) / log(lit(2.0))), 9)
+        .cast("decimal(18,9)")
+    val graded = hits
+      .join(q, Seq("query_id"))
+      .join(srcs.select(col("doc_id"), col("source").as("d_source")),
+        Seq("doc_id"))
+      .withColumn("rel", when(col("doc_id") === col("query_id"), 2d)
+        .when(col("d_source") === col("q_source"), 1d).otherwise(0d))
+    val perQ = graded.groupBy(col("query_id"))
+      .agg(sum(dcgTerm(col("rel"), col("rank"))).as("dcg"),
+        min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hit"))
+    val ideal = q
+      .withColumn("rank",
+        explode(sequence(lit(1L), least(col("n_same") + 1L, lit(5L)))))
+      .withColumn("rel", when(col("rank") === 1L, 2d).otherwise(1d))
+      .groupBy(col("query_id"))
+      .agg(sum(dcgTerm(col("rel"), col("rank"))).as("idcg"))
+    val m = q.join(perQ, Seq("query_id")).join(ideal, Seq("query_id"))
+      .select(col("query_id"),
+        when(col("first_rel").isNull, lit(0d))
+          .otherwise(round(lit(1d) / col("first_rel").cast("double"), 6))
+          .cast("decimal(18,6)").as("mrr"),
+        round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+          .cast("decimal(18,6)").as("ndcg5"),
+        round(col("n_hit").cast("double") /
+            least(col("n_same") + 1L, lit(5L)).cast("double"), 6)
+          .cast("decimal(18,6)").as("recall5"))
+    val overall = m.agg(
+        round(sum(col("mrr")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mrr"),
+        round(sum(col("ndcg5")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("ndcg5"),
+        round(sum(col("recall5")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("recall5"))
+      .select(lit(-1L).as("query_id"), col("mrr"), col("ndcg5"), col("recall5"))
+    m.select(col("query_id"), col("mrr").cast("double").as("mrr"),
+        col("ndcg5").cast("double").as("ndcg5"),
+        col("recall5").cast("double").as("recall5"))
+      .unionByName(overall)
+      .orderBy(col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l01_extract_long" -> extractLong,
     "l02_extract_accuracy" -> extractAccuracy,
     "l03_rag_context" -> ragContext,
     "l04_confirmation" -> confirmation,
     "l07_bm25_retrieval" -> bm25Retrieval,
-    "l08_hybrid_rrf" -> hybridRrf)
+    "l08_hybrid_rrf" -> hybridRrf,
+    "l09_hash_embed" -> hashEmbed,
+    "l10_retrieval_metrics" -> retrievalMetrics)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("llm_extract" -> extractLong)
@@ -348,5 +432,76 @@ object LlmPack extends QueryPack {
       |rr AS (SELECT query_id, doc_id, rrf, row_number() OVER (PARTITION BY query_id
       |    ORDER BY rrf DESC, doc_id) AS rnk FROM f)
       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, round(rrf, 6) AS rrf
-      |FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin)
+      |FROM rr WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "l09_hash_embed" -> """
+      |WITH toks AS (SELECT doc_id,
+      |    unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+      |b AS (SELECT doc_id,
+      |    strpos('0123456789abcdef', substr(h, 1, 1)) - 1 AS dim,
+      |    CASE WHEN substr(h, 2, 1) < '8' THEN 1 ELSE -1 END AS sgn FROM h),
+      |s AS (SELECT doc_id, dim, CAST(sum(sgn) AS DOUBLE) AS v
+      |  FROM b GROUP BY doc_id, dim),
+      |g AS (SELECT d.doc_id, gd.dim
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d,
+      |       (SELECT unnest(range(0, 16)) AS dim) gd),
+      |f AS (SELECT g.doc_id, CAST(g.dim AS BIGINT) AS dim,
+      |    coalesce(s.v, 0.0) AS v
+      |  FROM g LEFT JOIN s ON s.doc_id = g.doc_id AND s.dim = g.dim),
+      |n AS (SELECT doc_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY doc_id)
+      |SELECT f.doc_id, f.dim,
+      |  round(CASE WHEN n.nrm = 0 THEN 0.0 ELSE f.v / n.nrm END, 6) AS value
+      |FROM f JOIN n ON n.doc_id = f.doc_id
+      |ORDER BY f.doc_id, f.dim""".stripMargin,
+    "l10_retrieval_metrics" -> s"""
+      |WITH $bm25Cte,
+      |h AS (SELECT query_id, doc_id, rnk AS rank FROM rb WHERE rnk <= 5),
+      |srcs AS (SELECT doc_id, source FROM documents),
+      |sn AS (SELECT source, count(*) AS src_n FROM srcs GROUP BY source),
+      |q AS (SELECT s.doc_id AS query_id, s.source AS q_source,
+      |    sn.src_n - 1 AS n_same
+      |  FROM srcs s JOIN sn ON sn.source = s.source WHERE s.doc_id < 20),
+      |g AS (SELECT h.query_id, h.rank,
+      |    CASE WHEN h.doc_id = h.query_id THEN 2.0
+      |         WHEN d.source = q.q_source THEN 1.0 ELSE 0.0 END AS rel
+      |  FROM h JOIN q ON q.query_id = h.query_id
+      |  JOIN srcs d ON d.doc_id = h.doc_id),
+      |pq AS (SELECT query_id,
+      |    sum(CAST(round(rel / (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0)), 9)
+      |      AS DECIMAL(18,9))) AS dcg,
+      |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+      |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_hit
+      |  FROM g GROUP BY query_id),
+      |ideal AS (SELECT query_id,
+      |    unnest(range(1, CAST(least(n_same + 1, 5) AS BIGINT) + 1)) AS rank
+      |  FROM q),
+      |idc AS (SELECT query_id,
+      |    sum(CAST(round((CASE WHEN rank = 1 THEN 2.0 ELSE 1.0 END)
+      |        / (ln(CAST(rank + 1 AS DOUBLE)) / ln(2.0)), 9)
+      |      AS DECIMAL(18,9))) AS idcg
+      |  FROM ideal GROUP BY query_id),
+      |m AS (SELECT q.query_id,
+      |    CAST(CASE WHEN pq.first_rel IS NULL THEN 0.0
+      |      ELSE round(1.0 / CAST(pq.first_rel AS DOUBLE), 6) END
+      |      AS DECIMAL(18,6)) AS mrr,
+      |    CAST(round(CAST(pq.dcg AS DOUBLE) / CAST(idc.idcg AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS ndcg5,
+      |    CAST(round(CAST(pq.n_hit AS DOUBLE)
+      |        / CAST(least(q.n_same + 1, 5) AS DOUBLE), 6)
+      |      AS DECIMAL(18,6)) AS recall5
+      |  FROM q
+      |  JOIN pq ON pq.query_id = q.query_id
+      |  JOIN idc ON idc.query_id = q.query_id)
+      |SELECT * FROM (
+      |  SELECT query_id, CAST(mrr AS DOUBLE) AS mrr,
+      |    CAST(ndcg5 AS DOUBLE) AS ndcg5, CAST(recall5 AS DOUBLE) AS recall5
+      |  FROM m
+      |  UNION ALL
+      |  SELECT -1 AS query_id,
+      |    round(CAST(sum(mrr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6),
+      |    round(CAST(sum(ndcg5) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6),
+      |    round(CAST(sum(recall5) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+      |  FROM m)
+      |ORDER BY query_id""".stripMargin)
 }

@@ -94,6 +94,36 @@ object MetricsPack extends QueryPack {
   def isotonic(spark: SparkSession, dir: String): DataFrame =
     Calibration.isotonicBins(calibInput(spark, dir), col("prob"), col("y"))
 
+  /** M5: statistical sample-size calculator n = ⌈Z²·p(1−p)/E²⌉
+    * (`email_717.py:13-92`) — p observed FROM the corpus (share of
+    * English documents), crossed with the confidence/error grid the
+    * reference uses. Pure rational double arithmetic (no
+    * transcendentals), so both engines compute bit-identical values;
+    * [[graft.sample.Sampling.sampleSize]] is the scalar twin
+    * (spec-pinned equal on this grid). */
+  /** (Z, E) confidence/error grid — ONE definition, mirrored into the
+    * oracle SQL so the two sides cannot drift. */
+  private val sampleGrid: Seq[(Double, Double)] =
+    Seq(1.645 -> 0.05, 1.96 -> 0.05, 2.576 -> 0.05,
+      1.96 -> 0.03, 1.96 -> 0.01)
+
+  def sampleSizeGrid(spark: SparkSession, dir: String): DataFrame = {
+    val grid = sampleGrid
+    val docs = Tables(spark, dir).documents
+    val p = docs.agg(
+      (sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("p"))
+    import spark.implicits._
+    val gridDf = grid.zipWithIndex
+      .map { case ((z, e), i) => (i.toLong, z, e) }.toDF("grid_id", "z", "e")
+    p.crossJoin(gridDf)
+      .select(col("grid_id"), col("z"), col("e"),
+        round(col("p"), 6).as("p"),
+        ceil(col("z") * col("z") * col("p") * (lit(1.0) - col("p"))
+          / (col("e") * col("e"))).cast("long").as("n_required"))
+      .orderBy(col("grid_id"))
+  }
+
   /** A6: wide pivot with a deterministic `last` (max_by on doc_id). */
   def pivotWide(spark: SparkSession, dir: String): DataFrame = {
     val langs = Seq("de", "en", "es", "fr", "zh")
@@ -116,7 +146,8 @@ object MetricsPack extends QueryPack {
     "m07_pivot_wide" -> pivotWide,
     "m08_calibration_summary" -> calibSummary,
     "m09_temperature_scaling" -> temperature,
-    "m10_isotonic_bins" -> isotonic)
+    "m10_isotonic_bins" -> isotonic,
+    "m11_sample_size" -> sampleSizeGrid)
 
   private val predsCte = """
     |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
@@ -303,5 +334,18 @@ object MetricsPack extends QueryPack {
       |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'es'), 'NULL') AS es,
       |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'fr'), 'NULL') AS fr,
       |  coalesce(max_by(source, doc_id) FILTER (WHERE lang = 'zh'), 'NULL') AS zh
-      |FROM documents GROUP BY doc_id % 50 ORDER BY fn""".stripMargin)
+      |FROM documents GROUP BY doc_id % 50 ORDER BY fn""".stripMargin,
+    "m11_sample_size" -> s"""
+      |WITH p AS (SELECT
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / CAST(count(*) AS DOUBLE) AS p
+      |  FROM documents),
+      |g AS (SELECT * FROM (VALUES ${sampleGrid.zipWithIndex.map {
+               case ((z, e), i) =>
+                 s"(CAST($i AS BIGINT), CAST($z AS DOUBLE), CAST($e AS DOUBLE))"
+             }.mkString(", ")}) t(grid_id, z, e))
+      |SELECT g.grid_id, g.z, g.e, round(p.p, 6) AS p,
+      |  CAST(ceil(g.z * g.z * p.p * (1 - p.p) / (g.e * g.e)) AS BIGINT)
+      |    AS n_required
+      |FROM p, g ORDER BY grid_id""".stripMargin)
 }

@@ -224,6 +224,70 @@ object NormalizePack extends QueryPack {
         md5(W2Refine.expandQuery(col("text"), synonymMap)).as("expanded_md5"))
       .orderBy(col("doc_id"))
 
+  /** F11 vectors: sign/zero/rounding/grouping edges. String inputs
+    * cast straight to DECIMAL(18,2) on BOTH engines (never through
+    * double — `BigDecimal.valueOf(2.005d)` and a binary 2.005 round
+    * to different cents), both engines rounding half-away-from-zero. */
+  val formatMoneyVectors: Seq[String] = Seq(
+    "1234.5", "0.07", "1053.75", "0", "-1053.75", "1234567.891",
+    "2.005", "-2.005", "-0.004", "9999999999.99", "0.005", "not a number",
+    null, ".5", "-12")
+
+  /** F11 `formatMoney` (`post_9_9.py:13-19`): numeric → `-$#,##0.00`. */
+  def formatMoneyQ(spark: SparkSession, dir: String): DataFrame =
+    df1(spark, formatMoneyVectors)
+      .select(col("id"),
+        Normalize.formatMoney(col("s").cast("decimal(18,2)")).as("fmt"))
+      .orderBy(col("id"))
+
+  /** F16 vectors: the staged-repair failure modes from the reference's
+    * `json_error.py` corpus — trailing commas, single-quoted
+    * keys/values, fences, wrapped braces, and irreparable garbage. */
+  val stagedJsonVectors: Seq[String] = Seq(
+    """{"a": 1,}""",
+    """{'key': 'value'}""",
+    "```json\n{\"x\": 5,}\n```",
+    """Some text {"k": "v",} trailing""",
+    """{"a": [1, 2,], "b": 'c',}""",
+    """{"a": 1""",
+    """"a": 1}""",
+    "not json",
+    "",
+    """{'nums': [1, 2, 3,], 'tag': 'x',}""")
+
+  /** F16 staged repairs: brace repair → trailing-comma strip →
+    * quote normalization, with the strict-validity verdict. */
+  def jsonRepairStaged(spark: SparkSession, dir: String): DataFrame = {
+    val repaired = JsonRepair.repairCommon(col("s"))
+    df1(spark, stagedJsonVectors)
+      .select(col("id"), repaired.as("repaired"),
+        JsonRepair.isValidJson(repaired).as("valid"))
+      .orderBy(col("id"))
+  }
+
+  /** F17 vectors (`safe_parser.py:3-23` shapes): well-formed, missing
+    * `]`, single-quoted (the reference's `ast.literal_eval` accepts
+    * these; so does Spark's lenient parser), empty, garbage. */
+  val listVectors: Seq[String] = Seq(
+    """["AA", "BB"]""",
+    """["AA", "BB"""",
+    """['DD 10', 'RET 20.5']""",
+    """['one'""",
+    "plain string",
+    "[]",
+    """["only"]""",
+    """[1, 2]""",
+    "")
+
+  /** F17 `safe_parse_list`: parse / retry-with-`]` / singleton-wrap. */
+  def safeParseListQ(spark: SparkSession, dir: String): DataFrame = {
+    val parsed = JsonRepair.safeParseList(col("s"), StringType)
+    df1(spark, listVectors)
+      .select(col("id"), size(parsed).cast("long").as("n"),
+        array_join(parsed, "|").as("joined"))
+      .orderBy(col("id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_money_norm" -> moneyNorm,
     "n02_money_credits" -> moneyCredits,
@@ -238,7 +302,10 @@ object NormalizePack extends QueryPack {
     "n11_w2_refine" -> w2Refine,
     "n12_answer_extract" -> answerExtract,
     "n13_query_expansion" -> queryExpansion,
-    "n14_money_norm_native" -> moneyNormNative)
+    "n14_money_norm_native" -> moneyNormNative,
+    "n15_format_money" -> formatMoneyQ,
+    "n16_json_repair_staged" -> jsonRepairStaged,
+    "n17_safe_parse_list" -> safeParseListQ)
 
   // ---- oracle SQL ---------------------------------------------------------
 
@@ -442,7 +509,44 @@ object NormalizePack extends QueryPack {
       |  md5(CASE WHEN len(syns) > 0
       |    THEN text || ' ' || array_to_string(syns, ' ')
       |    ELSE text END) AS expanded_md5
-      |FROM s ORDER BY doc_id""".stripMargin)
+      |FROM s ORDER BY doc_id""".stripMargin,
+    "n15_format_money" -> s"""
+      |WITH x AS (SELECT * FROM ${valuesSql(formatMoneyVectors.map(Seq(_)), Seq("s"))}),
+      |d AS (SELECT id, TRY_CAST(s AS DECIMAL(18,2)) AS amt FROM x)
+      |SELECT id, CASE
+      |  WHEN amt IS NULL THEN NULL
+      |  WHEN amt < 0 THEN '-' || ${fmt("(-amt)")}
+      |  ELSE ${fmt("amt")} END AS fmt
+      |FROM d ORDER BY id""".stripMargin,
+    "n16_json_repair_staged" -> s"""
+      |WITH x AS (SELECT * FROM ${valuesSql(stagedJsonVectors.map(Seq(_)), Seq("s"))}),
+      |nf AS (SELECT id, regexp_replace(s, '```(?:json)?\\s*|```', '', 'g') AS s0 FROM x),
+      |a AS (SELECT id, '{' || (CASE WHEN strpos(s0, '{') > 0
+      |  THEN substr(s0, strpos(s0, '{') + 1) ELSE s0 END) AS w FROM nf),
+      |b AS (SELECT id, CASE WHEN strpos(reverse(w), '}') = 0 THEN w || '}'
+      |  ELSE substr(w, 1, length(w) - strpos(reverse(w), '}') + 1) END AS br FROM a),
+      |c1 AS (SELECT id, regexp_replace(br, ',\\s*([}\\]])', '\\1', 'g') AS r FROM b),
+      |c2 AS (SELECT id, regexp_replace(r, '([{,\\[]\\s*)''', '\\1"', 'g') AS r FROM c1),
+      |c3 AS (SELECT id, regexp_replace(r, '''(\\s*[:,}\\]])', '"\\1', 'g') AS r FROM c2),
+      |c4 AS (SELECT id, regexp_replace(r, '(:\\s*)''', '\\1"', 'g') AS repaired FROM c3)
+      |SELECT id, repaired, json_valid(repaired) AS valid
+      |FROM c4 ORDER BY id""".stripMargin,
+    "n17_safe_parse_list" -> s"""
+      |WITH x AS (SELECT * FROM ${valuesSql(listVectors.map(Seq(_)), Seq("s"))}),
+      |qn AS (SELECT id, s, replace(s, '''', '"') AS q FROM x),
+      |p AS (SELECT id, s, CASE
+      |  WHEN json_valid(s) AND json_type(try_cast(s AS JSON)) = 'ARRAY'
+      |    THEN json_transform(s, '["VARCHAR"]')
+      |  WHEN json_valid(s || ']') AND json_type(try_cast(s || ']' AS JSON)) = 'ARRAY'
+      |    THEN json_transform(s || ']', '["VARCHAR"]')
+      |  WHEN json_valid(q) AND json_type(try_cast(q AS JSON)) = 'ARRAY'
+      |    THEN json_transform(q, '["VARCHAR"]')
+      |  WHEN json_valid(q || ']') AND json_type(try_cast(q || ']' AS JSON)) = 'ARRAY'
+      |    THEN json_transform(q || ']', '["VARCHAR"]')
+      |  ELSE [s] END AS parsed FROM qn)
+      |SELECT id, CAST(len(parsed) AS BIGINT) AS n,
+      |  coalesce(array_to_string(parsed, '|'), '') AS joined
+      |FROM p ORDER BY id""".stripMargin)
 
   /** n14 shares n01's oracle verbatim: same semantics, native
     * Catalyst execution path. */

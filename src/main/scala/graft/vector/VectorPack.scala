@@ -120,6 +120,31 @@ object VectorPack extends QueryPack {
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** M2: deterministic ROW-level split — md5(seed ‖ key) fraction
+    * threshold, so the assignment is partition- and cluster-size-
+    * independent ([[Sampling.hashSplit]]). Split counts ride along so
+    * the oracle checks the fraction landed, not just the labels. */
+  def rowSplit(spark: SparkSession, dir: String): DataFrame = {
+    val split = Sampling.hashSplit(
+      Tables(spark, dir).documents.select(col("doc_id")),
+      col("doc_id"), 0.8)
+    val counts = split.groupBy(col("split"))
+      .agg(count(lit(1)).as("split_n"))
+    split.join(broadcast(counts), Seq("split"))
+      .select(col("doc_id"), col("split"), col("split_n"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** M4: fixed-size deterministic sample — top-25 docs in
+    * md5(seed ‖ key) order ([[Sampling.fixedSample]]; the reference
+    * carves ~100-doc eval sets this way, `email_717.py`). */
+  def fixedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.fixedSample(
+        Tables(spark, dir).documents.select(col("doc_id"), col("n_chars")),
+        25, col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   /** F23: per-query softmax-ish score normalization over top-k, via
     * exact decimal sums so the denominator is order-independent. */
   def topkSoftmax(spark: SparkSession, dir: String): DataFrame = {
@@ -289,7 +314,9 @@ object VectorPack extends QueryPack {
     "v08_topk_softmax" -> topkSoftmax,
     "v13_knn_ivfpq" -> ivfPq,
     "v15_knn_sq8" -> sq8,
-    "v16_knn_ivfsq8" -> ivfSq8)
+    "v16_knn_ivfsq8" -> ivfSq8,
+    "v17_row_split" -> rowSplit,
+    "v18_fixed_sample" -> fixedSample)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
@@ -359,6 +386,19 @@ object VectorPack extends QueryPack {
       |  CASE WHEN substr(md5('42' || source), 1, 4) < 'cccd' THEN 'train'
       |       ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin,
+    "v17_row_split" -> """
+      |WITH s AS (SELECT doc_id,
+      |    CASE WHEN substr(md5('42' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'
+      |         THEN 'train' ELSE 'test' END AS split
+      |  FROM documents),
+      |c AS (SELECT split, count(*) AS split_n FROM s GROUP BY split)
+      |SELECT s.doc_id, s.split, c.split_n
+      |FROM s JOIN c USING (split) ORDER BY s.doc_id""".stripMargin,
+    "v18_fixed_sample" -> """
+      |SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars FROM documents
+      |  ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 25)
+      |ORDER BY doc_id""".stripMargin,
     "v08_topk_softmax" -> s"""
       |WITH $knnCte,
       |k AS (SELECT qid, rnk, nid, CAST(round(sim, 6) AS DECIMAL(18,6)) AS simd,

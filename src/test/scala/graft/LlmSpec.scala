@@ -156,4 +156,69 @@ class LlmSpec extends AnyFunSuite {
     assert(d(3) == "no")  // none
     assert(d(4) == "yes") // first + last
   }
+
+  test("hashing embedder: unit norm, determinism, bucket math, empty text") {
+    val e = new EmbedStage.HashingEmbedder()
+    val v = e.embed("hello world hello")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12, "L2 norm must be 1")
+    assert(v.sameElements(e.embed("hello world hello")), "must be deterministic")
+    // md5('hello') = 5d41..., md5('world') = 7d79...: buckets 5 and 7,
+    // signs from the second nibble (d≥8 → −1 for both)
+    val raw = Array.fill(16)(0.0)
+    raw(5) = -2.0; raw(7) = -1.0
+    val n = math.sqrt(5.0)
+    assert(v.zip(raw.map(_ / n)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    assert(e.embed("").forall(_ == 0.0), "empty text → zero vector")
+    assert(e.embed(null).forall(_ == 0.0), "null text → zero vector")
+  }
+
+  test("embed stage (mapPartitions seam) equals per-row direct embedding") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "Gamma, gamma; DELTA!"))
+      .toDF("doc_id", "text").repartition(3)
+    val emb = new EmbedStage.HashingEmbedder()
+    val staged = EmbedStage.embed(docs, col("doc_id"), col("text"), emb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for ((id, t) <- Seq(1L -> "alpha beta", 2L -> "", 3L -> "Gamma, gamma; DELTA!"))
+      assert(staged(id).sameElements(emb.embed(t)), s"doc $id diverged")
+    // tokenization is case-insensitive on [a-z0-9]+ runs
+    assert(staged(3L).sameElements(emb.embed("gamma gamma delta")))
+  }
+
+  test("retrieval metrics: ranges, self-doc MRR, and the macro-average row") {
+    val rows = LlmPack.retrievalMetrics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val (overall, perQ) = rows.partition(_._1 == -1L)
+    assert(overall.length == 1 && perQ.length == 20)
+    perQ.foreach { case (q, mrr, ndcg, recall) =>
+      assert(mrr >= 0 && mrr <= 1, s"q$q mrr out of range")
+      assert(ndcg >= 0 && ndcg <= 1 + 1e-9, s"q$q ndcg out of range")
+      assert(recall >= 0 && recall <= 1, s"q$q recall out of range")
+    }
+    // independent MRR twin: recompute from the l07 ranking + sources
+    // with plain Scala (the corpus is word-salad, so relevance at the
+    // top is sparse — the metric, not the retriever, is under test)
+    val srcOf = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expMrr = LlmPack.bm25Retrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rows) =>
+        val firstRel = rows.sortBy(_._2).collectFirst {
+          case (_, rank, d) if d == q || srcOf(d) == srcOf(q) => rank
+        }
+        q -> firstRel.fold(0.0)(r => 1.0 / r)
+      }
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    perQ.foreach { case (q, mrr, _, _) =>
+      assert(close(mrr, expMrr(q)), s"q$q mrr $mrr != twin ${expMrr(q)}")
+    }
+    // ndcg/recall are positive exactly when some relevant doc was hit
+    perQ.foreach { case (q, mrr, ndcg, recall) =>
+      assert((mrr > 0) == (ndcg > 0) && (mrr > 0) == (recall > 0), s"q$q")
+    }
+    assert(close(overall.head._2,
+      BigDecimal(perQ.map(_._2).sum / 20).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
 }

@@ -80,6 +80,48 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(f("""{"a": "4"} extra }""") == null) // json.loads would raise
   }
 
+  test("formatMoney renders -$#,##0.00 with half-up cents") {
+    val f = (s: String) =>
+      one(Normalize.formatMoney(col("s").cast("decimal(18,2)")), s)
+    assert(f("1234.5") == "$1,234.50")
+    assert(f("-1053.75") == "-$1,053.75")
+    assert(f("1234567.891") == "$1,234,567.89")
+    assert(f("2.005") == "$2.01")   // string→decimal half-up, never via double
+    assert(f("-2.005") == "-$2.01") // half-AWAY-FROM-ZERO on negatives
+    assert(f("-0.004") == "$0.00")  // rounds to zero: no "-$0.00"
+    assert(f("0") == "$0.00")
+    assert(f(".5") == "$0.50")
+    assert(f("junk") == null)
+    assert(f(null) == null)
+  }
+
+  test("staged json repairs fix trailing commas and single quotes") {
+    val r = (s: String) => one(JsonRepair.repairCommon(col("s")), s)
+    val v = (s: String) =>
+      one(JsonRepair.isValidJson(JsonRepair.repairCommon(col("s"))), s)
+    assert(r("""{"a": 1,}""") == """{"a": 1}""")
+    assert(r("""{'key': 'value'}""") == """{"key": "value"}""")
+    assert(r("""{"a": [1, 2,], "b": 'c',}""") == """{"a": [1, 2], "b": "c"}""")
+    assert(v("""{'nums': [1, 2, 3,], 'tag': 'x',}""") == true)
+    assert(v("not json") == false)
+    // apostrophes inside double-quoted values survive the quote pass
+    assert(r("""{"note": "it's fine",}""") == """{"note": "it's fine"}""")
+  }
+
+  test("safe_parse_list: parse, retry with ], singleton fallback") {
+    import org.apache.spark.sql.types.StringType
+    val p = (s: String) =>
+      one(JsonRepair.safeParseList(col("s"), StringType), s)
+        .asInstanceOf[scala.collection.Seq[String]].toList
+    assert(p("""["AA", "BB"]""") == List("AA", "BB"))
+    assert(p("""["AA", "BB"""") == List("AA", "BB")) // repaired with ]
+    assert(p("""['DD 10', 'RET 20.5']""") == List("DD 10", "RET 20.5"))
+    assert(p("""['one'""") == List("one"))
+    assert(p("plain string") == List("plain string")) // singleton wrap
+    assert(p("[]") == Nil)
+    assert(p("""[1, 2]""") == List("1", "2")) // numeric tokens coerce
+  }
+
   test("validation status covers all four states") {
     import spark.implicits._
     val rows = Seq(("1", "1"), ("NULL", "2"), ("3", ""), ("4", "5"))

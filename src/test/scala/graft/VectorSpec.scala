@@ -57,6 +57,40 @@ class VectorSpec extends AnyFunSuite {
     assert(Sampling.sampleSize(1.96, 0.9021, 0.05) == 136L)
   }
 
+  test("m11 relational sample-size grid equals the scalar calculator") {
+    val rows = graft.metrics.MetricsPack.sampleSizeGrid(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (z, e, p, n) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      // p column is rounded for display; recompute from the corpus
+      val docs = Tables(spark, sf).documents
+      val pExact = docs.filter(col("lang") === "en").count().toDouble /
+        docs.count().toDouble
+      assert(math.abs(p - pExact) < 1e-6)
+      assert(n == Sampling.sampleSize(z, pExact, e),
+        s"grid (z=$z, e=$e) diverged from the scalar twin")
+    }
+  }
+
+  test("row split is key-deterministic and lands near the fraction") {
+    val s = graft.vector.VectorPack.rowSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val again = graft.vector.VectorPack.rowSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(s == again, "split must not depend on partitioning/run")
+    val frac = s.values.count(_ == "train").toDouble / s.size
+    assert(math.abs(frac - 0.8) < 0.15, s"train fraction $frac far from 0.8")
+  }
+
+  test("fixed sample is a deterministic 25-doc subset") {
+    val a = graft.vector.VectorPack.fixedSample(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    val b = graft.vector.VectorPack.fixedSample(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 25 && a.distinct.length == 25)
+  }
+
   test("balanced sample returns exactly n per label") {
     val e = Tables(spark, sf).embeddings
     val counts = Sampling.balancedSample(e, col("label"), 10, col("vec_id"))

@@ -91,7 +91,9 @@ def canary_sec(bench):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
+    # drop flags AND the value of a space-separated "--threshold 1.5"
+    args = [a for i, a in enumerate(argv) if not a.startswith("--")
+            and not (i > 0 and argv[i - 1] == "--threshold")]
     if len(args) != 2:
         print(__doc__, file=sys.stderr)
         return 2

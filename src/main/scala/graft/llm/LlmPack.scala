@@ -261,18 +261,17 @@ object LlmPack extends QueryPack {
         round(col("n_hit").cast("double") /
             least(col("n_same") + 1L, lit(5L)).cast("double"), 6)
           .cast("decimal(18,6)").as("recall5"))
-    val overall = m.agg(
-        round(sum(col("mrr")).cast("double") / count(lit(1)).cast("double"), 6)
-          .as("mrr"),
-        round(sum(col("ndcg5")).cast("double") / count(lit(1)).cast("double"), 6)
-          .as("ndcg5"),
-        round(sum(col("recall5")).cast("double") / count(lit(1)).cast("double"), 6)
-          .as("recall5"))
-      .select(lit(-1L).as("query_id"), col("mrr"), col("ndcg5"), col("recall5"))
-    m.select(col("query_id"), col("mrr").cast("double").as("mrr"),
-        col("ndcg5").cast("double").as("ndcg5"),
-        col("recall5").cast("double").as("recall5"))
-      .unionByName(overall)
+    // ROLLUP emits the per-query rows AND the macro-average grand-total
+    // row from ONE aggregation pass — a plain union of `m` with an
+    // aggregate over `m` would recompute the whole BM25 ranking twice
+    // (the plan audit showed the duplicated subtree). Per-query groups
+    // hold exactly one row, so round(sum/count, 6) is the value itself.
+    def macroAvg(c: String): Column =
+      round(sum(col(c)).cast("double") / count(lit(1)).cast("double"), 6).as(c)
+    m.rollup(col("query_id"))
+      .agg(macroAvg("mrr"), macroAvg("ndcg5"), macroAvg("recall5"))
+      .select(coalesce(col("query_id"), lit(-1L)).as("query_id"),
+        col("mrr"), col("ndcg5"), col("recall5"))
       .orderBy(col("query_id"))
   }
 
@@ -493,15 +492,10 @@ object LlmPack extends QueryPack {
       |  FROM q
       |  JOIN pq ON pq.query_id = q.query_id
       |  JOIN idc ON idc.query_id = q.query_id)
-      |SELECT * FROM (
-      |  SELECT query_id, CAST(mrr AS DOUBLE) AS mrr,
-      |    CAST(ndcg5 AS DOUBLE) AS ndcg5, CAST(recall5 AS DOUBLE) AS recall5
-      |  FROM m
-      |  UNION ALL
-      |  SELECT -1 AS query_id,
-      |    round(CAST(sum(mrr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6),
-      |    round(CAST(sum(ndcg5) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6),
-      |    round(CAST(sum(recall5) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-      |  FROM m)
+      |SELECT coalesce(query_id, -1) AS query_id,
+      |  round(CAST(sum(mrr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS mrr,
+      |  round(CAST(sum(ndcg5) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS ndcg5,
+      |  round(CAST(sum(recall5) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall5
+      |FROM m GROUP BY ROLLUP(query_id)
       |ORDER BY query_id""".stripMargin)
 }

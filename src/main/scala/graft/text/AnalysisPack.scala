@@ -426,7 +426,33 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** a15: corpus heavy hitters through the Misra–Gries sketch
+    * ([[HeavyHitters.MisraGries]]) — top-20 words by estimated count.
+    * Capacity 4096 far exceeds this corpus's vocabulary, so the
+    * sketch runs in its EXACT regime and the oracle hash-checks it
+    * against plain word counts (the r14-twins-r13 discipline; the
+    * sub-capacity error bound is spec-covered). The aggregation is a
+    * true partial: each partition reduces tokens into one
+    * `capacity`-bounded map and only maps shuffle — the plan a 100 TB
+    * vocabulary needs, where the exact groupBy's shuffle of billions
+    * of distinct tokens is the thing this operator exists to avoid. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documentsSpread
+      .select(explode(TextOps.words(col("text"))).as("tok"))
+    val sketch = toks.agg(HeavyHitters.mg(4096)(col("tok")).as("mg"))
+      .select(explode(col("mg")).as(Seq("word", "est_count")))
+    val w = Window.orderBy(col("est_count").desc, col("word"))
+    // rank over ≤capacity sketch rows — never over raw tokens
+    sketch.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 20)
+      .select(col("rank").cast("long").as("rank"), col("word"),
+        col("est_count"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a15_heavy_hitters" -> heavyHitters,
     "a01_lang_id" -> langId,
     "a12_bigram_logprob" -> bigramLogprob,
     "a13_mi_chi2" -> miChi2,
@@ -472,6 +498,15 @@ object AnalysisPack extends QueryPack {
     |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a15_heavy_hitters" -> """
+      |WITH w AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),
+      |t AS (SELECT unnest(words) AS word FROM w),
+      |c AS (SELECT word, count(*) AS est_count FROM t GROUP BY word),
+      |r AS (SELECT word, est_count,
+      |    row_number() OVER (ORDER BY est_count DESC, word) AS rank FROM c)
+      |SELECT CAST(rank AS BIGINT) AS rank, word, CAST(est_count AS BIGINT) AS est_count
+      |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "a10_dsir_resample" -> s"""
       |WITH w AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),

@@ -80,6 +80,48 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(f("""{"a": "4"} extra }""") == null) // json.loads would raise
   }
 
+  test("misra-gries: exact when capacity covers the vocabulary, " +
+      "partition-order independent") {
+    import spark.implicits._
+    import graft.text.HeavyHitters
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(5000)(s"w${rnd.nextInt(40)}")
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 7)) {
+      val got = toks.toDF("tok").repartition(parts)
+        .agg(HeavyHitters.mg(64)(col("tok")).as("mg"))
+        .collect()(0).getMap[String, Long](0)
+      assert(got.toMap == exact, s"parts=$parts diverged from exact counts")
+    }
+  }
+
+  test("misra-gries: under-count bound and heavy-hitter survival " +
+      "below capacity") {
+    import spark.implicits._
+    import graft.text.HeavyHitters
+    // skewed stream: two heavy items + a long tail of singletons
+    val toks = Seq.fill(400)("heavy1") ++ Seq.fill(250)("heavy2") ++
+      (0 until 350).map(i => s"tail$i")
+    val n = toks.size
+    val k = 8
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 5)) {
+      val got = toks.toDF("tok").repartition(parts)
+        .agg(HeavyHitters.mg(k)(col("tok")).as("mg"))
+        .collect()(0).getMap[String, Long](0).toMap
+      assert(got.size <= k)
+      got.foreach { case (t, est) =>
+        val truth = exact(t)
+        assert(est <= truth, s"$t over-counted: $est > $truth")
+        assert(est >= truth - n / (k + 1),
+          s"$t under bound: $est < $truth - ${n / (k + 1)}")
+      }
+      exact.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+        assert(got.contains(t), s"heavy item $t evicted (parts=$parts)")
+      }
+    }
+  }
+
   test("formatMoney renders -$#,##0.00 with half-up cents") {
     val f = (s: String) =>
       one(Normalize.formatMoney(col("s").cast("decimal(18,2)")), s)

@@ -285,6 +285,35 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v19: IVF with the AUTO list count (nCentroids unspecified →
+    * ⌈√n⌉, the measured FAISS sizing rule from the 10× run) — the
+    * production configuration, under the same full-replay oracle as
+    * v10 (the seed-sample LIMIT becomes a count subquery). v13/v10
+    * keep their pinned small-corpus parameters; this query is the
+    * in-suite contrast that scales gracefully where the pinned forms
+    * degrade by design (SCALE_r*.json shows both). */
+  def ivfAuto(spark: SparkSession, dir: String): DataFrame = {
+    val e = embCast(spark, dir)
+    KnnJoin.approxIvf(spark, e, e, K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** v20: the SHARDED exact escape under v01's oracle — the scale
+    * path for flat search when the index outgrows one broadcast
+    * (per-shard broadcast heap top-k, union, global re-rank; results
+    * are exactly the unsharded answer, which is the point). */
+  def knnSharded(spark: SparkSession, dir: String): DataFrame = {
+    val e = embCast(spark, dir)
+      .join(Tables(spark, dir).embeddings.select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+    KnnJoin.exactSharded(spark, e, e, K, nShards = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** v14: contrastive triplet mining over the augmented vectors —
     * every planted near-dup pair yields two (anchor, positive, hard
     * negative) training rows; the hard negative is the anchor's most
@@ -316,7 +345,9 @@ object VectorPack extends QueryPack {
     "v15_knn_sq8" -> sq8,
     "v16_knn_ivfsq8" -> ivfSq8,
     "v17_row_split" -> rowSplit,
-    "v18_fixed_sample" -> fixedSample)
+    "v18_fixed_sample" -> fixedSample,
+    "v19_knn_ivf_auto" -> ivfAuto,
+    "v20_knn_sharded" -> knnSharded)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
@@ -440,9 +471,12 @@ object VectorPack extends QueryPack {
   /** Shared with the d12 SemDeDup oracle (same chain over its
     * augmented `e` relation) — the CTE names only assume an
     * `e(vec_id, v)` CTE in scope. */
-  private[graft] val ivfCtes = s"""
+  /** IVF chain with a parameterizable seed-sample size — `limitSql`
+    * is a SQL expression (a literal for the pinned oracles, a count
+    * subquery for v19's auto-sized form). */
+  private[graft] def ivfCtesWith(limitSql: String) = s"""
     |c0 AS (SELECT vec_id AS cid, v AS cv FROM e
-    |      ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    |      ORDER BY md5('42' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $limitSql),
     |${lloydIterSql("c0", 1)},
     |${lloydIterSql("c1", 2)},
     |scored AS (SELECT e.vec_id, c.cid,
@@ -452,9 +486,12 @@ object VectorPack extends QueryPack {
     |asg AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
     |probes AS (SELECT vec_id AS qid, cid FROM scored WHERE rn <= 4)""".stripMargin
 
-  private val ivfSql = s"""
+  /** The pinned 16-list form the v10/v12/v13/d12 oracles share. */
+  private[graft] val ivfCtes = ivfCtesWith("16")
+
+  private def ivfSqlWith(ctes: String) = s"""
     |WITH $eCte,
-    |$ivfCtes,
+    |$ctes,
     |cand AS (SELECT p.qid, a.vec_id AS nid
     |  FROM probes p JOIN asg a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
     |r AS (SELECT cand.qid, cand.nid, list_dot_product(q.v, n.v) AS sim,
@@ -464,6 +501,12 @@ object VectorPack extends QueryPack {
     |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rank, nid AS neighbor_id,
     |  round(sim, 6) AS sim
     |FROM r WHERE rnk <= $K ORDER BY query_id, rank""".stripMargin
+
+  private val ivfSql = ivfSqlWith(ivfCtes)
+
+  /** v19: same replay with the ⌈√n⌉ seed-sample subquery. */
+  private val ivfAutoSql = ivfSqlWith(ivfCtesWith(
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)"))
 
   /** The PQ pipeline replayed in SQL — mirrors `KnnJoin.approxPq`
     * defaults (4 subspaces × 16 dims, 16 centroids/subspace, one
@@ -638,7 +681,9 @@ object VectorPack extends QueryPack {
       ("v14_contrastive_triplets" -> contrastiveSql) +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
+      ("v20_knn_sharded" -> oracles0("v01_knn_top3")) +
       ("v10_knn_ivf" -> ivfSql) +
+      ("v19_knn_ivf_auto" -> ivfAutoSql) +
       ("v12_knn_pq" -> pqSql) +
       ("v13_knn_ivfpq" -> ivfPqSql) +
       ("v15_knn_sq8" -> sq8Sql) +

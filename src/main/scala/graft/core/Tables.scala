@@ -48,13 +48,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     * chunkers, the extraction stage, the exact-kNN loops, IVF
     * assignment) call [[documentsSpread]]/[[embeddingsSpread]]
     * explicitly, and everything else keeps the raw scan. */
-  private def spreadIfSmall(df: DataFrame, name: String): DataFrame = {
-    val cores = spark.sparkContext.defaultParallelism
-    if (Tables.spreadEnabled && cores > 1 &&
-        Tables.bytesOf(spark, s"$dir/$name.parquet")
-          < Tables.SpreadMaxBytes) df.repartition(cores)
-    else df
-  }
+  private def spreadIfSmall(df: DataFrame, name: String): DataFrame =
+    Tables.spreadIfSmall(spark, df, s"$dir/$name.parquet")
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -116,11 +111,30 @@ object Tables {
 
   /** Total bytes of a table path (file or directory); unknown =
     * Long.MaxValue so the spread never fires on an unreadable path. */
+  /** The ONE spread-policy gate (kill-switch + core count + size
+    * bound) — callers outside this file (e.g. the dedup augmented
+    * corpus) use this instead of re-deriving the condition, so the
+    * policy cannot fork. */
+  private[graft] def spreadIfSmall(spark: SparkSession, df: DataFrame,
+                                   path: String): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (spreadEnabled && cores > 1 && bytesOf(spark, path) < SpreadMaxBytes)
+      df.repartition(cores)
+    else df
+  }
+
+  /** Byte size memo: the underlying test corpora are immutable for a
+    * JVM's lifetime, and dozens of spread reads per bench would
+    * otherwise clone a Hadoop Configuration + stat the path each
+    * call. */
+  private val bytesMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   private[graft] def bytesOf(spark: SparkSession, path: String): Long =
-    try {
+    bytesMemo.getOrElseUpdate(path, try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       val st = fs.getFileStatus(p)
       if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
-    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
 }

@@ -40,10 +40,8 @@ object DedupPack extends QueryPack {
     val exact = d.filter(col("doc_id") < 50)
       .select((col("doc_id") + 200000).as("doc_id"), col("text"))
     val u = d.unionByName(near).unionByName(exact)
-    val cores = spark.sparkContext.defaultParallelism
-    if (spread && graft.core.Tables.spreadEnabled && cores > 1 &&
-        graft.core.Tables.bytesOf(spark, s"$dir/documents.parquet")
-          < graft.core.Tables.SpreadMaxBytes) u.repartition(cores)
+    if (spread)
+      graft.core.Tables.spreadIfSmall(spark, u, s"$dir/documents.parquet")
     else u
   }
 

@@ -70,14 +70,24 @@ object IngestPack extends QueryPack {
     * present, is an orphan PDF with no text sibling. */
   private def writePairFixtures(spark: SparkSession, dir: String): String = {
     val root = s"target/fixtures_i05_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    Files.createDirectories(Paths.get(root))
+    val rootPath = Paths.get(root)
+    // clear stale fixtures first: a doc that disappeared or emptied in
+    // a regenerated corpus must not survive on disk and desync the
+    // glob-scanned side from the documents-derived oracle
+    if (Files.isDirectory(rootPath)) {
+      val old = Files.list(rootPath)
+      try old.forEach(p => Files.deleteIfExists(p)) finally old.close()
+    }
+    Files.createDirectories(rootPath)
     val docs = Tables(spark, dir).documents
       .filter(col("doc_id") < PairDocs || col("doc_id") === 100)
       .select(col("doc_id"), col("text"))
       .collect()
       .map(r => (r.getLong(0), r.getString(1)))
     docs.foreach { case (id, text) =>
-      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      // split-then-drop-empties == trim+split for every \s edge, and it
+      // is exactly what the oracle's list_filter(regexp_split) computes
+      val words = text.split("\\s+").filter(_.nonEmpty)
       if (id < PairDocs && words.nonEmpty)
         Files.writeString(Paths.get(root, s"doc$id.txt"),
           words.take(PairWords).mkString(" "))
@@ -144,10 +154,12 @@ object IngestPack extends QueryPack {
       |SELECT fn, md5(string_agg(page, chr(10) ORDER BY pe_num)) AS full_md5
       |FROM pages GROUP BY fn ORDER BY fn""".stripMargin,
     "i05_pdf_text_pairing" -> s"""
-      |WITH t AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
-      |    md5(array_to_string(
-      |      (regexp_split_to_array(trim(text), '\\s+'))[1:$PairWords], ' ')) AS txt_md5
-      |  FROM documents WHERE doc_id < $PairDocs AND length(trim(text)) > 0),
+      |WITH w0 AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+      |  FROM documents WHERE doc_id < $PairDocs),
+      |t AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
+      |    md5(array_to_string(words[1:$PairWords], ' ')) AS txt_md5
+      |  FROM w0 WHERE len(words) > 0),
       |p AS (SELECT 'doc' || CAST(doc_id AS VARCHAR) AS stem,
       |    CAST(length('PDF doc' || CAST(doc_id AS VARCHAR)) AS VARCHAR) AS pdf_size
       |  FROM documents

@@ -44,8 +44,12 @@ object EmbedStage {
     override def embed(text: String): Array[Double] = {
       val v = new Array[Double](dim)
       val md = MessageDigest.getInstance("MD5")
+      // Locale.ROOT: default-locale lowercasing is executor-JVM state
+      // (tr_TR turns "TITLE" into "tıtle" and splits the token), and
+      // the SQL oracle's lower() is locale-free
       val tokens = Option(text).getOrElse("")
-        .toLowerCase.split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
+        .toLowerCase(java.util.Locale.ROOT)
+        .split("[^a-z0-9]+").iterator.filter(_.nonEmpty)
       tokens.foreach { tok =>
         md.reset()
         val h = md.digest(tok.getBytes(StandardCharsets.UTF_8))

@@ -220,7 +220,8 @@ object LlmPack extends QueryPack {
     * recall@5 are all oracle-replayable. DCG/IDCG terms follow the
     * a08 transcendental discipline (round 9 → exact DECIMAL sum);
     * the ideal ranking is materialized per query, never a global
-    * sort. The trailing `query_id = -1` row is the macro average. */
+    * sort. The `query_id = -1` row — FIRST under the query_id
+    * ordering — is the macro average. */
   def retrievalMetrics(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir).documents
     val docs = t.select(col("doc_id"), col("text"))

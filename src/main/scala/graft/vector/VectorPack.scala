@@ -305,9 +305,11 @@ object VectorPack extends QueryPack {
     * (per-shard broadcast heap top-k, union, global re-rank; results
     * are exactly the unsharded answer, which is the point). */
   def knnSharded(spark: SparkSession, dir: String): DataFrame = {
-    val e = embCast(spark, dir)
-      .join(Tables(spark, dir).embeddings.select(col("vec_id"), col("label")),
-        Seq("vec_id"))
+    // one projection carries embedding AND label: re-joining the raw
+    // table to re-attach the label would pay a second scan + shuffle
+    val e = Tables(spark, dir).embeddingsSpread
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"), col("label"))
     KnnJoin.exactSharded(spark, e, e, K, nShards = 4)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"))

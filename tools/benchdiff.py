@@ -68,7 +68,7 @@ def normalize(bench):
     if arts:
         def short(n):
             parts = n.split("_")
-            return (parts[0] + "_" + "".join(p[0] for p in parts[1:])
+            return (parts[0] + "_" + "".join(p[0] for p in parts[1:] if p)
                     if len(parts) > 1 else n)
         abbr = {n: short(n) for n in arts}
         dup = {s for s in abbr.values()
@@ -114,8 +114,14 @@ def main(argv):
         if a is None or b is None:
             rows.append((name, a, b, None, "added" if a is None else "removed"))
             continue
-        if a < 0 or b < 0:
+        if b < 0:
+            # failing NOW is a gate regardless of history
             rows.append((name, a, b, None, "FAILED"))
+            continue
+        if a < 0:
+            # failed only in the OLD round: the new round fixed it —
+            # report, but never gate a healthy round on a stale baseline
+            rows.append((name, a, b, None, "recovered"))
             continue
         if a < 0.05 and b < 0.05:
             continue  # sub-noise floor on both sides

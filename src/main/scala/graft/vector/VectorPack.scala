@@ -316,6 +316,39 @@ object VectorPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** v21: the index-family recall report — recall@3 of every
+    * deterministic ANN member against the exact top-3, as ONE
+    * hash-checked query (the FAISS benchmark table, in-suite and
+    * per-round instead of a spec number at one SF). All members read
+    * the session quantizer artifacts, so the query measures search
+    * quality, not re-training. The `exact` row is the 1.0 anchor —
+    * if IT moves, the harness itself broke. */
+  def indexRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = knnTop3(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    def hitsOf(name: String, df: DataFrame): DataFrame =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(name).as("method"), col("hits"))
+    val members: Seq[(String, DataFrame)] = Seq(
+      "exact" -> knnTop3(spark, dir),
+      "ivf" -> ivf(spark, dir),
+      "ivf_auto" -> ivfAuto(spark, dir),
+      "ivfpq" -> ivfPq(spark, dir),
+      "ivfsq8" -> ivfSq8(spark, dir),
+      "pq" -> pq(spark, dir),
+      "sq8" -> sq8(spark, dir))
+    members.map { case (n, df) => hitsOf(n, df) }
+      .reduce(_ unionByName _)
+      .crossJoin(broadcast(total))
+      .select(col("method"), col("hits"), col("total"),
+        round(col("hits").cast("double") / col("total").cast("double"), 6)
+          .as("recall"))
+      .orderBy(col("method"))
+  }
+
   /** v14: contrastive triplet mining over the augmented vectors —
     * every planted near-dup pair yields two (anchor, positive, hard
     * negative) training rows; the hard negative is the anchor's most
@@ -349,7 +382,8 @@ object VectorPack extends QueryPack {
     "v17_row_split" -> rowSplit,
     "v18_fixed_sample" -> fixedSample,
     "v19_knn_ivf_auto" -> ivfAuto,
-    "v20_knn_sharded" -> knnSharded)
+    "v20_knn_sharded" -> knnSharded,
+    "v21_index_recall" -> indexRecall)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
@@ -678,8 +712,35 @@ object VectorPack extends QueryPack {
     |FROM pos p JOIN neg n ON n.anchor = p.anchor AND n.rn = 1
     |ORDER BY p.anchor, p.pos_id""".stripMargin
 
+  /** v21 oracle: every member's existing full-replay chain nested as
+    * its own scoped subquery (inner WITHs shadow nothing outside), so
+    * the recall table reuses the per-member SQL verbatim — one
+    * definition per chain, everywhere. */
+  private lazy val indexRecallSql = {
+    val members = Seq("ivf" -> ivfSql, "ivf_auto" -> ivfAutoSql,
+      "ivfpq" -> ivfPqSql, "ivfsq8" -> ivfSq8Sql, "pq" -> pqSql,
+      "sq8" -> sq8Sql)
+    val rows = members.map { case (n, s) =>
+      s"""UNION ALL SELECT '$n' AS method, count(*) AS hits
+         |FROM ($s) a JOIN ex ON a.query_id = ex.query_id
+         |  AND a.neighbor_id = ex.neighbor_id""".stripMargin
+    }.mkString("\n")
+    s"""
+    |WITH ex AS (SELECT query_id, neighbor_id
+    |    FROM (${oracles0("v01_knn_top3")})),
+    |tot AS (SELECT count(*) AS total FROM ex),
+    |h AS (
+    |  SELECT 'exact' AS method, count(*) AS hits FROM ex
+    |  $rows
+    |)
+    |SELECT h.method, h.hits, tot.total,
+    |  round(CAST(h.hits AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS recall
+    |FROM h, tot ORDER BY method""".stripMargin
+  }
+
   val oracles: Map[String, String] =
     oracles0 +
+      ("v21_index_recall" -> indexRecallSql) +
       ("v14_contrastive_triplets" -> contrastiveSql) +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +

@@ -83,6 +83,20 @@ class VectorSpec extends AnyFunSuite {
     assert(math.abs(frac - 0.8) < 0.15, s"train fraction $frac far from 0.8")
   }
 
+  test("index recall report: exact anchors at 1.0, every member recalls") {
+    val rows = graft.vector.VectorPack.indexRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("exact", "ivf", "ivf_auto", "ivfpq",
+      "ivfsq8", "pq", "sq8"))
+    val (eh, et, er) = rows("exact")
+    assert(eh == et && er == 1.0, "exact row must anchor at recall 1.0")
+    rows.foreach { case (m, (h, t, r)) =>
+      assert(t == et, s"$m total differs from exact's")
+      assert(h > 0 && r > 0.0 && r <= 1.0, s"$m recall out of range: $r")
+    }
+  }
+
   test("fixed sample is a deterministic 25-doc subset") {
     val a = graft.vector.VectorPack.fixedSample(spark, sf).collect()
       .map(_.getLong(0)).toSeq

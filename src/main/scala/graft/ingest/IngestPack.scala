@@ -32,7 +32,10 @@ object IngestPack extends QueryPack {
       .map(r => (r.getLong(0), r.getString(1)))
     docs.foreach { case (id, text) =>
       val channel = channels((id % channels.length).toInt)
-      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      // same discipline as the i05 writer: split-then-drop-empties is
+      // exactly the oracle's list_filter(regexp_split), with no
+      // Java-trim-vs-SQL-trim asymmetry on \t/\n edges
+      val words = text.split("\\s+").filter(_.nonEmpty)
       val pages = words.grouped(PageWords).map(_.mkString(" ")).toSeq
       val chDir = Paths.get(root, channel)
       Files.createDirectories(chDir)
@@ -135,7 +138,7 @@ object IngestPack extends QueryPack {
   private val pagesCte = s"""
     |d AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || '.csv' AS fn,
     |    ['EML', 'FAX', 'WIN', 'SCN'][CAST(doc_id % 4 AS INT) + 1] AS channel,
-    |    regexp_split_to_array(trim(text), '\\s+') AS words
+    |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
     |  FROM documents WHERE doc_id < $NDocs),
     |p AS (SELECT fn, channel, words,
     |    unnest(range(0, len(words), $PageWords)) AS s

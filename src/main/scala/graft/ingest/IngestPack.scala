@@ -130,10 +130,63 @@ object IngestPack extends QueryPack {
       .orderBy(col("stem"))
   }
 
+  private val FmtDocs = 200
+
+  /** Shared fixture writer for the format round-trips: a documents
+    * subset materialized in `fmt`, then read back through the engine.
+    * The oracle recomputes from the parquet `documents` table alone,
+    * so any write/read lossiness (string escaping, type mapping,
+    * partition-value encoding) fails the hash. */
+  private def writeFormat(spark: SparkSession, dir: String, fmt: String,
+                          partitionBy: Seq[String]): String = {
+    val root = s"target/fixtures_${fmt}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val w = Tables(spark, dir).documents
+      .filter(col("doc_id") < FmtDocs)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .format(fmt).save(root)
+    root
+  }
+
+  /** i06: JSONL round-trip — the interchange format every
+    * training-data pipeline reads and writes. Written PARTITIONED BY
+    * lang (the corpus-layout demo for a text format: the `lang`
+    * filter prunes whole directories before a byte is parsed —
+    * spec-asserted), read back with an explicit schema (schema
+    * inference is a full extra pass at 100 TB), text hashed AFTER the
+    * round-trip so JSON string escaping is inside the checked
+    * surface. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = writeFormat(spark, dir, "json", Seq("lang"))
+    spark.read
+      .schema("doc_id LONG, n_chars LONG, text STRING, lang STRING")
+      .json(root)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** i07: ORC round-trip — the second columnar format, with its own
+    * reader and predicate-pushdown path (spec asserts the range
+    * predicate reaches the ORC scan). Text hashed after the
+    * round-trip, same discipline as i06. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val root = writeFormat(spark, dir, "orc", Seq.empty)
+    spark.read.orc(root)
+      .filter(col("n_chars") >= 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i01_ingest_pages" -> ingestPages,
     "i02_ingest_flatten" -> ingestFlatten,
-    "i05_pdf_text_pairing" -> pdfTextPairing)
+    "i05_pdf_text_pairing" -> pdfTextPairing,
+    "i06_jsonl_roundtrip" -> jsonlRoundtrip,
+    "i07_orc_roundtrip" -> orcRoundtrip)
 
   private val pagesCte = s"""
     |d AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || '.csv' AS fn,
@@ -172,5 +225,13 @@ object IngestPack extends QueryPack {
       |  (t.stem IS NOT NULL AND p.stem IS NOT NULL) AS paired,
       |  t.txt_md5, p.pdf_size
       |FROM t FULL OUTER JOIN p ON t.stem = p.stem
-      |ORDER BY stem""".stripMargin)
+      |ORDER BY stem""".stripMargin,
+    "i06_jsonl_roundtrip" -> s"""
+      |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+      |FROM documents WHERE doc_id < $FmtDocs AND lang = 'en'
+      |ORDER BY doc_id""".stripMargin,
+    "i07_orc_roundtrip" -> s"""
+      |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+      |FROM documents WHERE doc_id < $FmtDocs AND n_chars >= 200
+      |ORDER BY doc_id""".stripMargin)
 }

@@ -142,6 +142,23 @@ class RelationalPackSpec extends AnyFunSuite {
       s"projection not pruned: $rs")
   }
 
+  test("format round-trips: JSONL lang filter prunes partitions, " +
+      "ORC range predicate pushes down") {
+    import org.apache.spark.sql.execution.ExplainMode
+    def formatted(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // i06 writes partitioned by lang: the lang='en' predicate must be
+    // a PartitionFilter (whole directories skipped), never a post-scan
+    // Filter over every language's bytes
+    val j = formatted(ingest.IngestPack.jsonlRoundtrip(spark, sf))
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(j).isDefined,
+      s"lang filter did not prune JSONL partitions:\n$j")
+    // i07's n_chars range must reach the ORC reader as a pushed filter
+    val o = formatted(ingest.IngestPack.orcRoundtrip(spark, sf))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(n_chars".r
+      .findFirstIn(o).isDefined, s"range not pushed to ORC scan:\n$o")
+  }
+
   test("histogram-sketch quantiles land within one bin width of exact") {
     import org.apache.spark.sql.functions.{col, lit, max, min, percentile}
     val est = relational.TemporalPack.histogramQuantiles(spark, sf)

@@ -153,8 +153,8 @@ object Bench {
       }
     // The harness captures only the last ~2 KB of stdout: keys are
     // abbreviated to the unique family prefix (m01_confusion -> m01)
-    // and seconds rounded to 3 decimals to keep this line well under
-    // that window (full names are in CORRECTNESS/COVERAGE).
+    // and seconds rounded to 2 decimals to keep this line near that
+    // window (full names + 3 decimals are in BENCH_DETAIL.json).
     val canaryPost = if (only.isEmpty) canary() else -1.0
     def short(n: String): String = n.indexOf('_') match {
       case -1 => n
@@ -162,7 +162,7 @@ object Bench {
     }
     val keys = results.map { case (n, _) => short(n) }
     require(keys.distinct.size == keys.size, "bench key abbreviation collision")
-    val qs = results.map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.3f" }
+    val qs = results.map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // artifact names abbreviate to first-token + initials of the rest
     // ("aug_ivf_centroids" -> "aug_ic"); a collision falls back to the
@@ -210,7 +210,20 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"BENCH DETAIL WRITE FAIL: $e") }
     val sfName = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$failed,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"canary":[$canaryPre%.2f,$canaryPost%.2f],"retries_sec":$retriesSec%.3f,"wall_sec":${total + canarySec + retriesSec}%.3f,"retry":$retryJson,"artifact_ms":$artJson,"queries":$qs,"sf":"$sfName"}""")
+    // ONE JSON object, but field ORDER is load-bearing: the driver
+    // captures only the last ~2 KB of stdout, and round 7's committed
+    // artifact lost the headline/canary/retry fields to exactly that
+    // truncation (BENCH_r07.json, "parsed": null). The bulky per-query
+    // map therefore goes FIRST and every summary instrument LAST, so a
+    // tail window always retains value/failed/canary/retry/artifact_ms
+    // even when the front of the queries map is cut. The full line is
+    // also written to BENCH_FULL.json (committed per round), which no
+    // capture window can truncate.
+    val line = f"""{"metric":"total","unit":"sec","n_queries":${results.size},"queries":$qs,"artifact_ms":$artJson,"retry":$retryJson,"canary":[$canaryPre%.2f,$canaryPost%.2f],"retries_sec":$retriesSec%.3f,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"failed":$failed,"wall_sec":${total + canarySec + retriesSec}%.3f,"value":$total%.3f,"sf":"$sfName"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"BENCH FULL WRITE FAIL: $e") }
+    println(line)
     spark.stop()
   }
 }

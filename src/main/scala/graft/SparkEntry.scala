@@ -51,4 +51,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracles).toMap
+
+  /** Dir-aware form — Verify dumps THIS for its data dir, so oracles
+    * that embed per-dir fitted state (MlPack weights) always describe
+    * the dir under verification (see [[QueryPack.oraclesFor]]). */
+  def oracleSqlFor(dir: String): Map[String, String] =
+    packs.flatMap(_.oraclesFor(dir)).toMap
 }

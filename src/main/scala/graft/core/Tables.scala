@@ -126,15 +126,23 @@ object Tables {
   /** Byte size memo: the underlying test corpora are immutable for a
     * JVM's lifetime, and dozens of spread reads per bench would
     * otherwise clone a Hadoop Configuration + stat the path each
-    * call. */
+    * call. Only SUCCESSFUL stats memoize — a path stat'd before its
+    * table exists (fixture dirs, regenerated corpora) must not pin
+    * the unknown-size sentinel for the JVM lifetime, or the
+    * small-table spread would silently never fire for it. */
   private val bytesMemo =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private[graft] def bytesOf(spark: SparkSession, path: String): Long =
-    bytesMemo.getOrElseUpdate(path, try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val st = fs.getFileStatus(p)
-      if (st.isDirectory) fs.getContentSummary(p).getLength else st.getLen
-    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue })
+    bytesMemo.get(path).getOrElse {
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val st = fs.getFileStatus(p)
+        val n = if (st.isDirectory) fs.getContentSummary(p).getLength
+                else st.getLen
+        bytesMemo.putIfAbsent(path, n)
+        n
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+    }
 }

@@ -109,7 +109,11 @@ object IngestPack extends QueryPack {
     val root = writePairFixtures(spark, dir)
     val stemOf = (p: org.apache.spark.sql.Column) =>
       regexp_extract(p, "([^/]+)\\.(txt|pdf)$", 1)
-    val txt = spark.read.text(s"$root/*.txt")
+    // pathGlobFilter (not a path glob) so zero matching .txt files
+    // yields an empty frame instead of AnalysisException — the pdf
+    // side's binaryFile read already degrades the same way
+    val txt = spark.read.format("text")
+      .option("pathGlobFilter", "*.txt").load(root)
       .select(stemOf(input_file_name()).as("stem"),
         md5(col("value")).as("txt_md5"))
     val pdf = spark.read.format("binaryFile")

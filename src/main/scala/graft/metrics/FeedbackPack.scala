@@ -80,13 +80,20 @@ object FeedbackPack extends QueryPack {
     * first-page head (parity rule on the neighbor id), scored jointly
     * through the composite "label:first_pg" key exactly like the
     * reference's combined classifier eval. */
-  def compositeEval(spark: SparkSession, dir: String): DataFrame = {
+  def compositeEval(spark: SparkSession, dir: String,
+                    strategy: KnnJoin.Strategy = KnnJoin.envSelfStrategy)
+      : DataFrame = {
     val e = Tables(spark, dir).embeddings
     // rank-1 rows of the SESSION kNN artifact — identical to a fresh
     // exact(k=1) scan (same TopK ordering), without re-running the
     // quadratic sweep this query was measured recomputing at 10×
-    // scale (64.5 s vs ~1 s through the artifact; PERF.md round 6)
-    val preds = KnnJoin.exactSelfTop3(spark, dir)
+    // scale (64.5 s vs ~1 s through the artifact; PERF.md round 6).
+    // The strategy defaults to the env-resolved posture: Exact when
+    // unset (oracle parity), IvfSq8 under SPARK_GRAFT_SELF_KNN for
+    // corpora where the quadratic artifact build is the bottleneck —
+    // the report SHAPE is identical and FeedbackSpec bounds the
+    // accuracy drift against the exact form.
+    val preds = KnnJoin.selfTop3(spark, dir, strategy)
       .filter(col("rank") === 1)
       .join(e.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), Seq("query_id"))
@@ -119,7 +126,7 @@ object FeedbackPack extends QueryPack {
     "f01_field_diffs" -> fieldDiffs,
     "f02_error_clusters" -> errorClusters,
     "f03_accuracy_trend" -> accuracyTrend,
-    "f04_composite_eval" -> compositeEval,
+    "f04_composite_eval" -> ((s, d) => compositeEval(s, d)),
     "f05_positional_attach" -> positionalAttach,
     "f06_apply_corrections" -> applyApproved)
 

@@ -253,6 +253,28 @@ object KnnJoin {
     * with recall spec-bounded against exact (IvfSpec). Each
     * strategy memoizes under its own key, so mixed consumers (an
     * exact-checked query next to a scale pipeline) never collide. */
+  /** The evaluation family's self-kNN posture, resolved from
+    * `SPARK_GRAFT_SELF_KNN`: unset/"exact" → [[Exact]] (reference
+    * parity — every oracle/verify run uses this, since the driver
+    * sets no such env), "ivfsq8" → auto-sized [[IvfSq8]] (the
+    * corpus-scale posture: O(n·√n) search over 1-byte/dim codes
+    * instead of the quadratic broadcast sweep), "ivf" → [[Ivf]].
+    * Evaluation-family consumers ([[graft.metrics.FeedbackPack
+    * .compositeEval]]) take this as their default strategy, so ONE
+    * env flips the whole downstream report family onto the scale
+    * path without touching the oracle-checked default. */
+  def envSelfStrategy: Strategy =
+    parseSelfStrategy(sys.env.get("SPARK_GRAFT_SELF_KNN"))
+
+  private[graft] def parseSelfStrategy(v: Option[String]): Strategy =
+    v.map(_.trim.toLowerCase).filter(_.nonEmpty) match {
+      case None | Some("exact") => Exact
+      case Some("ivfsq8")       => IvfSq8()
+      case Some("ivf")          => Ivf()
+      case Some(other) => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_SELF_KNN=$other (want exact|ivf|ivfsq8)")
+    }
+
   def selfTop3(spark: SparkSession, dir: String,
                strategy: Strategy = Exact): DataFrame = strategy match {
     case Exact => exactSelfTop3(spark, dir)

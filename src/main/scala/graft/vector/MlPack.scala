@@ -40,7 +40,7 @@ object MlPack extends QueryPack {
                       (build: => DataFrame): DataFrame =
     graft.core.Artifacts.memo(spark, s"ml_$key:$dir")(build)
 
-  private def features(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def features(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     Tables(spark, dir).embeddings
       .select(col("vec_id"), col("label"),
@@ -106,9 +106,11 @@ object MlPack extends QueryPack {
     * ever runs against two dirs (or two live sessions share the JVM),
     * a single-slot record would embed whichever dir ran last and the
     * emitted oracle would silently mismatch the dir being verified.
-    * [[oracles]] emits the entries only when exactly one live
-    * (session, dir) recording exists; ambiguity degrades to omission
-    * (rows-only check), never to a wrong oracle. */
+    * [[oraclesFor]] resolves the recording FOR the dir being dumped
+    * (two dirs scored in one JVM each get their own weights); the
+    * dir-less [[oracles]] emits only when exactly one live recording
+    * exists. Ambiguity degrades to omission (rows-only check), never
+    * to a wrong oracle. */
   private val mlpWvRec =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Double]]
   private val lrWvRec =
@@ -124,6 +126,20 @@ object MlPack extends QueryPack {
     if (snap.size == 1) Some(snap.head._2) else None
   }
 
+  /** The recording for ONE dir, live sessions only. Training is
+    * deterministic per dir, so two live sessions that both scored the
+    * same dir recorded the same doubles — `distinct` collapses them;
+    * a genuine conflict (should be impossible) degrades to omission,
+    * never to a coin-flip oracle. */
+  private def forDir(
+      m: scala.collection.concurrent.TrieMap[(SparkSession, String), Seq[Double]],
+      dir: String): Option[Seq[Double]] = {
+    m.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val vs = m.readOnlySnapshot().toSeq
+      .collect { case ((_, d), wv) if d == dir => wv }.distinct
+    if (vs.size == 1) Some(vs.head) else None
+  }
+
   private def collectWv(df: DataFrame): Seq[Double] =
     // bounded driver collect: one row of ≤2410 doubles (model size)
     df.collect()(0).getSeq[Double](0)
@@ -137,14 +153,16 @@ object MlPack extends QueryPack {
     * rounded to 9 decimals (the a08 transcendental-rounding
     * discipline), logits = W2ᵀh+b2, argmax with first-index ties.
     *
-    * Equality with the un-rounded [[mlpPlan]] transform twin (and the
-    * DuckDB oracle's exp()) is EMPIRICAL, not guaranteed: a logit pair
-    * closer than ~1e-9, or an engine exp() differing by an ULP exactly
-    * at a round-half boundary, could flip an argmax. The gate is the
-    * MlSpec pair (train-twice determinism + relational≡transform
-    * parity), which would catch such a flip on this data; treat a
-    * parity-spec failure after a data regen as this documented
-    * boundary condition, not a scoring bug.
+    * Bitwise equality with the un-rounded [[mlpPlan]] transform twin
+    * (and the DuckDB oracle's exp()) cannot be GUARANTEED: a logit
+    * pair closer than ~1e-9, or an engine exp() differing by an ULP
+    * exactly at a round-half boundary, could flip an argmax. The
+    * parity spec therefore asserts with an explicit tolerance ON THE
+    * LOGITS (via [[mlpLogits]]/[[lrMargins]]): a prediction
+    * disagreement is legal ONLY where the top-2 logit gap (resp.
+    * |margin|) is within the rounding tolerance — a decisive-margin
+    * flip fails the spec as a real scoring bug, while a boundary tie
+    * after a data regen does not break the build.
     *
     * The mat-vec products are UNROLLED into 32+10 native [[graft
     * .plans.ArrayDot]] calls against per-column weight literals, so
@@ -156,7 +174,21 @@ object MlPack extends QueryPack {
     * referenced MANY times statically (32×/10×/2×), which keeps
     * CollapseProject from inlining it (the a07 pitfall). Pure
     * scan-stage expressions: no shuffle, no UDF. */
-  private[graft] def mlpScore(df: DataFrame, wv: Seq[Double]): DataFrame = {
+  private[graft] def mlpScore(df: DataFrame, wv: Seq[Double]): DataFrame =
+    mlpLogits(df, wv)
+      .select(col("vec_id"),
+        col("label").cast("long").as("true_label"),
+        (array_position(col("ll"), array_max(col("ll"))) - 1)
+          .cast("long").as("pred_label"))
+      .orderBy(col("vec_id"))
+
+  /** The logit stage of [[mlpScore]] — (vec_id, label, ll) with the
+    * rounded 10-logit array exposed, so the parity spec can assert
+    * its tolerance ON THE LOGITS: a relational-vs-transform
+    * prediction disagreement is acceptable ONLY where the top-2 logit
+    * gap is inside the rounding tolerance (a genuine tie at the
+    * 1e-9 boundary), never where the margin is decisive. */
+  private[graft] def mlpLogits(df: DataFrame, wv: Seq[Double]): DataFrame = {
     def w1col(j: Int): Seq[Double] = (0 until 64).map(i => wv(i * 32 + j))
     def w2col(k: Int): Seq[Double] = (0 until 32).map(j => wv(2080 + j * 10 + k))
     val hidden = array((0 until 32).map { j =>
@@ -169,24 +201,26 @@ object MlPack extends QueryPack {
     }: _*)
     df.select(col("vec_id"), col("label"), hidden.as("hh"))
       .select(col("vec_id"), col("label"), logits.as("ll"))
-      .select(col("vec_id"),
-        col("label").cast("long").as("true_label"),
-        (array_position(col("ll"), array_max(col("ll"))) - 1)
-          .cast("long").as("pred_label"))
-      .orderBy(col("vec_id"))
   }
 
   /** Relational logistic scoring: margin = Σ cᵢxᵢ + b (same fold
     * order as the oracle), predict 1 iff margin > 0 — exactly MLlib's
     * 0.5-threshold decision on σ(margin). */
-  private[graft] def lrScore(df: DataFrame, wv: Seq[Double]): DataFrame = {
-    val margin = graft.plans.ArrayDot.dotNative(col("emb"),
-      typedLit(wv.take(64))) + lit(wv(64))
-    df.select(col("vec_id"),
+  private[graft] def lrScore(df: DataFrame, wv: Seq[Double]): DataFrame =
+    lrMargins(df, wv)
+      .select(col("vec_id"),
         (element_at(col("emb"), 1) > 0).cast("long").as("true_first_pg"),
-        (margin > 0).cast("long").as("pred_first_pg"))
+        (col("margin") > 0).cast("long").as("pred_first_pg"))
       .orderBy(col("vec_id"))
-  }
+
+  /** The margin stage of [[lrScore]] — (vec_id, emb, margin) — so the
+    * parity spec can require any relational-vs-transform decision
+    * flip to sit within tolerance of the 0.5-probability boundary
+    * (|margin| ≤ tol), not at a decisive margin. */
+  private[graft] def lrMargins(df: DataFrame, wv: Seq[Double]): DataFrame =
+    df.select(col("vec_id"), col("emb"),
+      (graft.plans.ArrayDot.dotNative(col("emb"),
+        typedLit(wv.take(64))) + lit(wv(64))).as("margin"))
 
   /** Doc-type head (l05): train-once weights, score relationally. */
   def mlpClassify(spark: SparkSession, dir: String): DataFrame = {
@@ -286,31 +320,43 @@ object MlPack extends QueryPack {
     |      THEN 1 ELSE 0 END AS pred_first_pg
     |  FROM e2 CROSS JOIN wl)""".stripMargin
 
+  private def l05Sql(mw: Seq[Double]): String = s"""
+    |WITH ${mlpCte(mw)}
+    |SELECT vec_id, true_label, pred_label FROM mp ORDER BY vec_id""".stripMargin
+
+  private def l06Sql(mw: Seq[Double], lw: Seq[Double]): String = s"""
+    |WITH ${mlpCte(mw)},
+    |${lrCte(lw)},
+    |c AS (SELECT CAST(m.true_label AS VARCHAR) || ':' ||
+    |    (CASE WHEN f.true_first_pg = 1 THEN 'true' ELSE 'false' END) AS actual,
+    |    CAST(m.pred_label AS VARCHAR) || ':' ||
+    |    (CASE WHEN f.pred_first_pg = 1 THEN 'true' ELSE 'false' END) AS predicted
+    |  FROM mp m JOIN fp f ON m.vec_id = f.vec_id)
+    |SELECT coalesce(actual, 'Overall') AS field,
+    |  CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+    |  count(*) AS support,
+    |  CAST(CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+    |    / CAST(count(*) AS DOUBLE) AS accuracy
+    |FROM c GROUP BY ROLLUP(actual) ORDER BY field""".stripMargin
+
+  private def buildOracles(mwOpt: Option[Seq[Double]],
+                           lwOpt: Option[Seq[Double]]): Map[String, String] = {
+    val l05 = mwOpt.map(mw => "l05_mlp_classify" -> l05Sql(mw))
+    val l06 = for { mw <- mwOpt; lw <- lwOpt } yield
+      "l06_joint_two_head" -> l06Sql(mw, lw)
+    (l05.toSeq ++ l06.toSeq).toMap
+  }
+
   /** Emitted AFTER the queries run (Verify's dump order): the fitted
     * weights recorded by the scoring queries become SQL literals, so
     * the oracle replays the exact prediction arithmetic — `fit()` is
-    * the only piece outside the check. */
-  override def oracles: Map[String, String] = {
-    val l05 = soleLive(mlpWvRec).map { mw =>
-      "l05_mlp_classify" -> s"""
-        |WITH ${mlpCte(mw)}
-        |SELECT vec_id, true_label, pred_label FROM mp ORDER BY vec_id""".stripMargin
-    }
-    val l06 = for { mw <- soleLive(mlpWvRec); lw <- soleLive(lrWvRec) } yield
-      "l06_joint_two_head" -> s"""
-        |WITH ${mlpCte(mw)},
-        |${lrCte(lw)},
-        |c AS (SELECT CAST(m.true_label AS VARCHAR) || ':' ||
-        |    (CASE WHEN f.true_first_pg = 1 THEN 'true' ELSE 'false' END) AS actual,
-        |    CAST(m.pred_label AS VARCHAR) || ':' ||
-        |    (CASE WHEN f.pred_first_pg = 1 THEN 'true' ELSE 'false' END) AS predicted
-        |  FROM mp m JOIN fp f ON m.vec_id = f.vec_id)
-        |SELECT coalesce(actual, 'Overall') AS field,
-        |  CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS correct,
-        |  count(*) AS support,
-        |  CAST(CAST(sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-        |    / CAST(count(*) AS DOUBLE) AS accuracy
-        |FROM c GROUP BY ROLLUP(actual) ORDER BY field""".stripMargin
-    (l05.toSeq ++ l06.toSeq).toMap
-  }
+    * the only piece outside the check. The dir-less form requires ONE
+    * unambiguous live recording (omission otherwise); Verify uses
+    * [[oraclesFor]], which pairs each dir with its OWN weights even
+    * when several dirs were scored in the same JVM. */
+  override def oracles: Map[String, String] =
+    buildOracles(soleLive(mlpWvRec), soleLive(lrWvRec))
+
+  override def oraclesFor(dir: String): Map[String, String] =
+    buildOracles(forDir(mlpWvRec, dir), forDir(lrWvRec, dir))
 }

@@ -98,10 +98,16 @@ def main(argv):
         print(__doc__, file=sys.stderr)
         return 2
     threshold = 1.5
-    for a in argv:
+    for i, a in enumerate(argv):
         if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a
-                              else argv[argv.index(a) + 1])
+            # bounds-check the space-separated form: a trailing bare
+            # "--threshold" falls through to usage instead of IndexError
+            try:
+                threshold = float(a.split("=", 1)[1] if "=" in a
+                                  else argv[i + 1])
+            except (IndexError, ValueError):
+                print(__doc__, file=sys.stderr)
+                return 2
     md = "--md" in argv
     old, new = (normalize(load_bench(p)) for p in args)
     c_old, c_new = canary_sec(old), canary_sec(new)

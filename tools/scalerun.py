@@ -17,7 +17,10 @@ Scaling classes (factor N):
   superlinear otherwise            (quadratic surfaces; must be declared)
 
 Queries under 0.2s at 1x get times recorded but no factor/class — a
-50ms->300ms move is JIT/scheduling noise, not a scaling signal.
+50ms->300ms move is JIT/scheduling noise, not a scaling signal —
+UNLESS the scale leg itself exceeds 1s: a query whose growth is all
+slope (tiny at 1x, seconds at Nx) is exactly what this harness exists
+to catch (round 7's d08 hid a 12x move behind the exemption).
 
 The two bench runs happen in the same wall-clock session on the same
 box; their canary pairs are included so a box-load shift mid-harness is
@@ -47,7 +50,7 @@ def sbt_run(main, env_extra):
     return proc.stdout
 
 
-def bench(sf_dir, tag, reuse=False):
+def bench(sf_dir, tag, reuse=False, only=None):
     line_path = os.path.join(REPO, f"BENCH_LINE_{tag}.json")
     detail_path = os.path.join(REPO, f"BENCH_DETAIL_{tag}.json")
     if reuse:
@@ -61,7 +64,10 @@ def bench(sf_dir, tag, reuse=False):
         return line, detail
     if os.path.exists(DETAIL):
         os.remove(DETAIL)
-    out = sbt_run("Bench", {"SPARK_GRAFT_SF_DIR": sf_dir})
+    env = {"SPARK_GRAFT_SF_DIR": sf_dir}
+    if only:
+        env["SPARK_GRAFT_ONLY"] = only
+    out = sbt_run("Bench", env)
     line = None
     for ln in out.splitlines():
         i = ln.find('{"metric"')
@@ -104,6 +110,13 @@ def main():
     ap.add_argument("--reuse-bench", action="store_true",
                     help="re-aggregate from saved BENCH_LINE/DETAIL_{tag} files")
     ap.add_argument("--base-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--only", default=None,
+                    help="comma list of query families (SPARK_GRAFT_ONLY) "
+                         "— subset runs skip the canary and artifact "
+                         "pre-warm, so shared-artifact build cost lands "
+                         "inside the first consuming query on BOTH legs "
+                         "(the honest end-to-end factor for a declared "
+                         "production path)")
     args = ap.parse_args()
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR", f"/tmp/graft_scale_{args.factor}x")
@@ -117,9 +130,11 @@ def main():
     elif args.skip_build and not os.path.isdir(scale_dir):
         sys.exit(f"FATAL: --skip-build but {scale_dir} does not exist")
 
-    base_line, base_detail = bench(args.base_dir, "1x", args.reuse_bench)
+    leg1 = "1x" if not args.only else "only1x"
+    base_line, base_detail = bench(args.base_dir, leg1, args.reuse_bench,
+                                   args.only)
     scale_line, scale_detail = bench(scale_dir, f"{args.factor}x",
-                                     args.reuse_bench)
+                                     args.reuse_bench, args.only)
     base_q = representative(base_detail)
     scale_q = representative(scale_detail)
 
@@ -129,7 +144,9 @@ def main():
     for name, b in sorted(base_q.items()):
         s = scale_q.get(name)
         q = {"base": b, "scale": s}
-        if s is not None and s >= 0 and b >= 0.2:
+        # classify when the 1x leg is out of the noise floor OR the
+        # scale leg costs real seconds regardless of its 1x time
+        if s is not None and s >= 0 and b > 0 and (b >= 0.2 or s >= 1.0):
             x = s / b
             q["x"] = round(x, 2)
             cls = ("sublinear" if x < lo else "linear" if x < hi
@@ -167,7 +184,12 @@ def main():
         "queries": queries,
         "artifacts": artifacts,
     }
-    path = os.path.join(REPO, f"SCALE_r{args.round:02d}.json")
+    if args.only:
+        out["only"] = args.only
+    # a non-default factor (e.g. the 30x production-defaults leg) gets
+    # its own artifact name so it never clobbers the per-round 10x run
+    suffix = "" if args.factor == 10 else f"_{args.factor}x"
+    path = os.path.join(REPO, f"SCALE_r{args.round:02d}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

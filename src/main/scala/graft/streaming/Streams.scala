@@ -209,6 +209,58 @@ object Streams {
       .option("checkpointLocation", outDir + "_ckpt")
       .start()
 
+  /** EVENT-TIME form of [[extractConfirmRoute]]: the watched
+    * documents carry an `ingest_ts` event-time column (the scan/OCR
+    * timestamp in the reference's folder automation), and the stream
+    * composes with the s01–s03 watermark discipline BEFORE the
+    * lifecycle runs:
+    *
+    *  - `withWatermark(ingest_ts, lateness)` declares the late
+    *    horizon; a document arriving with an event time older than
+    *    the watermark is DROPPED by the engine — the late-document
+    *    policy, applied consistently with the windowed aggregations
+    *    rather than ad hoc per consumer. (Spark ≥3.4 filters late
+    *    rows against the PREVIOUS micro-batch's watermark — the
+    *    multiple-stateful-operator discipline — so the bar trails
+    *    arrivals by one batch; the spec's three-batch fixture pins
+    *    exactly this semantic.);
+    *  - `dropDuplicates(doc_id, ingest_ts)` collapses at-least-once
+    *    arrivals (replayed folders, re-scanned files — a replay
+    *    carries the SAME scan timestamp, so (id, ts) is the arrival
+    *    identity) exactly once, with state BOUNDED by the horizon:
+    *    the event-time column in the dedup key is what lets the
+    *    watermark evict old entries, so state is O(docs per lateness
+    *    window), not O(history). (`dropDuplicatesWithinWatermark`
+    *    deliberately ADMITS late rows as fresh arrivals — its
+    *    contract bounds state, not lateness — so it cannot carry the
+    *    late policy; the classic keyed form does both.)
+    *
+    * Downstream is byte-identical to the arrival-order form (same
+    * extraction relation, same confirm/route groupBy, same
+    * partitioned sink), so the p04 batch twin and its DuckDB oracle
+    * are UNCHANGED: on-time, first-arrival documents route exactly as
+    * the batch relation says; the event-time tier only decides WHICH
+    * arrivals participate. The StreamingSpec forces a late batch and
+    * a replayed duplicate and pins both policies. */
+  def extractConfirmRouteEventTime(spark: SparkSession, watchDir: String,
+                                   schema: StructType, outDir: String,
+                                   lateness: String = "10 minutes",
+                                   maxFilesPerTrigger: Int = 10)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    watchedFolder(spark, watchDir, schema, maxFilesPerTrigger)
+      .withWatermark("ingest_ts", lateness)
+      .dropDuplicates("doc_id", "ingest_ts")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.pipeline.Lifecycles
+          .confirmRoute(graft.llm.LlmPack.extractLongOn(
+            batch.select(col("doc_id"), col("text"))))
+          .write.mode("append").partitionBy("route").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", outDir + "_ckpt")
+      .start()
+
   /** The deterministic batch twin of [[rateLimitStream]]: per-user
     * row_number over (ts, event_id) capped at `maxPerUser` — a plain
     * keyed window, shuffling once on user_id. */

@@ -216,6 +216,80 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stp + hitl == docs.count())
   }
 
+  test("event-time p04: late docs drop, replays collapse, on-time equals batch") {
+    import org.apache.spark.sql.functions.lit
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).limit(30).cache()
+    val onTimeA = docs.filter(col("doc_id") < 20)
+      .withColumn("ingest_ts", lit("2026-01-01 12:00:00").cast("timestamp"))
+    // a replayed arrival carries the SAME scan timestamp — (id, ts)
+    // is the arrival identity the dedup collapses on
+    val dupX = docs.filter(col("doc_id") === 3)
+      .withColumn("ingest_ts", lit("2026-01-01 12:00:00").cast("timestamp"))
+    val lateY = docs.filter(col("doc_id") === 25)
+      .withColumn("ingest_ts", lit("2026-01-01 10:00:00").cast("timestamp"))
+    val freshZ = docs.filter(col("doc_id") === 28)
+      .withColumn("ingest_ts", lit("2026-01-01 12:01:00").cast("timestamp"))
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_p04e_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_p04e_out").toString + "/routed"
+    // Three files with strictly increasing mod times form three
+    // micro-batches under maxFilesPerTrigger=1:
+    //  batch 0 (file A)  — the on-time corpus, advances the watermark
+    //    to 11:50 at commit;
+    //  batch 1 (doc 28)  — on time, routes normally; Spark's
+    //    multi-stateful-operator discipline filters LATE rows against
+    //    the PREVIOUS batch's watermark, so this batch is what makes
+    //    11:50+ the late bar for the next one;
+    //  batch 2 (docs 25 + 3) — doc 25 is two hours old -> below the
+    //    late bar -> dropped; doc 3 is a replay (same id, same scan
+    //    ts, state still unevicted at the eviction watermark) -> the
+    //    dedup collapses it ACROSS two batch boundaries.
+    onTimeA.coalesce(1).write.mode("overwrite").parquet(watchDir)
+    val aTime = java.nio.file.Files.list(java.nio.file.Paths.get(watchDir))
+      .toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .map(p => java.nio.file.Files.getLastModifiedTime(p).toMillis).max
+    def addBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                 modMs: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p04e_b").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val dst = java.nio.file.Paths.get(watchDir, name + p.getFileName)
+          java.nio.file.Files.copy(p, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(modMs))
+        }
+    }
+    addBatch(freshZ, "b1_", aTime + 5000)
+    addBatch(lateY.unionByName(dupX), "b2_", aTime + 10000)
+    val q = Streams.extractConfirmRouteEventTime(spark, watchDir,
+      onTimeA.schema, outDir, lateness = "10 minutes", maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    q.recentProgress.foreach(p => info(
+      s"batch ${p.batchId}: rows=${p.numInputRows} eventTime=${p.eventTime} " +
+        p.stateOperators.map(s => s"op=${s.operatorName} dropped=${s.numRowsDroppedByWatermark} total=${s.numRowsTotal}").mkString(";")))
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "pred_first_word", "pred_word_count", "fw_ok",
+        "wc_ok", "route")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSet
+    val streamed = sig(spark.read.parquet(outDir))
+    // the surviving arrivals are exactly (file A) ∪ {doc 28}: the
+    // replay deduped, the late doc dropped — and each survivor routes
+    // exactly as the UNCHANGED batch twin says
+    val expected = sig(graft.pipeline.Lifecycles.confirmRoute(
+      graft.llm.LlmPack.extractLongOn(
+        docs.filter(col("doc_id") < 20 || col("doc_id") === 28))))
+    assert(streamed == expected,
+      s"stream ${streamed.size} rows vs expected ${expected.size}")
+    val ids = streamed.map(_._1)
+    assert(!ids.contains(25L), "late document must be dropped")
+    assert(ids.count(_ == 3L) == 1, "replayed document must appear once")
+    assert(ids.contains(28L), "on-time batch-B document must route")
+  }
+
   test("streaming dropDuplicates removes replayed events exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
     val events = graft.core.Tables(spark, sf).events.limit(500)

@@ -44,10 +44,44 @@ object MultimodalPack extends QueryPack {
           .as("content_md5"))
       .orderBy(col("media_id"))
 
+  /** mm04: WebDataset-style SIZE-BOUNDED SHARD PLAN — the layout step
+    * that turns a multimodal corpus into sequentially-readable
+    * training shards (tar-shard discipline: fill each shard with
+    * consecutive samples until the byte budget is crossed, never
+    * split a sample). Payload = media blob (64 B) + text sidecar
+    * bytes. Assignment is a byte-offset division over the corpus
+    * prefix sum, computed by the SAME two-pass distributed prefix
+    * sum as t07 ([[graft.text.SequencePacking.packSequences]]) — no
+    * global window, one row per partition collected — so the plan
+    * holds at 100 TB where a `Window.orderBy` cumsum would funnel
+    * everything through one task. The rollup emits one row per shard
+    * (contiguous id ranges, item counts, byte totals); the DuckDB
+    * oracle replays the prefix sum with a window — identical integer
+    * arithmetic at test scale, the contrast between the two forms
+    * being exactly the scale story. */
+  def shardPlan(spark: SparkSession, dir: String,
+                shardBytes: Long = 4096L): DataFrame = {
+    val m = Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"),
+        (octet_length(col("text")).cast("long") + lit(64L))
+          .as("payload_bytes"))
+    graft.text.SequencePacking
+      .packSequences(m, col("media_id"), col("payload_bytes"), shardBytes)
+      .groupBy(col("seq_id").as("shard_id"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_tok")).as("shard_bytes"),
+        min(col("id")).as("first_id"),
+        max(col("id")).as("last_id"))
+      .select(col("shard_id"), col("n_items"), col("shard_bytes"),
+        col("first_id"), col("last_id"))
+      .orderBy(col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_meta" -> decodeMeta,
     "mm02_frames" -> frames,
-    "mm03_resized" -> resized)
+    "mm03_resized" -> resized,
+    "mm04_shard_plan" -> ((s, d) => shardPlan(s, d)))
 
   /** 64-byte synthetic content as a 128-char hex string. */
   private val hexCte = """
@@ -81,5 +115,20 @@ object MultimodalPack extends QueryPack {
       |WITH $hexCte
       |SELECT media_id, CAST(16 AS BIGINT) AS n_bytes,
       |  md5(substr(hx, 1, 32)) AS content_md5
-      |FROM h ORDER BY media_id""".stripMargin)
+      |FROM h ORDER BY media_id""".stripMargin,
+    // strlen = BYTES in DuckDB (length() is characters), matching
+    // Spark's octet_length; the window cumsum is the single-node twin
+    // of the engine's two-pass distributed prefix sum
+    "mm04_shard_plan" -> """
+      |WITH p AS (SELECT doc_id AS media_id,
+      |    CAST(strlen(text) AS BIGINT) + 64 AS pb FROM documents),
+      |c AS (SELECT media_id, pb,
+      |    sum(pb) OVER (ORDER BY media_id ROWS UNBOUNDED PRECEDING) - pb
+      |      AS byte_start
+      |  FROM p)
+      |SELECT CAST(byte_start // 4096 AS BIGINT) AS shard_id,
+      |  count(*) AS n_items,
+      |  CAST(sum(pb) AS BIGINT) AS shard_bytes,
+      |  min(media_id) AS first_id, max(media_id) AS last_id
+      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)
 }

@@ -322,6 +322,43 @@ object RelationalPack extends QueryPack {
         col("n"))
   }
 
+  /** r17: the SKEW-SAFE two-phase aggregation as an oracle query —
+    * [[Skew.saltedSum]] over a 3-key group column (l_returnflag: the
+    * textbook hot-key shape — at 100 TB a single reducer would own a
+    * third of the table under a direct groupBy). Partial-aggregate on
+    * (key, salt) spreads each hot key over 16 tasks; the final
+    * aggregate merges 3×16 partials. The value column is an exact
+    * decimal, so the two-phase sum is bit-identical to the direct
+    * one-phase oracle sum REGARDLESS of the nondeterministic salt —
+    * which is precisely what makes the salted plan hash-checkable. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(Tables(spark, dir).lineitem,
+        col("l_returnflag"), Exact.dec2(col("l_extendedprice")), 16)
+      .select(col("k").as("l_returnflag"),
+        Exact.toOut(col("sum_v").cast("decimal(38,2)")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** r18: the SALTED JOIN as an oracle query — [[Skew.saltedJoin]] of
+    * lineitem (fact, hot supplier keys at scale) against the supplier
+    * dim: the fact side gains a per-row salt, the dim replicates once
+    * per salt value, and the join key becomes (suppkey, salt), so a
+    * hot supplier spreads over 8 reducers. Row-identical to the plain
+    * join by construction (each fact row carries exactly one salt and
+    * meets exactly one dim replica), so the per-supplier rollup
+    * hash-matches the unsalted oracle join. */
+  def saltedJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir).lineitem
+      .select(col("l_suppkey").as("suppkey"),
+        Exact.dec2(col("l_extendedprice")).as("price"))
+    val sup = Tables(spark, dir).supplier
+      .select(col("s_suppkey").as("suppkey"), col("s_name"))
+    Skew.saltedJoin(li, sup, "suppkey", 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.toOut(sum(col("price")).cast("decimal(38,2)")).as("revenue"))
+      .orderBy(col("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r01_pricing_summary" -> pricingSummary,
     "r02_revenue_topk" -> revenueTopK,
@@ -338,7 +375,9 @@ object RelationalPack extends QueryPack {
     "r13_approx_distinct" -> approxDistinct,
     "r14_kmv_distinct" -> ((s, d) => kmvDistinct(s, d)),
     "r15_corr_matrix" -> corrMatrix,
-    "r16_spearman" -> spearman)
+    "r16_spearman" -> spearman,
+    "r17_salted_agg" -> saltedAgg,
+    "r18_salted_join" -> saltedJoinAgg)
 
   val oracles: Map[String, String] = Map(
     "r01_pricing_summary" ->
@@ -495,5 +534,22 @@ object RelationalPack extends QueryPack {
       |  / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
       |       * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS spearman_qty_discount,
       |  n
-      |FROM m""".stripMargin)
+      |FROM m""".stripMargin,
+
+    // the salted two-phase plan is bit-identical to the direct sum
+    // because the value column is exact decimal — the oracle IS the
+    // unsalted form
+    "r17_salted_agg" -> """
+      |SELECT l_returnflag,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the salted join is row-identical to the plain join — the oracle
+    // rolls up the unsalted join
+    "r18_salted_join" -> """
+      |SELECT s.s_name,
+      |  count(*) AS n_items,
+      |  CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY s.s_name ORDER BY s.s_name""".stripMargin)
 }

@@ -42,4 +42,36 @@ class MultimodalSpec extends AnyFunSuite {
     // 16 frames sampled every 3rd → indices 0,3,6,9,12,15 → 6
     assert(n.getLong(0) == 6 && n.getLong(1) == 6)
   }
+
+  test("shard plan: size-bounded, contiguous, covers every sample once") {
+    val S = 4096L
+    val shards = MultimodalPack.shardPlan(spark, sf, S)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), octet_length(col("text")).cast("long") + 64L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // full single coverage: shard item counts sum to the corpus
+    assert(shards.map(_._2).sum == docs.length)
+    assert(shards.map(_._3).sum == docs.map(_._2).sum)
+    // the tar-shard rule: a shard may overflow the budget only by the
+    // straddling sample — never by more than one max payload
+    val maxPayload = docs.map(_._2).max
+    shards.foreach { case (sid, _, bytes, _, _) =>
+      assert(bytes < S + maxPayload, s"shard $sid bytes $bytes over bound")
+    }
+    // contiguous id ranges: each shard starts after the previous ends
+    shards.sortBy(_._1).sliding(2).foreach {
+      case Array((_, _, _, _, lastA), (_, _, _, firstB, _)) =>
+        assert(firstB > lastA, "shard id ranges must be contiguous")
+      case _ =>
+    }
+    // no underfull shards except the final one: a non-final shard's
+    // byte range is [kS,(k+1)S) minus at most one straddling sample's
+    // tail on each side, so it holds at least S − maxPayload bytes
+    shards.sortBy(_._1).dropRight(1).foreach { case (sid, _, bytes, _, _) =>
+      assert(bytes >= S - maxPayload,
+        s"shard $sid underfull at $bytes bytes (bound ${S - maxPayload})")
+    }
+  }
 }

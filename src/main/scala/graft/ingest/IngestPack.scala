@@ -185,12 +185,37 @@ object IngestPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** i08: small-file COMPACTION round-trip — the standing 100 TB
+    * maintenance job ([[graft.relational.Skew.compact]]): the docs
+    * subset is deliberately fragmented into 64 tiny files (the
+    * streaming-sink / over-parallel-writer pathology), compacted to
+    * a byte-budget-derived file count, and read back hashed. The
+    * oracle recomputes from the parquet `documents` table alone, so
+    * any row lost or mangled across the fragment→compact→read chain
+    * fails the hash; the spec asserts the file-count collapse and
+    * near-target sizes. */
+  def compactedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val frag = s"target/fixtures_frag_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    Tables(spark, dir).documents
+      .filter(col("doc_id") < FmtDocs)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val out = graft.relational.Skew
+      .compact(spark, frag, frag + "_compacted", 64 * 1024L)
+    spark.read.parquet(out)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i01_ingest_pages" -> ingestPages,
     "i02_ingest_flatten" -> ingestFlatten,
     "i05_pdf_text_pairing" -> pdfTextPairing,
     "i06_jsonl_roundtrip" -> jsonlRoundtrip,
-    "i07_orc_roundtrip" -> orcRoundtrip)
+    "i07_orc_roundtrip" -> orcRoundtrip,
+    "i08_compacted_roundtrip" -> compactedRoundtrip)
 
   private val pagesCte = s"""
     |d AS (SELECT doc_id, 'doc' || CAST(doc_id AS VARCHAR) || '.csv' AS fn,
@@ -237,5 +262,9 @@ object IngestPack extends QueryPack {
     "i07_orc_roundtrip" -> s"""
       |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
       |FROM documents WHERE doc_id < $FmtDocs AND n_chars >= 200
+      |ORDER BY doc_id""".stripMargin,
+    "i08_compacted_roundtrip" -> s"""
+      |SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+      |FROM documents WHERE doc_id < $FmtDocs
       |ORDER BY doc_id""".stripMargin)
 }

@@ -56,4 +56,29 @@ object Skew {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Small-file COMPACTION: rewrite a parquet directory into
+    * ⌈bytes/targetBytes⌉ files. Streaming sinks, per-batch appends,
+    * and over-parallel writes leave thousands of KB-sized files whose
+    * per-file open/footer cost dominates scans long before data size
+    * does — periodic compaction to the scan-optimal file size
+    * (hundreds of MB under the default 128 MB split) is a standing
+    * maintenance job at 100 TB. The input is stat'd FRESH (no
+    * memoized size — compaction targets are exactly the paths whose
+    * size changes), and the file count derives from real bytes, not
+    * row counts. One read + one shuffle-free-ish repartition + one
+    * write; at corpus scale run it per partition directory so only
+    * fragmented partitions pay. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long): String = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
 }

@@ -82,4 +82,33 @@ class SkewSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("compaction collapses a fragmented directory to byte-budget file count") {
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString + "/in"
+    Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+      .repartition(48)
+      .write.mode("overwrite").parquet(frag)
+    assert(dataFiles(frag).length == 48, "fixture must start fragmented")
+    val fragBytes = dataFiles(frag).map(_.length).sum
+    val target = 64 * 1024L
+    val out = Skew.compact(spark, frag, frag + "_out", target)
+    val files = dataFiles(out)
+    val expected = math.max(1L, (fragBytes + target - 1) / target)
+    assert(files.length == expected,
+      s"expected $expected files, got ${files.length}")
+    assert(files.length < 48, "compaction must reduce the file count")
+    // content survives the rewrite bit-for-bit
+    val before = spark.read.parquet(frag).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val after = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before)
+    // round-robin repartition balances bytes: no file wildly over
+    // target (2x covers compression-ratio variance between layouts)
+    files.foreach(f => assert(f.length < 2 * target,
+      s"${f.getName} is ${f.length} bytes, target $target"))
+  }
 }

@@ -451,8 +451,34 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("rank"))
   }
 
+  /** a16: per-language QUALITY CAP — the corpus-balancing truncation
+    * (keep the best `n` documents of each language/domain, drop the
+    * rest): over-represented sources get capped by quality rank, not
+    * random-dropped, which is how Common-Crawl-scale mixes bound a
+    * dominant language without throwing away its best documents. Rank
+    * = row_number over (quality desc, doc_id) per lang — one shuffle
+    * on lang, rank within partition. At corpus scale a skewed
+    * language holds its whole partition: pre-filter by a per-lang
+    * quality THRESHOLD from a first aggregate pass (or salt the rank
+    * as in r17) before ranking; at cap=50 per lang over the synthetic
+    * mix the plain window is the honest shape. */
+  def qualityCap(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a15_heavy_hitters" -> heavyHitters,
+    "a16_quality_cap" -> ((s, d) => qualityCap(s, d)),
     "a01_lang_id" -> langId,
     "a12_bigram_logprob" -> bigramLogprob,
     "a13_mi_chi2" -> miChi2,
@@ -498,6 +524,25 @@ object AnalysisPack extends QueryPack {
     |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a16_quality_cap" -> s"""
+      |WITH w AS (SELECT doc_id, lang, text, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),
+      |q AS (SELECT doc_id, lang,
+      |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars,
+      |  length(text) AS tl, len(words) AS n,
+      |  len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS stop_n
+      | FROM w),
+      |s AS (SELECT doc_id, lang,
+      |  round(0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+      |      + 0.3 * (1.0 - (CASE WHEN tl > 0
+      |          THEN CAST(punct_chars AS DOUBLE) / CAST(tl AS DOUBLE) ELSE 0.0 END))
+      |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0), 6) AS quality
+      |  FROM q),
+      |r AS (SELECT doc_id, lang, quality,
+      |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+      |  FROM s)
+      |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "a15_heavy_hitters" -> """
       |WITH w AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
       |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM documents),

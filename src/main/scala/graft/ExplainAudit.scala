@@ -20,7 +20,9 @@ object ExplainAudit {
         "d15_substring_dedup", "s07_ingest_gate",
         "a07_c4_clean", "a12_bigram_logprob", "l05_mlp_classify",
         "m09_temperature_scaling", "m10_isotonic_bins", "r15_corr_matrix",
-        "v15_knn_sq8", "s08_rate_limit")
+        "v15_knn_sq8", "s08_rate_limit",
+        "r17_salted_agg", "r18_salted_join", "mm04_shard_plan",
+        "i08_compacted_roundtrip", "a16_quality_cap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

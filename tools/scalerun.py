@@ -186,6 +186,14 @@ def main():
     }
     if args.only:
         out["only"] = args.only
+    else:
+        # Bench writes BENCH_FULL.json on every run, so the scale leg
+        # just overwrote it with Nx numbers; restore the base leg's
+        # line — BENCH_FULL's contract is "the committed driver-shaped
+        # sf0.1 bench", which is exactly the 1x leg
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
+            json.dump(base_line, f)
+            f.write("\n")
     # a non-default factor (e.g. the 30x production-defaults leg) gets
     # its own artifact name so it never clobbers the per-round 10x run
     suffix = "" if args.factor == 10 else f"_{args.factor}x"

@@ -220,9 +220,14 @@ object Bench {
     // also written to BENCH_FULL.json (committed per round), which no
     // capture window can truncate.
     val line = f"""{"metric":"total","unit":"sec","n_queries":${results.size},"queries":$qs,"artifact_ms":$artJson,"retry":$retryJson,"canary":[$canaryPre%.2f,$canaryPost%.2f],"retries_sec":$retriesSec%.3f,"artifacts":$artifactsSec%.3f,"artifacts_failed":$artifactsFailed,"failed":$failed,"wall_sec":${total + canarySec + retriesSec}%.3f,"value":$total%.3f,"sf":"$sfName"}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"BENCH FULL WRITE FAIL: $e") }
+    // BENCH_FULL.json is the COMMITTED driver-shaped artifact — a
+    // SPARK_GRAFT_ONLY subset run (local iteration, posture probes)
+    // must not overwrite it with a partial line (scale-dir full runs
+    // are restored by scalerun, which rewrites the base leg's line)
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"BENCH FULL WRITE FAIL: $e") }
     println(line)
     spark.stop()
   }

@@ -22,7 +22,7 @@ object ExplainAudit {
         "m09_temperature_scaling", "m10_isotonic_bins", "r15_corr_matrix",
         "v15_knn_sq8", "s08_rate_limit",
         "r17_salted_agg", "r18_salted_join", "mm04_shard_plan",
-        "i08_compacted_roundtrip", "a16_quality_cap")
+        "i08_compacted_roundtrip", "a16_quality_cap", "d17_line_dedup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -344,7 +344,58 @@ object DedupPack extends QueryPack {
         col("text"), 3, 60)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** d17: corpus-level duplicate-LINE removal with document
+    * reassembly — CCNet's first pipeline stage (Wenzek et al. 2020
+    * §3.1 dedups paragraphs ACROSS documents by hash before any
+    * model-based filtering; C4 likewise drops repeated three-sentence
+    * spans corpus-wide). Sits between a07 (per-doc line rules, no
+    * cross-doc state) and d11/d15 (word-10-gram span overlap): the
+    * unit here is the whole normalized line, and the output is the
+    * cleaned CORPUS, not an audit. Every occurrence of a line except
+    * the globally first (smallest (doc_id, pos)) of its normalized
+    * form — lowercased, punctuation/digits stripped, trimmed — is
+    * removed, and each document is rebuilt from its surviving lines
+    * in original order.
+    *
+    * Scale shape — two exchanges, no pair fan-out, skew-proof where
+    * it matters: keeper election is a partial-aggregatable
+    * min(struct(doc_id, pos)) groupBy on the line hash, so the
+    * boilerplate hot keys this operator exists for (nav lines,
+    * cookie banners — here the planted "javascript"/"lorem" lines in
+    * 1/7 and 1/11 of all docs) collapse MAP-SIDE before the exchange.
+    * A row_number window over the same key would ship every
+    * occurrence of the hottest line into one unsplittable task; the
+    * equivalent join-back on the hash IS splittable (AQE skew join —
+    * the keeper side is one row per hash). Reassembly shuffles once
+    * more on doc_id. Lines are derived by the same planted-lines
+    * generator as a07 ([[graft.text.AnalysisPack.withPlantedLines]])
+    * so both engines see identical corpora. */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.text.AnalysisPack.withPlantedLines(spark, dir)
+    val posted = base
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"),
+        md5(trim(regexp_replace(lower(col("line")), "[^a-z ]", ""))).as("h"))
+    val keepers = posted.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
+    val kept = posted.join(keepers, Seq("h"))
+      .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line"))).as("cleaned"))
+    base.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_line_dedup" -> lineDedup,
     "d11_shared_spans" -> sharedSpanFrac,
     "d12_semdedup" -> semdedup,
     "d13_bloom_decontam" -> bloomDecontamination,
@@ -527,6 +578,22 @@ object DedupPack extends QueryPack {
       |FROM pairs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin,
+    "d17_line_dedup" -> s"""
+      |WITH ${graft.text.AnalysisPack.plantedLinesCte},
+      |x AS (SELECT doc_id, u.pos AS pos, u.line AS line,
+      |    md5(trim(regexp_replace(lower(u.line), '[^a-z ]', '', 'g'))) AS h
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(lines)+1),
+      |      i -> struct_pack(pos := i, line := lines[i]))) AS u FROM l1)),
+      |r AS (SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk FROM x),
+      |g AS (SELECT doc_id, count(*) AS n_kept,
+      |    string_agg(line, chr(10) ORDER BY pos) AS cleaned
+      |  FROM r WHERE rk = 1 GROUP BY doc_id),
+      |nl AS (SELECT doc_id, len(lines) AS n_lines FROM l1)
+      |SELECT nl.doc_id, CAST(nl.n_lines AS BIGINT) AS n_lines,
+      |  CAST(coalesce(g.n_kept, 0) AS BIGINT) AS n_kept,
+      |  coalesce(g.cleaned, '') AS cleaned
+      |FROM nl LEFT JOIN g USING (doc_id) ORDER BY nl.doc_id""".stripMargin,
     "d01_exact_dedup" -> s"""
       |WITH $augmentedSql
       |SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,

@@ -161,7 +161,7 @@ object AnalysisPack extends QueryPack {
     * rule despite its period) and doc_id % 11 == 0 a "lorem ipsum"
     * line (kills the whole page). Both engines synthesize the exact
     * same lines. */
-  private def withPlantedLines(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def withPlantedLines(spark: SparkSession, dir: String): DataFrame = {
     // `words(text)` is let-bound ([[graft.core.Expr.let]]): the
     // chunking lambda reads it per element, and a lambda body is
     // re-evaluated per ELEMENT — with the regex-split tree inline
@@ -503,6 +503,25 @@ object AnalysisPack extends QueryPack {
     |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words
     |  FROM documents)""".stripMargin
 
+  /** The planted-lines derivation (`l1` = doc_id, lines) shared by the
+    * a07 oracle and DedupPack's d17 — the SQL twin of
+    * [[withPlantedLines]]. Self-contained WITH body (brings its own
+    * words CTE). The string-concat operator sits at END of line: this
+    * constant is interpolated into oracle strings that stripMargin
+    * AFTER interpolation, and a line-leading concat operator would be
+    * eaten as a margin character. */
+  private[graft] val plantedLinesCte: String = s"""$wordsCte,
+    |l0 AS (SELECT doc_id,
+    |  CASE WHEN len(words) = 0 THEN []
+    |   ELSE list_transform(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
+    |     i -> array_to_string(words[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ') ${"||"}
+    |          CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)
+    |  END AS body FROM w),
+    |l1 AS (SELECT doc_id, list_concat(list_concat(body,
+    |    CASE WHEN doc_id % 7 = 0 THEN ['javascript void menu here.'] ELSE [] END),
+    |    CASE WHEN doc_id % 11 = 0 THEN ['lorem ipsum dolor sit.'] ELSE [] END) AS lines
+    |  FROM l0)""".stripMargin
+
   private def hv(e: String): String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
     s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
@@ -687,17 +706,7 @@ object AnalysisPack extends QueryPack {
       |FROM rr LEFT JOIN s ON s.source = rr.source
       |ORDER BY rr.source""".stripMargin,
     "a07_c4_clean" -> s"""
-      |WITH $wordsCte,
-      |l0 AS (SELECT doc_id,
-      |  CASE WHEN len(words) = 0 THEN []
-      |   ELSE list_transform(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT)),
-      |     i -> array_to_string(words[CAST(i*8+1 AS BIGINT):CAST(i*8+8 AS BIGINT)], ' ')
-      |          || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END)
-      |  END AS body FROM w),
-      |l1 AS (SELECT doc_id, list_concat(list_concat(body,
-      |    CASE WHEN doc_id % 7 = 0 THEN ['javascript void menu here.'] ELSE [] END),
-      |    CASE WHEN doc_id % 11 = 0 THEN ['lorem ipsum dolor sit.'] ELSE [] END) AS lines
-      |  FROM l0),
+      |WITH $plantedLinesCte,
       |k AS (SELECT doc_id, lines,
       |   list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
       |     AND len(string_split(l, ' ')) >= 3

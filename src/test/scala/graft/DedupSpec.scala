@@ -352,6 +352,36 @@ class DedupSpec extends AnyFunSuite {
       if (a < 100000) a + 100000 else a - 100000))
   }
 
+  test("line dedup keeps exactly each normalized line's first global occurrence") {
+    val out = DedupPack.lineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // reference model: walk the same planted corpus in (doc_id, pos)
+    // order, keeping a line iff its normalized form is unseen
+    val posted = graft.text.AnalysisPack.withPlantedLines(spark, sf)
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    val norm = (s: String) => s.toLowerCase.replaceAll("[^a-z ]", "").trim
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = posted.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (id, ls) =>
+        val kept = ls.sortBy(_._2).collect {
+          case (_, _, l) if seen.add(norm(l)) => l
+        }
+        (id, ls.length.toLong, kept.length.toLong, kept.mkString("\n"))
+    }
+    assert(out.toSeq == expected)
+    // the planted boilerplate (1/7 and 1/11 of docs) survives only in
+    // its first carrier, doc 0 — the hot-key case the operator is for
+    def carriers(line: String) = out.collect {
+      case (id, _, _, cleaned) if cleaned.split("\n").contains(line) => id
+    }
+    assert(carriers("javascript void menu here.").toSeq == Seq(0L))
+    assert(carriers("lorem ipsum dolor sit.").toSeq == Seq(0L))
+    // global invariant: total kept == distinct normalized lines
+    assert(out.map(_._3).sum == posted.map(t => norm(t._3)).toSet.size)
+  }
+
   test("fingerprint is order-sensitive where set signatures are not") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("text")

@@ -101,7 +101,62 @@ object TextPack extends QueryPack {
         col("seq_id"), col("seq_offset"))
       .orderBy(col("doc_id"))
 
+  /** t08: vocabulary-coverage (Zipf) report — "how many distinct
+    * words cover p of all tokens", the tokenizer-budget planning
+    * number (BPE vocab sizing, Sennrich et al. 2016; token-frequency
+    * curves in every corpus datasheet). For each p the answer is the
+    * smallest k with (sum of the top-k word counts) ≥ p·total.
+    *
+    * Scale shape: never ranks the vocabulary globally. Word counts
+    * collapse to count LEVELS (one row per distinct frequency value —
+    * under a Zipf law ~O(√corpus) rows, asserted tiny relative to
+    * vocab in the spec), and the two level prefix sums (mass above,
+    * words above) ride [[SequencePacking.packSequences]]'s
+    * distributed prefix sum keyed by descending count — the same
+    * no-global-window machinery as t07, twice. The crossing level for
+    * each p is then a broadcast threshold join and the in-level
+    * remainder a closed-form ceil division; the oracle evaluates the
+    * IDENTICAL float expression (not a rank scan), and the spec pins
+    * the closed form against the window-rank twin. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.core.Caches.transient(
+      Tables(spark, dir).documents
+        .select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+    val levels = graft.core.Caches.transient(
+      counts.groupBy(col("cnt")).agg(count(lit(1)).as("m"))
+        .select((-col("cnt")).as("id"), col("cnt"), col("m"),
+          (col("cnt") * col("m")).as("mass")))
+    // exclusive prefix sums over levels in cnt-desc order (id asc):
+    // token mass and word count strictly ABOVE each level
+    val fMass = SequencePacking.packSequences(levels, col("id"), col("mass"), 1L)
+      .select(col("id"), col("tok_start").as("f_mass"))
+    val nAbove = SequencePacking.packSequences(levels, col("id"), col("m"), 1L)
+      .select(col("id"), col("tok_start").as("n_above"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("vocab"))
+    val ps = Seq(0.5, 0.9, 0.95, 0.99).toDF("p")
+    val need = col("p") * col("total").cast("double")
+    levels.join(fMass, Seq("id")).join(nAbove, Seq("id"))
+      .crossJoin(broadcast(totals))
+      .join(broadcast(ps),
+        col("f_mass").cast("double") < need &&
+          need <= (col("f_mass") + col("mass")).cast("double"))
+      .select(col("p"),
+        (col("n_above") +
+          ceil((need - col("f_mass").cast("double")) /
+            col("cnt").cast("double")).cast("long")).as("vocab_k"),
+        col("vocab").as("vocab_size"), col("total").as("total_tokens"))
+      .select(col("p"), col("vocab_k"),
+        round(col("vocab_k").cast("double") /
+          col("vocab_size").cast("double"), 6).as("vocab_frac"),
+        col("vocab_size"), col("total_tokens"))
+      .orderBy(col("p"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_vocab_coverage" -> vocabCoverage,
     "t01_chunk_stats" -> chunkStats,
     "t02_chunk_first_text" -> chunkFirstText,
     "t03_token_stats" -> tokenStats,
@@ -161,6 +216,34 @@ object TextPack extends QueryPack {
       | array_to_string(lines[1:least(2, len(lines))]
       |   || lines[greatest(-2, -len(lines)):], chr(10)) AS kept
       |FROM l ORDER BY id""".stripMargin,
+    "t08_vocab_coverage" -> s"""
+      |WITH u AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS wd
+      |  FROM documents),
+      |c AS (SELECT wd, count(*) AS cnt FROM u GROUP BY wd),
+      |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS vocab FROM c),
+      |lv AS (SELECT cnt, count(*) AS m, cnt * count(*) AS mass
+      |  FROM c GROUP BY cnt),
+      |f AS (SELECT cnt, m, mass,
+      |    CAST(coalesce(sum(mass) OVER (ORDER BY cnt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS f_mass,
+      |    CAST(coalesce(sum(m) OVER (ORDER BY cnt DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_above
+      |  FROM lv),
+      |p(p) AS (VALUES (0.5), (0.9), (0.95), (0.99)),
+      |k AS (SELECT p.p AS p,
+      |    f.n_above + CAST(ceil((p.p * CAST(t.total AS DOUBLE)
+      |        - CAST(f.f_mass AS DOUBLE)) / CAST(f.cnt AS DOUBLE)) AS BIGINT)
+      |      AS vocab_k,
+      |    t.vocab AS vocab_size, t.total AS total_tokens
+      |  FROM f, t, p
+      |  WHERE CAST(f.f_mass AS DOUBLE) < p.p * CAST(t.total AS DOUBLE)
+      |    AND p.p * CAST(t.total AS DOUBLE) <= CAST(f.f_mass + f.mass AS DOUBLE))
+      |SELECT p, CAST(vocab_k AS BIGINT) AS vocab_k,
+      |  round(CAST(vocab_k AS DOUBLE) / CAST(vocab_size AS DOUBLE), 6) AS vocab_frac,
+      |  vocab_size, total_tokens
+      |FROM k ORDER BY p""".stripMargin,
     "t07_pack_sequences" -> s"""
       |WITH b AS (SELECT doc_id,
       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

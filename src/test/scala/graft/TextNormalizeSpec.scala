@@ -238,6 +238,32 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(run(7) == run(3), "positions must not depend on partitioning")
   }
 
+  test("vocab coverage: level closed form equals the global rank scan") {
+    val out = graft.text.TextPack.vocabCoverage(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // rank-scan twin: order the whole vocabulary by (count desc, word),
+    // running-sum it, take the first rank covering p of all tokens —
+    // the formulation the operator exists to avoid at corpus scale
+    val counts = graft.core.Tables(spark, sf).documents
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val cum = counts.sortBy { case (w, c) => (-c, w) }.map(_._2)
+      .scanLeft(0L)(_ + _).drop(1)
+    for ((p, k, vocab, tot) <- out) {
+      assert(tot == total && vocab == counts.length.toLong)
+      assert(k == cum.indexWhere(_ >= p * total) + 1,
+        s"p=$p: closed form $k vs rank scan")
+    }
+    assert(out.map(_._1).toSeq == Seq(0.5, 0.9, 0.95, 0.99))
+    // the level relation the prefix sums and the crossing join run
+    // over is far smaller than the vocabulary (Zipf: ~sqrt scaling)
+    val nLevels = counts.map(_._2).distinct.length
+    assert(nLevels < counts.length,
+      s"levels $nLevels should compress vocab ${counts.length}")
+  }
+
   test("sampled terciles agree with exact terciles away from the boundaries") {
     val sf = SparkTestSession.sf
     val exact = graft.text.AnalysisPack.unigramLogprob(spark, sf)

@@ -153,6 +153,53 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** a17: mixture token-budget planning — the feasibility number
+    * behind every pretraining data recipe (the Llama/Gopher-style
+    * "sample source s at weight α_s, never repeat a source more than
+    * E epochs" discipline): with a06's √-mass mixture weights, the
+    * largest achievable budget is B* = min(B_req, min_s E·T_s/α_s) —
+    * past that, the scarcest source would exceed its epoch cap at its
+    * mixture share. Emits the per-source plan (weight, tokens
+    * selected at B*, realized epochs) and flags the binding source.
+    * Requested budget B_req = 6× the corpus, above the ≤4×-total
+    * ceiling the epoch cap imposes under √-mass weights (equal
+    * masses maximize min_s E·T_s/α_s at exactly E·total), so the
+    * cap genuinely binds and the plan shows the scarce source.
+    *
+    * Scale shape: two tiny aggregations over the per-source relation
+    * (bounded by the number of sources, not data) with broadcast
+    * scalars between them — no window, no collect; the √-mass total
+    * folds in sorted source order so the double sum is deterministic
+    * on both engines (the a06 discipline), and min() over the epoch
+    * ratios is order-independent by construction. */
+  def mixtureBudget(spark: SparkSession, dir: String): DataFrame = {
+    val EpochCap = 4.0
+    val per = Tables(spark, dir).documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tok_sum"))
+    val totals = per.agg(
+      sum(col("tok_sum")).as("total"),
+      aggregate(
+        sort_array(collect_list(struct(col("source"),
+          sqrt(col("tok_sum").cast("double")).as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total"))
+    val wa = per.crossJoin(broadcast(totals))
+      .withColumn("alpha",
+        sqrt(col("tok_sum").cast("double")) / col("w_total"))
+      .withColumn("ratio",
+        lit(EpochCap) * col("tok_sum").cast("double") / col("alpha"))
+    val cap = wa.agg(min(col("ratio")).as("min_ratio"))
+    wa.crossJoin(broadcast(cap))
+      .withColumn("bmax",
+        least(lit(6.0) * col("total").cast("double"), col("min_ratio")))
+      .select(col("source"), col("n_docs"), col("tok_sum"),
+        round(col("alpha"), 6).as("alpha"),
+        round(col("alpha") * col("bmax"), 3).as("tokens_sel"),
+        round(col("alpha") * col("bmax") / col("tok_sum").cast("double"), 6)
+          .as("epochs"),
+        (col("ratio") === col("bmax")).as("binding"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic line structure planted on the word-soup corpus so
     * the C4 rules have real work (the PII/dedup planting discipline):
     * words chunk into 8-word lines, even-indexed lines get a terminal
@@ -490,6 +537,7 @@ object AnalysisPack extends QueryPack {
     "a04_repetition" -> repetition,
     "a05_pii_redact" -> piiRedact,
     "a06_mixture_sample" -> mixtureSample,
+    "a17_mixture_budget" -> mixtureBudget,
     "a07_c4_clean" -> c4Clean,
     "a08_unigram_logprob" -> unigramLogprob,
     "a09_gopher_repetition" -> gopherRepetition)
@@ -679,6 +727,30 @@ object AnalysisPack extends QueryPack {
       |    '$phone', '<phone>', 'g') AS text_redacted
       |FROM p ORDER BY doc_id""".stripMargin
     },
+    "a17_mixture_budget" -> s"""
+      |WITH per AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS tok_sum
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(tok_sum) AS BIGINT) AS total,
+      |  list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(sqrt(CAST(tok_sum AS DOUBLE)) ORDER BY source)),
+      |    (a, b) -> a + b) AS w_total
+      |  FROM per),
+      |wa AS (SELECT p.source, p.n_docs, p.tok_sum, t.total,
+      |    sqrt(CAST(p.tok_sum AS DOUBLE)) / t.w_total AS alpha,
+      |    4.0 * CAST(p.tok_sum AS DOUBLE)
+      |      / (sqrt(CAST(p.tok_sum AS DOUBLE)) / t.w_total) AS ratio
+      |  FROM per p, tot t),
+      |cap AS (SELECT min(ratio) AS min_ratio FROM wa),
+      |b AS (SELECT wa.*, least(6.0 * CAST(total AS DOUBLE), min_ratio) AS bmax
+      |  FROM wa, cap)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, tok_sum,
+      |  round(alpha, 6) AS alpha,
+      |  round(alpha * bmax, 3) AS tokens_sel,
+      |  round(alpha * bmax / CAST(tok_sum AS DOUBLE), 6) AS epochs,
+      |  (ratio = bmax) AS binding
+      |FROM b ORDER BY source""".stripMargin,
     "a06_mixture_sample" -> s"""
       |WITH per AS (SELECT source, count(*) AS n_docs,
       |    CAST(sum(n_chars) AS BIGINT) AS tok_sum

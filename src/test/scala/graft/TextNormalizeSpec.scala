@@ -204,6 +204,30 @@ class TextNormalizeSpec extends AnyFunSuite {
       s"sampled fraction ${sampled / total}")
   }
 
+  test("mixture budget: epoch cap binds the scarcest source, plan is feasible") {
+    val rows = graft.text.AnalysisPack
+      .mixtureBudget(spark, SparkTestSession.sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.length >= 2)
+    // weights are a distribution; tokens split by them
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    val b = rows.map(_._5 * 1.0) // epochs
+    // feasible: nobody exceeds the 4-epoch cap (rounding slack only)
+    assert(b.forall(_ <= 4.0 + 1e-6), s"epochs ${b.max}")
+    // under sqrt-mass weights min_s E*T_s/alpha_s <= E*total (equal
+    // masses maximize it at exactly E*total), so a 6x-total request
+    // always drives the epoch cap to bind: the scarcest-per-share
+    // source(s) sit AT the cap, everyone else strictly below
+    val binding = rows.filter(_._6)
+    assert(binding.nonEmpty, "no binding source")
+    assert(binding.forall(r => math.abs(r._5 - 4.0) < 1e-6))
+    assert(rows.filterNot(_._6).forall(_._5 < 4.0))
+    // selected tokens sum to the achieved budget = min epoch ratio
+    val bmax = rows.map(r => 4.0 * r._2 / r._3).min
+    assert(math.abs(rows.map(_._4).sum - bmax) < 1e-3 * bmax)
+  }
+
   test("pii redaction scrubs email, ssn and phone with an audit count") {
     import graft.text.TextAnalysis
     val s = "mail a.b+c@ex-1.org ssn 123-45-6789 tel 415-555-0134 end"

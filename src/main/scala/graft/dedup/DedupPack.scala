@@ -400,7 +400,40 @@ object DedupPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** d18: keep-BEST dedup materialization — the removal POLICY on top
+    * of d08's components. Within every near-dup group keep the member
+    * with the highest a02 quality score (ties → smallest doc_id),
+    * not blindly the smallest id: production pipelines keep one
+    * representative per duplicate cluster and prefer the
+    * better-quality copy (RefinedWeb §3.4's dedup stage composes
+    * with its quality stage the same way). Emits the per-member
+    * manifest: group, quality, elected best, keep flag.
+    *
+    * Scale shape: quality is scan-stage arithmetic on the augmented
+    * corpus (the a02 native-expression formula, shared so the policy
+    * cannot fork); groups come from the shared session artifact; the
+    * election is a partial-aggregatable max(struct(quality, -doc_id))
+    * per group plus one AQE-splittable join back — work is bounded by
+    * the dup-group membership, never the corpus. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = augmented(spark, dir, spread = false)
+      .select(col("doc_id"),
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6)
+          .as("quality"))
+    val m = dedupGroupsArtifact(spark, dir)
+      .withColumnRenamed("keeper_id", "group_id")
+      .join(q, Seq("doc_id"))
+    val best = m.groupBy(col("group_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
+      .select(col("group_id"), (-col("b.nid")).as("best_id"))
+    m.join(best, Seq("group_id"))
+      .select(col("doc_id"), col("group_id"), col("quality"),
+        col("best_id"), (col("doc_id") === col("best_id")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_keep_best" -> keepBest,
     "d17_line_dedup" -> lineDedup,
     "d11_shared_spans" -> sharedSpanFrac,
     "d12_semdedup" -> semdedup,
@@ -584,6 +617,20 @@ object DedupPack extends QueryPack {
       |FROM pairs p JOIN sizes sa ON sa.id = p.a_id JOIN sizes sb ON sb.id = p.b_id
       |WHERE CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin,
+    "d18_keep_best" -> s"""
+      |WITH RECURSIVE $augmentedSql, $shingleSql, $hashedShingleSql,
+      |$dedupGroupsCtes,
+      |${graft.text.AnalysisPack.qualityCtes("aug")},
+      |m AS (SELECT lab.doc_id, lab.keeper_id AS group_id, qs.quality
+      |  FROM lab JOIN qs USING (doc_id)),
+      |bb AS (SELECT group_id, doc_id AS best_id FROM (
+      |    SELECT group_id, doc_id,
+      |      row_number() OVER (PARTITION BY group_id
+      |        ORDER BY quality DESC, doc_id) AS rk FROM m)
+      |  WHERE rk = 1)
+      |SELECT m.doc_id, m.group_id, m.quality, bb.best_id,
+      |  (m.doc_id = bb.best_id) AS keep
+      |FROM m JOIN bb USING (group_id) ORDER BY m.doc_id""".stripMargin,
     "d17_line_dedup" -> s"""
       |WITH ${graft.text.AnalysisPack.plantedLinesCte},
       |x AS (SELECT doc_id, u.pos AS pos, u.line AS line,

@@ -570,6 +570,29 @@ object AnalysisPack extends QueryPack {
     |    CASE WHEN doc_id % 11 = 0 THEN ['lorem ipsum dolor sit.'] ELSE [] END) AS lines
     |  FROM l0)""".stripMargin
 
+  /** SQL replay of a02's quality score over relation `rel` (doc_id,
+    * text, plus any comma-free `carry` column passed through) — CTEs
+    * qw/qq/qs with qs = (doc_id[, carry], quality). Shared by the
+    * a16 and d18 oracles so the formula cannot fork. Interpolated
+    * into strings that stripMargin AFTER interpolation — no content
+    * line may start with a margin character. */
+  private[graft] def qualityCtes(rel: String, carry: String = ""): String = {
+    val c = if (carry.isEmpty) "" else s"$carry, "
+    s"""qw AS (SELECT doc_id, ${c}text, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM $rel),
+    |qq AS (SELECT doc_id, $c
+    |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars,
+    |  length(text) AS tl, len(words) AS n,
+    |  len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS stop_n
+    | FROM qw),
+    |qs AS (SELECT doc_id, $c
+    |  round(0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+    |      + 0.3 * (1.0 - (CASE WHEN tl > 0
+    |          THEN CAST(punct_chars AS DOUBLE) / CAST(tl AS DOUBLE) ELSE 0.0 END))
+    |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0), 6) AS quality
+    |  FROM qq)""".stripMargin
+  }
+
   private def hv(e: String): String = {
     def nib(i: Int) = s"(strpos('0123456789abcdef', substr(md5($e), $i, 1)) - 1)"
     s"(${nib(1)}*4096 + ${nib(2)}*256 + ${nib(3)}*16 + ${nib(4)})"
@@ -592,22 +615,10 @@ object AnalysisPack extends QueryPack {
 
   val oracles: Map[String, String] = Map(
     "a16_quality_cap" -> s"""
-      |WITH w AS (SELECT doc_id, lang, text, CASE WHEN length(trim(text)) = 0 THEN []
-      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),
-      |q AS (SELECT doc_id, lang,
-      |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct_chars,
-      |  length(text) AS tl, len(words) AS n,
-      |  len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS stop_n
-      | FROM w),
-      |s AS (SELECT doc_id, lang,
-      |  round(0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
-      |      + 0.3 * (1.0 - (CASE WHEN tl > 0
-      |          THEN CAST(punct_chars AS DOUBLE) / CAST(tl AS DOUBLE) ELSE 0.0 END))
-      |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0), 6) AS quality
-      |  FROM q),
+      |WITH ${qualityCtes("documents", "lang")},
       |r AS (SELECT doc_id, lang, quality,
       |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
-      |  FROM s)
+      |  FROM qs)
       |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
     "a15_heavy_hitters" -> """

@@ -352,6 +352,28 @@ class DedupSpec extends AnyFunSuite {
       if (a < 100000) a + 100000 else a - 100000))
   }
 
+  test("keep-best dedup elects the max-quality member exactly once per group") {
+    val out = DedupPack.keepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byGroup = out.groupBy(_._2)
+    for ((g, ms) <- byGroup) {
+      val kept = ms.filter(_._5)
+      assert(kept.length == 1, s"group $g keeps ${kept.length}")
+      // the elected best is the (quality desc, doc_id asc) argmax and
+      // every member row agrees on it
+      val expect = ms.minBy(m => (-m._3, m._1))._1
+      assert(kept.head._1 == expect && ms.forall(_._4 == expect), s"group $g")
+    }
+    // same membership as the d08 components it builds on
+    val groups = DedupPack.dedupGroupsQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.map(m => m._1 -> m._2).toMap == groups)
+    // the quality election is not vacuous: some groups keep a
+    // non-min-id member (a near-copy outscoring its original)
+    assert(out.count(m => m._5 && m._1 != m._2) > 0, "election vacuous")
+  }
+
   test("line dedup keeps exactly each normalized line's first global occurrence") {
     val out = DedupPack.lineDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))

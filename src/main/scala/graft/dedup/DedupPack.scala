@@ -371,30 +371,40 @@ object DedupPack extends QueryPack {
     * generator as a07 ([[graft.text.AnalysisPack.withPlantedLines]])
     * so both engines see identical corpora. */
   def lineDedup(spark: SparkSession, dir: String): DataFrame = {
-    // transient-cached: both the posting branch and the n_lines
-    // branch read the lines relation, and the line generator (a
-    // per-doc chunking lambda) is the expensive part of the scan —
-    // uncached it runs twice (measured cold at sf0.1: ~6.0 s -> ~4.9 s).
-    // Same discipline as `augmented`; cache spills to disk at scale.
-    val base = graft.core.Caches.transient(
-      graft.text.AnalysisPack.withPlantedLines(spark, dir))
-    val posted = base
-      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"),
-        md5(trim(regexp_replace(lower(col("line")), "[^a-z ]", ""))).as("h"))
+    // the POSTING relation is the cached seam (not the lines base):
+    // it feeds both the keeper election and the join probe, and
+    // caching it makes the line generator AND the per-line
+    // normalize+md5 pipeline run exactly once. Every downstream
+    // per-doc number — n_lines included — comes from one conditional
+    // aggregation over the flagged postings, so no second branch
+    // re-derives the lines; only the zero-line-doc edge reads
+    // documents again, as a doc_id-only column scan. Cache spills to
+    // disk at scale (the `augmented` discipline).
+    val posted = graft.core.Caches.transient(
+      graft.text.AnalysisPack.withPlantedLines(spark, dir)
+        .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("line"),
+          md5(trim(regexp_replace(lower(col("line")), "[^a-z ]", ""))).as("h")))
     val keepers = posted.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
       .select(col("h"), col("k.doc_id").as("k_doc"), col("k.pos").as("k_pos"))
-    val kept = posted.join(keepers, Seq("h"))
-      .filter(col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
+    // the inner join on the hash preserves every posting row (keepers
+    // is keyed by the same relation's hashes); kept-ness is a flag
+    val flagged = posted.join(keepers, Seq("h"))
+      .select(col("doc_id"), col("pos"), col("line"),
+        (col("doc_id") === col("k_doc") && col("pos") === col("k_pos"))
+          .as("keep"))
+    val rebuilt = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
         concat_ws("\n", transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("line"))))),
           s => s.getField("line"))).as("cleaned"))
-    base.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+    Tables(spark, dir).documents.select(col("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
       .orderBy(col("doc_id"))
@@ -420,9 +430,13 @@ object DedupPack extends QueryPack {
       .select(col("doc_id"),
         round(graft.text.TextAnalysis.qualityScore(col("text")), 6)
           .as("quality"))
-    val m = dedupGroupsArtifact(spark, dir)
-      .withColumnRenamed("keeper_id", "group_id")
-      .join(q, Seq("doc_id"))
+    // transient-cached: `m` feeds both the election aggregation and
+    // the final join probe; uncached, the full-corpus quality scan
+    // (the expensive side) would execute twice
+    val m = graft.core.Caches.transient(
+      dedupGroupsArtifact(spark, dir)
+        .withColumnRenamed("keeper_id", "group_id")
+        .join(q, Seq("doc_id")))
     val best = m.groupBy(col("group_id"))
       .agg(max(struct(col("quality"), (-col("doc_id")).as("nid"))).as("b"))
       .select(col("group_id"), (-col("b.nid")).as("best_id"))

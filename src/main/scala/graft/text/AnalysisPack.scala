@@ -116,6 +116,17 @@ object AnalysisPack extends QueryPack {
         TextAnalysis.redact(col("text")).as("text_redacted"))
       .orderBy(col("doc_id"))
 
+  /** The deterministic sqrt-mass fold shared by a06 and a17: per-source
+    * sqrt(tok_sum) summed in SORTED source order, so the double total
+    * is identical across engines and partitionings (a sorted fold, not
+    * a sum aggregate). One definition so the two mixture operators'
+    * weight denominators cannot fork. */
+  private def sqrtMassTotal: org.apache.spark.sql.Column =
+    aggregate(
+      sort_array(collect_list(struct(col("source"),
+        sqrt(col("tok_sum").cast("double")).as("w")))),
+      lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total")
+
   /** Training-mixture sampling: per-source keep rates ∝ (char mass)^α
     * with α = 0.5 — the standard pretraining up/down-sampling shape
     * (mixture targets set on token budget, not doc count). The rate
@@ -130,11 +141,7 @@ object AnalysisPack extends QueryPack {
     val per = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tok_sum"))
     val totals = per.agg(
-      sum(col("n_docs")).as("n_total"),
-      aggregate(
-        sort_array(collect_list(struct(col("source"),
-          sqrt(col("tok_sum").cast("double")).as("w")))),
-        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total"))
+      sum(col("n_docs")).as("n_total"), sqrtMassTotal)
     val rates = per.crossJoin(broadcast(totals))
       .withColumn("rate", least(lit(1.0),
         (lit(0.5) * col("n_total").cast("double"))
@@ -176,12 +183,7 @@ object AnalysisPack extends QueryPack {
     val EpochCap = 4.0
     val per = Tables(spark, dir).documents.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("tok_sum"))
-    val totals = per.agg(
-      sum(col("tok_sum")).as("total"),
-      aggregate(
-        sort_array(collect_list(struct(col("source"),
-          sqrt(col("tok_sum").cast("double")).as("w")))),
-        lit(0.0), (acc, x) => acc + x.getField("w")).as("w_total"))
+    val totals = per.agg(sum(col("tok_sum")).as("total"), sqrtMassTotal)
     val wa = per.crossJoin(broadcast(totals))
       .withColumn("alpha",
         sqrt(col("tok_sum").cast("double")) / col("w_total"))

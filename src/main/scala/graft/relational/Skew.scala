@@ -74,7 +74,17 @@ object Skew {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(p).getLength
+    // size from the DATA files only — getContentSummary also counts
+    // the local ChecksumFileSystem's hidden .crc siblings and
+    // _SUCCESS markers, which would inflate the file-count plan near
+    // a byte-budget boundary (data/128 of checksum bytes is enough to
+    // tip the ceil)
+    val bytes = fs.listStatus(p).iterator
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      })
+      .map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir)
       .repartition(nFiles)

@@ -240,7 +240,7 @@ object TextPack extends QueryPack {
       |  FROM f, t, p
       |  WHERE CAST(f.f_mass AS DOUBLE) < p.p * CAST(t.total AS DOUBLE)
       |    AND p.p * CAST(t.total AS DOUBLE) <= CAST(f.f_mass + f.mass AS DOUBLE))
-      |SELECT p, CAST(vocab_k AS BIGINT) AS vocab_k,
+      |SELECT CAST(p AS DOUBLE) AS p, CAST(vocab_k AS BIGINT) AS vocab_k,
       |  round(CAST(vocab_k AS DOUBLE) / CAST(vocab_size AS DOUBLE), 6) AS vocab_frac,
       |  vocab_size, total_tokens
       |FROM k ORDER BY p""".stripMargin,

@@ -68,12 +68,13 @@ def bench(sf_dir, tag, reuse=False, only=None):
     if only:
         env["SPARK_GRAFT_ONLY"] = only
     out = sbt_run("Bench", env)
-    line = None
+    line, raw = None, None
     for ln in out.splitlines():
         i = ln.find('{"metric"')
         if i >= 0:
             try:
                 line = json.loads(ln[i:])
+                raw = ln[i:].rstrip()
             except json.JSONDecodeError:
                 pass
     if line is None:
@@ -81,8 +82,11 @@ def bench(sf_dir, tag, reuse=False, only=None):
     with open(DETAIL) as f:
         detail = json.load(f)
     shutil.copy(DETAIL, detail_path)
+    # keep Bench's own byte format so a later restore of this leg into
+    # BENCH_FULL.json is byte-identical to a plain bench run (no
+    # json.dump reformatting churn in the committed artifact)
     with open(line_path, "w") as f:
-        json.dump(line, f)
+        f.write(raw + "\n")
     return line, detail
 
 
@@ -130,10 +134,14 @@ def main():
     elif args.skip_build and not os.path.isdir(scale_dir):
         sys.exit(f"FATAL: --skip-build but {scale_dir} does not exist")
 
+    # subset runs get their OWN leg-file tags on both legs, so a
+    # posture probe never clobbers the full round's saved legs (which
+    # --reuse-bench would later silently re-aggregate from)
     leg1 = "1x" if not args.only else "only1x"
+    leg2 = f"{args.factor}x" if not args.only else f"only{args.factor}x"
     base_line, base_detail = bench(args.base_dir, leg1, args.reuse_bench,
                                    args.only)
-    scale_line, scale_detail = bench(scale_dir, f"{args.factor}x",
+    scale_line, scale_detail = bench(scale_dir, leg2,
                                      args.reuse_bench, args.only)
     base_q = representative(base_detail)
     scale_q = representative(scale_detail)
@@ -154,6 +162,13 @@ def main():
             q["class"] = cls
             classes[cls] += 1
             factors.append((name, x))
+        elif s is not None and s >= 1.0 and b == 0:
+            # the extreme all-slope case: a 1x leg that rounded to
+            # 0.000 s with a multi-second scale leg — exactly what the
+            # exemption-closing change exists to catch; the factor is
+            # unbounded, so flag superlinear without an x
+            q["class"] = "superlinear"
+            classes["superlinear"] += 1
         queries[name] = q
 
     artifacts = {}
@@ -190,13 +205,19 @@ def main():
         # Bench writes BENCH_FULL.json on every run, so the scale leg
         # just overwrote it with Nx numbers; restore the base leg's
         # line — BENCH_FULL's contract is "the committed driver-shaped
-        # sf0.1 bench", which is exactly the 1x leg
-        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as f:
-            json.dump(base_line, f)
-            f.write("\n")
+        # sf0.1 bench", which is exactly the 1x leg. Copy the saved
+        # leg file byte-for-byte (it holds Bench's own output line)
+        # so the committed artifact's format never depends on which
+        # tool wrote it last.
+        shutil.copy(os.path.join(REPO, f"BENCH_LINE_{leg1}.json"),
+                    os.path.join(REPO, "BENCH_FULL.json"))
     # a non-default factor (e.g. the 30x production-defaults leg) gets
-    # its own artifact name so it never clobbers the per-round 10x run
+    # its own artifact name so it never clobbers the per-round 10x run;
+    # a default-factor SUBSET probe likewise must not overwrite the
+    # committed full-round artifact
     suffix = "" if args.factor == 10 else f"_{args.factor}x"
+    if args.only and not suffix:
+        suffix = "_only"
     path = os.path.join(REPO, f"SCALE_r{args.round:02d}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -155,7 +156,48 @@ object TextPack extends QueryPack {
       .orderBy(col("p"))
   }
 
+  val OrderSeed = "t09"
+  val NShards = 8
+
+  /** t09: deterministic training-order shuffle + shard manifest — the
+    * reproducible global shuffle every pretraining data loader needs
+    * (same seed ⇒ same order on any cluster size, cf. the epoch
+    * shuffles in Raffel et al. 2020 §3.1's C4 pipeline). Each doc gets
+    * a seeded md5 order key; its shard is a 60-bit slice of that key
+    * mod [[NShards]]; its position is the rank of the key within the
+    * shard. The manifest (one row per shard) carries doc/token counts,
+    * the first doc in training order, and an order-SENSITIVE checksum
+    * Σ pos·h32 (h32 = a second 32-bit key slice) so any reordering,
+    * not just membership change, breaks the hash.
+    *
+    * Scale shape: one shuffle (the window partitioned by shard; each
+    * shard sorts locally — exactly the per-shard sort a loader
+    * materializes), then a partial-aggregatable rollup. No global
+    * sort, no collected lists; the checksum is pure arithmetic in
+    * DECIMAL(38,0) so it cannot overflow at 100 TB row counts.
+    * [[NShards]] is a parameter — production sizes it to O(cluster
+    * cores) so the per-shard sorts parallelize. */
+  def trainOrder(spark: SparkSession, dir: String): DataFrame = {
+    val k = md5(concat(lit(OrderSeed + ":"), col("doc_id").cast("string")))
+    val keyed = Tables(spark, dir).documents
+      .select(col("doc_id"), TextOps.wordLen(col("text")).cast("long").as("n_tok"),
+        k.as("k"))
+      .withColumn("shard",
+        pmod(conv(substring(col("k"), 1, 15), 16, 10).cast("long"), lit(NShards.toLong)))
+      .withColumn("h32", conv(substring(col("k"), 17, 8), 16, 10).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("sum_tok"),
+        min_by(col("doc_id"), col("k")).as("first_doc"),
+        sum((col("pos") * col("h32")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").cast("string").as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_train_order" -> trainOrder,
     "t08_vocab_coverage" -> vocabCoverage,
     "t01_chunk_stats" -> chunkStats,
     "t02_chunk_first_text" -> chunkFirstText,
@@ -168,9 +210,34 @@ object TextPack extends QueryPack {
   private def sqlLit(s: String): String =
     if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
 
+  /** DuckDB BIGINT from `len` hex chars of `expr` starting at 1-based
+    * `start` — the nibble-sum idiom (see [[graft.dedup.DedupPack.hv60]]). */
+  private def hexInt(expr: String, start: Int, len: Int): String =
+    (0 until len).map { i =>
+      val mult = java.math.BigInteger.valueOf(16).pow(len - 1 - i)
+      s"CAST(strpos('0123456789abcdef', substr($expr, ${start + i}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(", " + ", ")")
+
   private val step = ChunkSize - Overlap
 
   val oracles: Map[String, String] = Map(
+    "t09_train_order" -> s"""
+      |WITH b AS (SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok,
+      |  md5('$OrderSeed:' || CAST(doc_id AS VARCHAR)) AS k
+      | FROM documents),
+      |s AS (SELECT doc_id, n_tok, k,
+      |  ${hexInt("k", 1, 15)} % $NShards AS shard,
+      |  ${hexInt("k", 17, 8)} AS h32 FROM b),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY k) AS pos
+      | FROM s)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+      |  arg_min(doc_id, k) AS first_doc,
+      |  CAST(CAST(sum(CAST(pos * h32 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+      |    AS order_checksum
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "t01_chunk_stats" -> s"""
       |WITH w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words

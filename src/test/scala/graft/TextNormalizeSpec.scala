@@ -288,6 +288,41 @@ class TextNormalizeSpec extends AnyFunSuite {
       s"levels $nLevels should compress vocab ${counts.length}")
   }
 
+  test("train order manifest equals a driver-side brute-force replay") {
+    import graft.text.TextPack
+    val out = TextPack.trainOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    // brute force: md5 every doc key, shard on the 60-bit slice, sort
+    // within shard, accumulate the positional checksum in BigInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), TextOps.wordLen(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keyed = docs.map { case (id, n) =>
+      val k = hex(s"${TextPack.OrderSeed}:$id")
+      val shard = java.lang.Long.parseLong(k.substring(0, 15), 16) % TextPack.NShards
+      val h32 = java.lang.Long.parseLong(k.substring(16, 24), 16)
+      (shard, k, id, n, h32)
+    }
+    val expected = keyed.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, g) =>
+      val ordered = g.sortBy(_._2)
+      val checksum = ordered.zipWithIndex
+        .map { case ((_, _, _, _, h32), i) => BigInt(i + 1) * BigInt(h32) }.sum
+      (s, g.length.toLong, g.map(_._4).sum, ordered.head._3, checksum.toString)
+    }
+    assert(out == expected)
+    assert(out.map(_._1) == (0L until TextPack.NShards.toLong),
+      "every shard id present")
+    // the checksum is order-sensitive: permuting two positions changes it
+    val h = keyed.filter(_._1 == 0L).sortBy(_._2).map(_._5)
+    assert(h.length >= 2 && BigInt(1) * BigInt(h(0)) + BigInt(2) * BigInt(h(1))
+      != BigInt(1) * BigInt(h(1)) + BigInt(2) * BigInt(h(0)),
+      "swapping adjacent docs must move the checksum")
+  }
+
   test("sampled terciles agree with exact terciles away from the boundaries") {
     val sf = SparkTestSession.sf
     val exact = graft.text.AnalysisPack.unigramLogprob(spark, sf)

@@ -39,6 +39,12 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # --only-present: check just the queries whose parquet dump exists —
+    # the fast targeted loop after `Verify <sf> <out> name1,name2`
+    if "--only-present" in sys.argv:
+        import os
+        oracle = {k: v for k, v in oracle.items()
+                  if os.path.isdir(f"{out_dir}/{k}")}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:

@@ -196,7 +196,49 @@ object TextPack extends QueryPack {
       .orderBy(col("shard"))
   }
 
+  /** t10: the learned BPE merge table — rank, pair, count-at-merge-
+    * time, merged token (see [[Bpe]] for the algorithm and the scale
+    * shape: one histogram shuffle + a bounded driver loop). The
+    * DuckDB oracle re-trains the tokenizer from scratch — each stage
+    * an argmax CTE feeding the next stage's replace — so the hash
+    * compare verifies the entire merge trajectory inductively. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Bpe.merges(spark, dir).zipWithIndex
+      .map { case (m, i) => (i + 1L, m.lhs, m.rhs, m.count, m.lhs + m.rhs) }
+      .toDF("rank", "lhs", "rhs", "pair_count", "token")
+      .orderBy(col("rank"))
+  }
+
+  /** t11: tokenize the corpus with the learned merges — per doc the
+    * word count, BPE token count, and a content hash of the full
+    * segmentation. Shuffle-free scan: the merges replay as a literal
+    * replace chain inside codegen (no UDF, no broadcast). */
+  def bpeTokenize(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Bpe.merges(spark, dir)
+    Tables(spark, dir).documentsSpread
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        coalesce(aggregate(
+            transform(col("ws"),
+              w => Bpe.tokenCount(Bpe.applyMerges(Bpe.symbolize(w), ms))),
+            lit(0L), (acc, n) => acc + n), lit(0L)).as("n_bpe"),
+        md5(array_join(transform(col("ws"),
+            w => Bpe.render(Bpe.applyMerges(Bpe.symbolize(w), ms))), "|"))
+          .as("tok_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE training (histogram shuffle + driver merge loop) is compute-
+    * once state — warmed by the bench like the other fitted artifacts
+    * so t10/t11 measure emission/application, not re-training. */
+  override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
+    Map("bpe_merges" -> bpeMerges)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_bpe_merges" -> bpeMerges,
+    "t11_bpe_tokenize" -> bpeTokenize,
     "t09_train_order" -> trainOrder,
     "t08_vocab_coverage" -> vocabCoverage,
     "t01_chunk_stats" -> chunkStats,
@@ -210,6 +252,36 @@ object TextPack extends QueryPack {
   private def sqlLit(s: String): String =
     if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
 
+  /** The BPE self-training CTE chain shared by the t10/t11 oracles:
+    * stage i computes pair counts over the type table with merges
+    * 1..i-1 applied, then its argmax merge as a one-row CTE `mi`
+    * (MATERIALIZED — each stage is referenced twice, and inlining
+    * would expand the chain exponentially). Mirrors [[Bpe]] exactly:
+    * same counting (overlapping adjacent pairs weighted by word
+    * count), same application (leftmost non-overlapping full-symbol
+    * replace), same tie-break (count desc, "lhs rhs" binary asc). */
+  private def bpeStagesSql: String = {
+    val b = new StringBuilder
+    b ++= s"""u AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS wd FROM documents),
+      |c AS (SELECT wd, count(*) AS cnt FROM u GROUP BY wd),
+      |top AS (SELECT wd, cnt FROM c ORDER BY cnt DESC, wd LIMIT ${Bpe.MaxTypes}),
+      |s1 AS MATERIALIZED (SELECT '  ' || regexp_replace(wd, '(.)', '\\1  ', 'g') AS s, cnt FROM top)""".stripMargin
+    for (i <- 1 to Bpe.NMerges) {
+      b ++= s""",
+        |p$i AS (SELECT pr, sum(cnt) AS c FROM (
+        |  SELECT unnest(list_transform(range(1, len(a)), j -> a[j] || ' ' || a[j+1])) AS pr, cnt
+        |  FROM (SELECT string_split(trim(s), '  ') AS a, cnt FROM s$i)) GROUP BY pr),
+        |m$i AS MATERIALIZED (SELECT split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs,
+        |  CAST(c AS BIGINT) AS c FROM p$i ORDER BY c DESC, pr LIMIT 1)""".stripMargin
+      if (i < Bpe.NMerges)
+        b ++= s""",
+          |s${i + 1} AS MATERIALIZED (SELECT replace(s.s, ' ' || m.lhs || '  ' || m.rhs || ' ',
+          |  ' ' || m.lhs || m.rhs || ' ') AS s, cnt FROM s$i s, m$i m)""".stripMargin
+    }
+    b.result()
+  }
+
   /** DuckDB BIGINT from `len` hex chars of `expr` starting at 1-based
     * `start` — the nibble-sum idiom (see [[graft.dedup.DedupPack.hv60]]). */
   private def hexInt(expr: String, start: Int, len: Int): String =
@@ -221,6 +293,31 @@ object TextPack extends QueryPack {
   private val step = ChunkSize - Overlap
 
   val oracles: Map[String, String] = Map(
+    "t10_bpe_merges" -> {
+      val stages = (1 to Bpe.NMerges).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, lhs, rhs, c AS pair_count, lhs || rhs AS token FROM m$i"
+      }.mkString("\nUNION ALL ")
+      s"""
+      |WITH $bpeStagesSql
+      |$stages ORDER BY rank""".stripMargin
+    },
+    "t11_bpe_tokenize" -> {
+      val chain = (1 to Bpe.NMerges).foldLeft(
+        s"'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (e, i) =>
+        s"replace($e, ' ' || g$i.lhs || '  ' || g$i.rhs || ' ', ' ' || g$i.lhs || g$i.rhs || ' ')"
+      }
+      val froms = (1 to Bpe.NMerges).map(i => s"m$i AS g$i").mkString(", ")
+      s"""
+      |WITH $bpeStagesSql,
+      |docw AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |  ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws FROM documents),
+      |ap AS (SELECT doc_id, ws, list_transform(ws, w -> $chain) AS ts
+      |  FROM docw, $froms)
+      |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(coalesce(list_sum(list_transform(ts, s -> len(string_split(trim(s), '  ')))), 0) AS BIGINT) AS n_bpe,
+      |  md5(array_to_string(list_transform(ts, s -> regexp_replace(trim(s), '  ', ' ', 'g')), '|')) AS tok_md5
+      |FROM ap ORDER BY doc_id""".stripMargin
+    },
     "t09_train_order" -> s"""
       |WITH b AS (SELECT doc_id,
       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

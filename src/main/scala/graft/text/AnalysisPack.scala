@@ -525,7 +525,92 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** a18: cross-source n-gram overlap matrix — the datasheet table
+    * every multi-source corpus publishes (e.g. the component-overlap
+    * audits in Pile/Dolma-style datasheets): for each source pair,
+    * the count and Jaccard of shared distinct word-3-gram shingles.
+    * Scale shape: distinct (source, 60-bit shingle hash) rows — the
+    * d02 hashing discipline — then a self-join keyed on the SHINGLE;
+    * per-key fan-out is bounded by |sources|² (a constant), never by
+    * corpus size, unlike doc-pair joins. The final grid is the full
+    * source×source upper triangle (a13's absent-cell discipline:
+    * non-overlapping pairs report 0, not absence). */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapOf(Tables(spark, dir).documents)
+
+  private[graft] def sourceOverlapOf(docs: DataFrame): DataFrame = {
+    val sh = graft.core.Caches.transient(
+      docs
+        .select(col("source"),
+          explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("s"))
+        .select(col("source"), graft.dedup.Dedup.hash60(col("s")).as("sh"))
+        .distinct())
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("c"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    sizes.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(broadcast(
+        sizes.select(col("source").as("source_b"), col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+      .join(common, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("c"), lit(0L)).as("n_common"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(d(col("n_common")) /
+          d(col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val DriftBuckets = 256
+
+  /** a19: per-source distribution-drift report — KL(source ‖ corpus)
+    * over add-1-smoothed hashed-unigram bucket models (the a08/DSIR
+    * bucket discipline: the model is [[DriftBuckets]] rows regardless
+    * of vocabulary, so every per-bucket relation broadcasts at any
+    * corpus size). The mixture-monitoring number: which source's
+    * token distribution is drifting from the corpus average, e.g.
+    * after an ingest or filter change. Terms are computed on the FULL
+    * source×bucket grid (absent buckets pay their smoothed term),
+    * rounded at 9 decimals and decimal-summed so the statistic is
+    * order-independent and bitwise-replayable. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftOf(Tables(spark, dir).documents)
+
+  private[graft] def sourceDriftOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val B = DriftBuckets
+    val toks = graft.core.Caches.transient(
+      docs
+        .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+        .select(col("source"),
+          pmod(graft.dedup.Dedup.hash60(col("w")), lit(B.toLong)).as("b")))
+    val joint = toks.groupBy(col("source"), col("b")).agg(count(lit(1)).as("c"))
+    val ts = toks.groupBy(col("source")).agg(count(lit(1)).as("t_s"))
+    val cb = toks.groupBy(col("b")).agg(count(lit(1)).as("c_b"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val buckets = spark.range(0, B).select(col("id").as("b"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val p = d(coalesce(col("c"), lit(0L)) + 1) / d(col("t_s") + B)
+    val q = d(coalesce(col("c_b"), lit(0L)) + 1) / d(col("t") + B)
+    ts.crossJoin(broadcast(buckets))
+      .join(joint, Seq("source", "b"), "left")
+      .join(broadcast(cb), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("t_s"),
+        round(p * log(p / q), 9).cast("decimal(28,9)").as("term"))
+      .groupBy(col("source"), col("t_s"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("kl"))
+      .select(col("source"), col("t_s").as("n_tokens"), col("kl"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_source_overlap" -> sourceOverlap,
+    "a19_source_drift" -> sourceDrift,
     "a15_heavy_hitters" -> heavyHitters,
     "a16_quality_cap" -> ((s, d) => qualityCap(s, d)),
     "a01_lang_id" -> langId,
@@ -616,6 +701,46 @@ object AnalysisPack extends QueryPack {
     |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a18_source_overlap" -> s"""
+      |WITH w AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),
+      |sh AS (SELECT DISTINCT source, ${graft.dedup.DedupPack.hv60("s")} AS sh
+      |  FROM (SELECT source, unnest(CASE WHEN len(words) >= 3
+      |    THEN list_transform(range(1, len(words) - 1),
+      |         i -> array_to_string(words[i:i+2], ' '))
+      |    ELSE [] END) AS s FROM w)),
+      |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |cm AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
+      |g AS (SELECT sa.source AS source_a, sb.source AS source_b,
+      |    sa.n AS n_a, sb.n AS n_b
+      |  FROM sz sa, sz sb WHERE sa.source < sb.source)
+      |SELECT g.source_a, g.source_b, CAST(n_a AS BIGINT) AS n_a,
+      |  CAST(n_b AS BIGINT) AS n_b, CAST(coalesce(c, 0) AS BIGINT) AS n_common,
+      |  round(CAST(coalesce(c, 0) AS DOUBLE)
+      |    / CAST(n_a + n_b - coalesce(c, 0) AS DOUBLE), 6) AS jaccard
+      |FROM g LEFT JOIN cm ON cm.source_a = g.source_a AND cm.source_b = g.source_b
+      |ORDER BY g.source_a, g.source_b""".stripMargin,
+    "a19_source_drift" -> s"""
+      |WITH tk AS (SELECT source, ${graft.dedup.DedupPack.hv60("wd")} % $DriftBuckets AS b
+      |  FROM (SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END) AS wd FROM documents)),
+      |j AS (SELECT source, b, count(*) AS c FROM tk GROUP BY 1, 2),
+      |ts AS (SELECT source, count(*) AS t_s FROM tk GROUP BY 1),
+      |cb AS (SELECT b, count(*) AS c_b FROM tk GROUP BY 1),
+      |tt AS (SELECT count(*) AS t FROM tk),
+      |g AS (SELECT ts.source, ts.t_s, r.range AS b FROM ts, range(0, $DriftBuckets) r),
+      |terms AS (SELECT g.source, g.t_s,
+      |    CAST(round(
+      |      (CAST(coalesce(j.c, 0) + 1 AS DOUBLE) / CAST(g.t_s + $DriftBuckets AS DOUBLE))
+      |      * ln((CAST(coalesce(j.c, 0) + 1 AS DOUBLE) / CAST(g.t_s + $DriftBuckets AS DOUBLE))
+      |        / (CAST(coalesce(cb.c_b, 0) + 1 AS DOUBLE) / CAST(tt.t + $DriftBuckets AS DOUBLE))),
+      |      9) AS DECIMAL(28,9)) AS term
+      |  FROM g LEFT JOIN j ON j.source = g.source AND j.b = g.b
+      |  LEFT JOIN cb ON cb.b = g.b, tt)
+      |SELECT source, CAST(t_s AS BIGINT) AS n_tokens,
+      |  round(CAST(sum(term) AS DOUBLE), 6) AS kl
+      |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "a16_quality_cap" -> s"""
       |WITH ${qualityCtes("documents", "lang")},
       |r AS (SELECT doc_id, lang, quality,

@@ -323,6 +323,54 @@ class TextNormalizeSpec extends AnyFunSuite {
       "swapping adjacent docs must move the checksum")
   }
 
+  test("source overlap matrix: crafted corpus with known shingle sets") {
+    import spark.implicits._
+    // X:{<a b c>,<b c d>} Y:{<a b c>,<b c e>} Z:{<x y z>,<y z w>}
+    val docs = Seq(("X", "a b c d"), ("Y", "a b c e"), ("Z", "x y z w"))
+      .toDF("source", "text")
+    val out = graft.text.AnalysisPack.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("X", "Y", 2L, 2L, 1L, 0.333333),
+      ("X", "Z", 2L, 2L, 0L, 0.0),
+      ("Y", "Z", 2L, 2L, 0L, 0.0)))
+  }
+
+  test("source overlap on the corpus equals a driver string-set replay") {
+    import spark.implicits._
+    val sf = SparkTestSession.sf
+    val out = graft.text.AnalysisPack.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val sets = graft.core.Tables(spark, sf).documents
+      .select(col("source"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("s"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcs = sets.keys.toSeq.sorted
+    val expected = for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong,
+      (sets(a) & sets(b)).size.toLong)
+    assert(out == expected.sortBy(t => (t._1, t._2)))
+  }
+
+  test("source drift: single source has exactly zero KL; corpus KLs are " +
+      "non-negative over the full grid") {
+    import spark.implicits._
+    val one = Seq(("only", "a b c a"), ("only", "b d")).toDF("source", "text")
+    val kl0 = graft.text.AnalysisPack.sourceDriftOf(one).collect()
+    assert(kl0.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq(("only", 6L, 0.0)))
+    val corpus = graft.text.AnalysisPack
+      .sourceDrift(spark, SparkTestSession.sf).collect()
+    assert(corpus.nonEmpty)
+    // KL >= 0 up to the 9-decimal term rounding accumulated over 256 terms
+    assert(corpus.forall(_.getDouble(2) >= -1e-6),
+      "KL divergence must be non-negative")
+  }
+
   test("sampled terciles agree with exact terciles away from the boundaries") {
     val sf = SparkTestSession.sf
     val exact = graft.text.AnalysisPack.unigramLogprob(spark, sf)

@@ -23,7 +23,9 @@ object ExplainAudit {
         "v15_knn_sq8", "s08_rate_limit",
         "r17_salted_agg", "r18_salted_join", "mm04_shard_plan",
         "i08_compacted_roundtrip", "a16_quality_cap", "d17_line_dedup",
-        "t08_vocab_coverage", "d18_keep_best", "a17_mixture_budget")
+        "t08_vocab_coverage", "d18_keep_best", "a17_mixture_budget",
+        "t09_train_order", "t11_bpe_tokenize", "a18_source_overlap",
+        "a19_source_drift")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

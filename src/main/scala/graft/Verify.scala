@@ -10,6 +10,11 @@ object Verify {
     // targeted re-verification while iterating (driver passes 2 args)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // the oracle gate runs the exact self-kNN posture, full stop: a
+    // stale SPARK_GRAFT_SELF_KNN export would flip f04's semantics and
+    // surface only as an opaque hash mismatch — refuse it up front
+    require(vector.KnnJoin.envSelfStrategy == vector.KnnJoin.Exact,
+      "SPARK_GRAFT_SELF_KNN must be unset/exact for oracle verification")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -195,7 +195,11 @@ object IngestPack extends QueryPack {
     * fails the hash; the spec asserts the file-count collapse and
     * near-target sizes. */
   def compactedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val frag = s"target/fixtures_frag_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    // per-application fixture path: two JVMs benching the same data
+    // dir would otherwise race on the overwrite-then-read-back (Spark
+    // overwrite deletes first) and corrupt each other's round-trip
+    val frag = s"target/fixtures_frag_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
     Tables(spark, dir).documents
       .filter(col("doc_id") < FmtDocs)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))

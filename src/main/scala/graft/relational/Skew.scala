@@ -17,11 +17,17 @@ object Skew {
     * key gains a deterministic salt in [0, saltFactor), the dimension
     * replicates once per salt value, and the join key becomes
     * (key, salt) — a hot key now spreads over `saltFactor` reducers.
-    * Result rows are identical to the unsalted join (spec-checked). */
+    * Result rows are identical to the unsalted join (spec-checked).
+    * The salt is a ROW-CONTENT hash (all fact columns), not
+    * monotonically_increasing_id: a partial-stage retry reassigns
+    * ids, so an id-derived salt would re-bucket rows mid-recovery —
+    * content-hash salting is bit-stable under task retries. Identical
+    * duplicate rows share a salt, which only matters if a hot key's
+    * rows are ALSO byte-identical (then dedup first). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = fact.withColumn("_salt",
-      pmod(hash(col(key), monotonically_increasing_id()), lit(saltFactor)))
+      pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = dim.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
@@ -30,11 +36,12 @@ object Skew {
   /** Two-phase skew-safe aggregation: partial-aggregate on
     * (key, salt), then final-aggregate on key. For algebraic
     * aggregates (sum/count/min/max) the result equals the direct
-    * groupBy; a hot key's partials spread over `saltFactor` tasks. */
+    * groupBy; a hot key's partials spread over `saltFactor` tasks.
+    * Deterministic row-content salt — see [[saltedJoin]]. */
   def saltedSum(df: DataFrame, key: Column, value: Column,
                 saltFactor: Int): DataFrame =
     df.select(key.as("k"),
-        pmod(hash(monotonically_increasing_id()), lit(saltFactor)).as("_salt"),
+        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).as("_salt"),
         value.as("v"))
       .groupBy(col("k"), col("_salt")).agg(sum(col("v")).as("pv"))
       .groupBy(col("k")).agg(sum(col("pv")).as("sum_v"))

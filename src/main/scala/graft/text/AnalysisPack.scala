@@ -534,7 +534,10 @@ object AnalysisPack extends QueryPack {
     * per-key fan-out is bounded by |sources|² (a constant), never by
     * corpus size, unlike doc-pair joins. The final grid is the full
     * source×source upper triangle (a13's absent-cell discipline:
-    * non-overlapping pairs report 0, not absence). */
+    * non-overlapping pairs report 0, not absence) — the source list
+    * comes from `documents`, not the shingle table, so a source whose
+    * documents are all <3 words (zero shingles) still gets its grid
+    * rows with n=0 rather than vanishing. */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame =
     sourceOverlapOf(Tables(spark, dir).documents)
 
@@ -545,7 +548,10 @@ object AnalysisPack extends QueryPack {
           explode(graft.dedup.Dedup.shingles(col("text"), 3)).as("s"))
         .select(col("source"), graft.dedup.Dedup.hash60(col("s")).as("sh"))
         .distinct())
-    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val sizes = docs.select(col("source")).distinct()
+      .join(sh.groupBy(col("source")).agg(count(lit(1)).as("cnt")),
+        Seq("source"), "left")
+      .select(col("source"), coalesce(col("cnt"), lit(0L)).as("n"))
     val common = sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh"))
       .filter(col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -560,8 +566,11 @@ object AnalysisPack extends QueryPack {
         coalesce(col("c"), lit(0L)).as("n_common"))
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         col("n_common"),
-        round(d(col("n_common")) /
-          d(col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+        // a shingle-free pair has denominator 0 — report jaccard 0,
+        // not NaN (the absent-cell contract extends to the value)
+        round(when(col("n_a") + col("n_b") - col("n_common") === 0, lit(0.0))
+          .otherwise(d(col("n_common")) /
+            d(col("n_a") + col("n_b") - col("n_common"))), 6).as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -709,7 +718,10 @@ object AnalysisPack extends QueryPack {
       |    THEN list_transform(range(1, len(words) - 1),
       |         i -> array_to_string(words[i:i+2], ' '))
       |    ELSE [] END) AS s FROM w)),
-      |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      |sz AS (SELECT ds.source, coalesce(sc.n, 0) AS n
+      |  FROM (SELECT DISTINCT source FROM documents) ds
+      |  LEFT JOIN (SELECT source, count(*) AS n FROM sh GROUP BY source) sc
+      |    ON sc.source = ds.source),
       |cm AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
       |g AS (SELECT sa.source AS source_a, sb.source AS source_b,
@@ -717,8 +729,9 @@ object AnalysisPack extends QueryPack {
       |  FROM sz sa, sz sb WHERE sa.source < sb.source)
       |SELECT g.source_a, g.source_b, CAST(n_a AS BIGINT) AS n_a,
       |  CAST(n_b AS BIGINT) AS n_b, CAST(coalesce(c, 0) AS BIGINT) AS n_common,
-      |  round(CAST(coalesce(c, 0) AS DOUBLE)
-      |    / CAST(n_a + n_b - coalesce(c, 0) AS DOUBLE), 6) AS jaccard
+      |  round(CASE WHEN n_a + n_b - coalesce(c, 0) = 0 THEN 0.0
+      |    ELSE CAST(coalesce(c, 0) AS DOUBLE)
+      |      / CAST(n_a + n_b - coalesce(c, 0) AS DOUBLE) END, 6) AS jaccard
       |FROM g LEFT JOIN cm ON cm.source_a = g.source_a AND cm.source_b = g.source_b
       |ORDER BY g.source_a, g.source_b""".stripMargin,
     "a19_source_drift" -> s"""

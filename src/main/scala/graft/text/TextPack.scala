@@ -191,7 +191,12 @@ object TextPack extends QueryPack {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("sum_tok"),
         min_by(col("doc_id"), col("k")).as("first_doc"),
-        sum((col("pos") * col("h32")).cast("decimal(38,0)"))
+        // pos is cast to decimal BEFORE the multiply so the product is
+        // decimal arithmetic: a shard past 2^31 rows would overflow a
+        // pos*h32 BIGINT product (silent wrap under non-ANSI Spark,
+        // raise in DuckDB — divergence at exactly the scale the
+        // checksum claims to cover)
+        sum(col("pos").cast("decimal(38,0)") * col("h32"))
           .cast("decimal(38,0)").cast("string").as("order_checksum"))
       .orderBy(col("shard"))
   }
@@ -332,7 +337,7 @@ object TextPack extends QueryPack {
       |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
       |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
       |  arg_min(doc_id, k) AS first_doc,
-      |  CAST(CAST(sum(CAST(pos * h32 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+      |  CAST(CAST(sum(CAST(pos AS DECIMAL(38,0)) * h32) AS DECIMAL(38,0)) AS VARCHAR)
       |    AS order_checksum
       |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "t01_chunk_stats" -> s"""

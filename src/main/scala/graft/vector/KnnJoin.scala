@@ -262,9 +262,21 @@ object KnnJoin {
     * Evaluation-family consumers ([[graft.metrics.FeedbackPack
     * .compositeEval]]) take this as their default strategy, so ONE
     * env flips the whole downstream report family onto the scale
-    * path without touching the oracle-checked default. */
-  def envSelfStrategy: Strategy =
-    parseSelfStrategy(sys.env.get("SPARK_GRAFT_SELF_KNN"))
+    * path without touching the oracle-checked default.
+    *
+    * Resolved ONCE per JVM (lazy val) and logged when non-default:
+    * a stale shell export would otherwise silently flip an
+    * oracle-checked query's semantics at every call, surfacing only
+    * as a downstream hash failure. Bench/Verify additionally force
+    * resolution at startup ([[Bench]] fails fast on a bad value
+    * before any timing; [[Verify]] refuses non-Exact outright). */
+  lazy val envSelfStrategy: Strategy = {
+    val s = parseSelfStrategy(sys.env.get("SPARK_GRAFT_SELF_KNN"))
+    if (s != Exact)
+      System.err.println(s"[graft] SPARK_GRAFT_SELF_KNN resolved to $s — " +
+        "evaluation-family self-kNN leaves the oracle-checked exact posture")
+    s
+  }
 
   private[graft] def parseSelfStrategy(v: Option[String]): Strategy =
     v.map(_.trim.toLowerCase).filter(_.nonEmpty) match {

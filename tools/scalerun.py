@@ -208,9 +208,20 @@ def main():
         # sf0.1 bench", which is exactly the 1x leg. Copy the saved
         # leg file byte-for-byte (it holds Bench's own output line)
         # so the committed artifact's format never depends on which
-        # tool wrote it last.
-        shutil.copy(os.path.join(REPO, f"BENCH_LINE_{leg1}.json"),
-                    os.path.join(REPO, "BENCH_FULL.json"))
+        # tool wrote it last. Under --reuse-bench the leg may predate
+        # the raw-line format (pre-round-8 json.dump reformatting) —
+        # restoring such a leg would break BENCH_FULL's byte-format
+        # contract, so validate the format and skip loudly instead.
+        leg_path = os.path.join(REPO, f"BENCH_LINE_{leg1}.json")
+        with open(leg_path, "rb") as f:
+            raw_leg = f.read()
+        if (raw_leg.startswith(b'{"metric"') and raw_leg.endswith(b"}\n")
+                and raw_leg.count(b"\n") == 1):
+            shutil.copy(leg_path, os.path.join(REPO, "BENCH_FULL.json"))
+        else:
+            print(f"WARNING: {leg_path} is not Bench's canonical one-line "
+                  "format (stale json.dump leg?) — BENCH_FULL.json left "
+                  "untouched; re-run a plain bench to refresh it")
     # a non-default factor (e.g. the 30x production-defaults leg) gets
     # its own artifact name so it never clobbers the per-round 10x run;
     # a default-factor SUBSET probe likewise must not overwrite the

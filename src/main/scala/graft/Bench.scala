@@ -113,6 +113,11 @@ object Bench {
     core.Caches.releaseTransients()
     val artifactsSec = (System.nanoTime() - tArt) / 1e9
     val results = selected.map { case (name, fn) =>
+      // label session-memo creations with this query's name, so the
+      // retry loop can drop exactly what this first pass built and
+      // re-measure the same work (a memo-hit retry would misattribute
+      // real cost to "transient" and collapse scale factors)
+      core.Artifacts.setScope(name)
       val t0 = System.nanoTime()
       val err = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -148,6 +153,11 @@ object Bench {
       .sortBy { case (_, s) => -s }
       .take(6)
       .flatMap { case (name, _) =>
+        // rebuild, don't read back, whatever session memos the first
+        // pass created (scope-tracked) — the retry must re-measure
+        // the same work or it is not a second opinion
+        core.Artifacts.dropScope(name)
+        core.Artifacts.setScope(name)
         val t0 = System.nanoTime()
         val r = try {
           SparkEntry.queries(name)(spark, sfDir)
@@ -157,6 +167,7 @@ object Bench {
         core.Caches.releaseTransients()
         r
       }
+    core.Artifacts.setScope("")
     // The harness captures only the last ~2 KB of stdout: keys are
     // abbreviated to the unique family prefix (m01_confusion -> m01)
     // and seconds rounded to 2 decimals to keep this line near that

@@ -23,6 +23,31 @@ object Artifacts {
     scala.collection.concurrent.TrieMap
       .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
+  // scope label → which memo entries a given consumer's execution
+  // CREATED (vs merely read). The bench's retry instrument needs this:
+  // a retry that silently hits a memo built during the first pass
+  // would "attribute" the cost to a transient and (worse) collapse a
+  // declared superlinear query's scale factor to a cache read. The
+  // retry drops exactly the entries the first pass created, so it
+  // re-measures the same work; entries built outside any scope (the
+  // pre-warm artifact phase) are never dropped.
+  private val scopeOf =
+    scala.collection.concurrent.TrieMap
+      .empty[(org.apache.spark.sql.SparkSession, String), String]
+  @volatile private var currentScope: String = ""
+
+  /** Label memo creations from now on (bench: the timed query's name);
+    * empty = unscoped (artifact pre-warm, Verify, library use). */
+  def setScope(name: String): Unit = currentScope = name
+
+  /** Unpersist + evict every memo entry created under `name`, so a
+    * re-run of that consumer rebuilds (and re-pays for) them. */
+  def dropScope(name: String): Unit =
+    scopeOf.toSeq.collect { case (k, s) if s == name => k }.foreach { k =>
+      scopeOf.remove(k)
+      memoMap.remove(k).foreach(_.unpersist())
+    }
+
   /** The memoized frame for (session, key), built on first call.
     * Re-persists (lazily) if an external cache sweep dropped it — the
     * data is then recomputed once by the next consumer, never the
@@ -38,7 +63,16 @@ object Artifacts {
   def memo(spark: org.apache.spark.sql.SparkSession, key: String)
           (build: => DataFrame): DataFrame = {
     memoMap.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    val df = memoMap.getOrElseUpdate((spark, key), build)
+    scopeOf.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val k = (spark, key)
+    val df = memoMap.get(k) match {
+      case Some(d) => d
+      case None =>
+        val d = build
+        memoMap.put(k, d)
+        if (currentScope.nonEmpty) scopeOf.put(k, currentScope)
+        d
+    }
     // a builder may have routed the frame through Caches.transient
     // (e.g. the IVF centroid chain caches itself for within-query
     // reuse) — promotion to artifact status must exempt it from the

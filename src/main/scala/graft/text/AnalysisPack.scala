@@ -507,17 +507,54 @@ object AnalysisPack extends QueryPack {
     * dominant language without throwing away its best documents. Rank
     * = row_number over (quality desc, doc_id) per lang — one shuffle
     * on lang, rank within partition. At corpus scale a skewed
-    * language holds its whole partition: pre-filter by a per-lang
-    * quality THRESHOLD from a first aggregate pass (or salt the rank
-    * as in r17) before ranking; at cap=50 per lang over the synthetic
-    * mix the plain window is the honest shape. */
-  def qualityCap(spark: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    * language holds its whole partition — [[qualityCapScaled]] is the
+    * implemented escape; at cap=50 per lang over the synthetic mix
+    * the plain window is the honest shape. */
+  def qualityCap(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    qualityCapOf(Tables(spark, dir).documents, n)
+
+  private[graft] def qualityCapOf(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("quality").desc, col("doc_id"))
-    Tables(spark, dir).documents
+    docs
       .select(col("doc_id"), col("lang"),
         round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** a20: a16's SKEW ESCAPE — identical result (same oracle SQL, the
+    * full-window replay), scale-safe shape: a bounded
+    * [[TopNThreshold]] aggregate finds each language's n-th quality
+    * map-side (only n doubles per lang shuffle), a broadcast
+    * threshold join prefilters to `quality >= nth` (≤ n + ties rows
+    * per lang — never the language's full corpus), and only the
+    * survivors enter the rank window. Equality argument: every row
+    * with quality > nth has full-rank < n (at most n−1 such rows);
+    * threshold-tie rows are ALL kept and rank among themselves by
+    * doc_id exactly as in the full window; every dropped row
+    * (quality < nth) has at least n rows ahead of it, so its full
+    * rank exceeds n. An under-full language gets -Infinity and keeps
+    * everything. The spec pins engine-level equality with [[
+    * qualityCap]] on a deliberately skewed corpus. */
+  def qualityCapScaled(spark: SparkSession, dir: String, n: Int = 50): DataFrame =
+    qualityCapScaledOf(Tables(spark, dir).documents, n)
+
+  private[graft] def qualityCapScaledOf(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.core.Caches.transient(
+      docs.select(col("doc_id"), col("lang"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality")))
+    val thr = scored.groupBy(col("lang"))
+      .agg(TopNThreshold.nth(n)(col("quality")).as("q_nth"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("quality") >= col("q_nth"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= n)
       .select(col("doc_id"), col("lang"), col("quality"),
@@ -622,6 +659,7 @@ object AnalysisPack extends QueryPack {
     "a19_source_drift" -> sourceDrift,
     "a15_heavy_hitters" -> heavyHitters,
     "a16_quality_cap" -> ((s, d) => qualityCap(s, d)),
+    "a20_quality_cap_scaled" -> ((s, d) => qualityCapScaled(s, d)),
     "a01_lang_id" -> langId,
     "a12_bigram_logprob" -> bigramLogprob,
     "a13_mi_chi2" -> miChi2,
@@ -755,6 +793,15 @@ object AnalysisPack extends QueryPack {
       |  round(CAST(sum(term) AS DOUBLE), 6) AS kl
       |FROM terms GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "a16_quality_cap" -> s"""
+      |WITH ${qualityCtes("documents", "lang")},
+      |r AS (SELECT doc_id, lang, quality,
+      |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk
+      |  FROM qs)
+      |SELECT doc_id, lang, quality, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+    // a20 = a16's result through the skew-escaped plan; the oracle is
+    // the SAME full-window replay — the whole point is hash-equality
+    "a20_quality_cap_scaled" -> s"""
       |WITH ${qualityCtes("documents", "lang")},
       |r AS (SELECT doc_id, lang, quality,
       |    row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk

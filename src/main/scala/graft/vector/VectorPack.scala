@@ -55,6 +55,28 @@ object VectorPack extends QueryPack {
     graft.core.Artifacts.memo(spark, s"sq8_stats:$dir")(
       KnnJoin.sq8Stats(embCast(spark, dir)))
 
+  /** Session-memoized member SEARCH result (standard projection +
+    * ordering applied before the memo, so every consumer reads the
+    * finished frame). Each of the six deterministic ANN searches is
+    * computed ONCE per session — by whichever consumer runs first; in
+    * the bench's sorted sweep that is the member's own query row, so
+    * the member keeps its honestly measured search cost — and v21's
+    * recall report then reads the persisted results instead of
+    * re-running all six searches (round-8 verdict: re-running made
+    * v21's scale class straddle the superlinear bound by inheriting
+    * pinned v13's noise, and cost ~7 s per bench run). The bench's
+    * retry instrument stays honest via [[graft.core.Artifacts]] scope
+    * tracking: a retried member drops and rebuilds its own search
+    * memo rather than reading it back. */
+  private def memoSearch(spark: SparkSession, dir: String, name: String)
+      (build: DataFrame => DataFrame): DataFrame =
+    graft.core.Artifacts.memo(spark, s"search_$name:$dir") {
+      build(Tables(spark, dir).embeddingsSpread)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }
+
   /** J4: exact top-3 cosine (raw IP — the oracle mirrors it) kNN,
     * served from the session-memoized self-join artifact. */
   def knnTop3(spark: SparkSession, dir: String): DataFrame =
@@ -212,46 +234,37 @@ object VectorPack extends QueryPack {
     * sample, argmax assignment, probing, rerank) is deterministic, so
     * the full pipeline replays in SQL and v10 is oracle-checked like
     * the exact variants (recall itself is asserted in IvfSpec). */
-  def ivf(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddingsSpread
-    KnnJoin.approxIvf(spark, e, e, K,
+  def ivf(spark: SparkSession, dir: String): DataFrame =
+    memoSearch(spark, dir, "ivf") { e =>
+      KnnJoin.approxIvf(spark, e, e, K,
         centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
         assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)))
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+    }
 
   /** PQ approximate kNN — like v10, "approximate" means recall vs
     * exact, not nondeterminism: the full pipeline (per-subspace seed
     * sample, Lloyd refinement, code assignment, asymmetric-distance
     * candidates, exact rerank) replays in SQL and v12 is
     * oracle-checked; recall is asserted in PqSpec. */
-  def pq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddingsSpread
-    KnnJoin.approxPq(spark, e, e, K,
+  def pq(spark: SparkSession, dir: String): DataFrame =
+    memoSearch(spark, dir, "pq") { e =>
+      KnnJoin.approxPq(spark, e, e, K,
         centsOpt = Some(pqCodebookArtifact(spark, dir)),
         codesOpt = Some(pqCodesArtifact(spark, dir)))
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+    }
 
   /** IVF-PQ composition (FAISS `IndexIVFPQ` shape): coarse lists
     * prune, PQ codes score within probed lists, exact rerank — every
     * stage deterministic, so v13 replays under the full oracle like
     * v10/v12; recall vs exact is asserted in the IvfPq spec. */
-  def ivfPq(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddingsSpread
-    KnnJoin.approxIvfPq(spark, e, e, K,
+  def ivfPq(spark: SparkSession, dir: String): DataFrame =
+    memoSearch(spark, dir, "ivfpq") { e =>
+      KnnJoin.approxIvfPq(spark, e, e, K,
         centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
         assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)),
         centsOpt = Some(pqCodebookArtifact(spark, dir)),
         codesOpt = Some(pqCodesArtifact(spark, dir)))
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+    }
 
   /** v15: SQ8 scalar-quantized kNN — the 4×-compression member of the
     * index ladder ([[KnnJoin.approxSq8]]): per-dimension 8-bit linear
@@ -260,30 +273,24 @@ object VectorPack extends QueryPack {
     * transcendentals), so the full pipeline — including the min/max
     * "training" — replays in the SQL oracle; recall is asserted in
     * the Sq8 spec. */
-  def sq8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddingsSpread
-    KnnJoin.approxSq8(spark, e, e, K,
+  def sq8(spark: SparkSession, dir: String): DataFrame =
+    memoSearch(spark, dir, "sq8") { e =>
+      KnnJoin.approxSq8(spark, e, e, K,
         statsOpt = Some(sq8StatsArtifact(spark, dir)))
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+    }
 
   /** v16: IVF-SQ8 composition — coarse lists prune, SQ8-reconstructed
     * vectors score within probed lists only, exact rerank
     * ([[KnnJoin.approxIvfSq8]]). Deterministic end to end like
     * v10/v13/v15, so the full pipeline replays under the composed SQL
     * oracle. */
-  def ivfSq8(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables(spark, dir).embeddingsSpread
-    KnnJoin.approxIvfSq8(spark, e, e, K,
+  def ivfSq8(spark: SparkSession, dir: String): DataFrame =
+    memoSearch(spark, dir, "ivfsq8") { e =>
+      KnnJoin.approxIvfSq8(spark, e, e, K,
         centroidsOpt = Some(ivfCentroidsArtifact(spark, dir)),
         assignmentsOpt = Some(ivfAssignmentsArtifact(spark, dir)),
         statsOpt = Some(sq8StatsArtifact(spark, dir)))
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+    }
 
   /** v19: IVF with the AUTO list count (nCentroids unspecified →
     * ⌈√n⌉, the measured FAISS sizing rule from the 10× run) — the
@@ -292,13 +299,11 @@ object VectorPack extends QueryPack {
     * keep their pinned small-corpus parameters; this query is the
     * in-suite contrast that scales gracefully where the pinned forms
     * degrade by design (SCALE_r*.json shows both). */
-  def ivfAuto(spark: SparkSession, dir: String): DataFrame = {
-    val e = embCast(spark, dir)
-    KnnJoin.approxIvf(spark, e, e, K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
-  }
+  def ivfAuto(spark: SparkSession, dir: String): DataFrame =
+    memoSearch(spark, dir, "ivf_auto") { _ =>
+      val e = embCast(spark, dir)
+      KnnJoin.approxIvf(spark, e, e, K)
+    }
 
   /** v20: the SHARDED exact escape under v01's oracle — the scale
     * path for flat search when the index outgrows one broadcast
@@ -320,9 +325,11 @@ object VectorPack extends QueryPack {
     * deterministic ANN member against the exact top-3, as ONE
     * hash-checked query (the FAISS benchmark table, in-suite and
     * per-round instead of a spec number at one SF). All members read
-    * the session quantizer artifacts, so the query measures search
-    * quality, not re-training. The `exact` row is the 1.0 anchor —
-    * if IT moves, the harness itself broke. */
+    * the session quantizer artifacts AND the session-memoized search
+    * results ([[memoSearch]]), so v21's own cost is the recall joins
+    * — member search cost is measured once, in each member's own
+    * bench row, not re-paid (and re-noised) here. The `exact` row is
+    * the 1.0 anchor — if IT moves, the harness itself broke. */
   def indexRecall(spark: SparkSession, dir: String): DataFrame = {
     val exact = knnTop3(spark, dir)
       .select(col("query_id"), col("neighbor_id"))

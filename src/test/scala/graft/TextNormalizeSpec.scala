@@ -323,6 +323,63 @@ class TextNormalizeSpec extends AnyFunSuite {
       "swapping adjacent docs must move the checksum")
   }
 
+  test("TopNThreshold.nth is the exact order statistic under heavy ties") {
+    import spark.implicits._
+    val vals = Seq.tabulate(1000)(i => (i % 13).toDouble / 13.0)
+    val nth = vals.toDF("v").repartition(8)
+      .agg(graft.text.TopNThreshold.nth(50)(col("v"))).collect()(0).getDouble(0)
+    assert(nth == vals.sorted(Ordering.Double.TotalOrdering.reverse)(49))
+    // the >= prefilter keeps at least n rows (ties included) but far
+    // fewer than the group — the point of the escape
+    val survivors = vals.count(_ >= nth)
+    assert(survivors >= 50 && survivors < vals.size / 2)
+    // an under-full group yields -Infinity: the prefilter keeps all
+    val few = Seq(1.0, 2.0).toDF("v")
+      .agg(graft.text.TopNThreshold.nth(50)(col("v"))).collect()(0).getDouble(0)
+    assert(few == Double.NegativeInfinity)
+  }
+
+  test("quality cap skew escape equals the plain window, incl. skewed corpus") {
+    import spark.implicits._
+    val sf = SparkTestSession.sf
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    assert(rows(graft.text.AnalysisPack.qualityCap(spark, sf))
+      == rows(graft.text.AnalysisPack.qualityCapScaled(spark, sf)))
+    // deliberately skewed corpus: one language at 50:1 dominance with
+    // many exact quality ties (identical texts), so the threshold-tie
+    // path (quality == nth kept, ranked by doc_id) is exercised
+    val docs = (0 until 510).map { i =>
+      val lang = if (i < 500) "big" else "small"
+      val text = if (i % 5 == 0) "the of and is in repeated words here now"
+        else s"unique text number $i with the of and some words w${i % 11}"
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    for (cap <- Seq(7, 20)) // 20 > |small|: the -Infinity keep-all path
+      assert(rows(graft.text.AnalysisPack.qualityCapOf(docs, cap))
+        == rows(graft.text.AnalysisPack.qualityCapScaledOf(docs, cap)),
+        s"cap=$cap")
+  }
+
+  test("source overlap grid keeps shingle-free sources with zero rows") {
+    import spark.implicits._
+    // V and W have <3 words → zero shingles; they must still appear in
+    // the grid with n=0, and the V-W pair's 0/0 jaccard reports 0.0
+    val docs = Seq(("V", "hi"), ("W", "yo x"),
+      ("X", "a b c d"), ("Y", "a b c e")).toDF("source", "text")
+    val out = graft.text.AnalysisPack.sourceOverlapOf(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("V", "W", 0L, 0L, 0L, 0.0),
+      ("V", "X", 0L, 2L, 0L, 0.0),
+      ("V", "Y", 0L, 2L, 0L, 0.0),
+      ("W", "X", 0L, 2L, 0L, 0.0),
+      ("W", "Y", 0L, 2L, 0L, 0.0),
+      ("X", "Y", 2L, 2L, 1L, 0.333333)))
+  }
+
   test("source overlap matrix: crafted corpus with known shingle sets") {
     import spark.implicits._
     // X:{<a b c>,<b c d>} Y:{<a b c>,<b c e>} Z:{<x y z>,<y z w>}

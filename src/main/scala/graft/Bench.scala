@@ -13,7 +13,14 @@ import org.apache.spark.sql.SparkSession
   * ratio); `artifact_ms` = per-artifact build wall ms (abbreviated
   * keys); `BENCH_DETAIL.json` in the cwd carries the same with full
   * names. `tools/benchdiff.py` consumes consecutive rounds' JSON and
-  * flags canary-normalized >1.5x movers. */
+  * flags canary-normalized >1.5x movers.
+  *
+  * Round 9: the retry instrument covers BOTH outliers (>max(3 s,
+  * 8x median) — transient windows on a shared host) and round-over-
+  * round MOVERS (>=1.5x the previous committed BENCH_FULL line,
+  * canary-normalized, same sf) — the sub-3 s blind band where round
+  * 8's a05/a06/x01/x03 regressions sat without an in-artifact second
+  * opinion. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -148,11 +155,58 @@ object Bench {
       val ok = results.map(_._2).filter(_ >= 0).sorted
       if (ok.isEmpty) 0.0 else ok(ok.size / 2)
     }
-    val retries = results
+    def shortName(n: String): String = n.indexOf('_') match {
+      case -1 => n
+      case i  => n.substring(0, i)
+    }
+    // Round-over-round movers: the outlier bar above leaves a BLIND
+    // BAND — a sub-3 s query that doubled since last round got no
+    // in-artifact second opinion (round-8 verdict: a05/a06/x01/x03).
+    // BENCH_FULL.json in the cwd is the PREVIOUS round's committed
+    // driver line at this point (this run overwrites it only at the
+    // end), so compare each first pass against it, canary-normalized,
+    // and retry anything >= 1.5x its prior time. Same-sf lines only —
+    // scalerun's scale leg sees the 1x leg's line and must not treat
+    // 10x data as a regression.
+    val movers: Seq[String] =
+      if (only.nonEmpty || canaryPre <= 0) Seq.empty
+      else try {
+        val p = java.nio.file.Paths.get("BENCH_FULL.json")
+        if (!java.nio.file.Files.exists(p)) Seq.empty
+        else {
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          if (root.path("sf").asText("") != new java.io.File(sfDir).getName)
+            Seq.empty
+          else {
+            val prevCanary = {
+              val c = root.path("canary")
+              val vs = (0 until c.size).map(c.get(_).asDouble(-1)).filter(_ > 0)
+              if (vs.isEmpty) -1.0 else vs.sum / vs.size
+            }
+            val norm = if (prevCanary > 0) canaryPre / prevCanary else 1.0
+            val prevQ = root.path("queries")
+            results.collect {
+              case (n, s)
+                  if s >= 0.4 && prevQ.path(shortName(n)).asDouble(-1) > 0 &&
+                    s > 1.5 * prevQ.path(shortName(n)).asDouble(-1) * norm =>
+                n
+            }
+          }
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"BENCH MOVER SCAN FAIL: $e"); Seq.empty
+      }
+    val outliers = results
       .filter { case (_, s) => s > math.max(3.0, 8 * med) }
       .sortBy { case (_, s) => -s }
       .take(6)
-      .flatMap { case (name, _) =>
+      .map(_._1)
+    val firstPass = results.toMap
+    val toRetry = outliers ++
+      movers.filterNot(outliers.contains).sortBy(n => -firstPass(n)).take(6)
+    val retries = toRetry
+      .flatMap { name =>
         // rebuild, don't read back, whatever session memos the first
         // pass created (scope-tracked) — the retry must re-measure
         // the same work or it is not a second opinion
@@ -173,10 +227,7 @@ object Bench {
     // and seconds rounded to 2 decimals to keep this line near that
     // window (full names + 3 decimals are in BENCH_DETAIL.json).
     val canaryPost = if (only.isEmpty) canary() else -1.0
-    def short(n: String): String = n.indexOf('_') match {
-      case -1 => n
-      case i  => n.substring(0, i)
-    }
+    def short(n: String): String = shortName(n)
     val keys = results.map { case (n, _) => short(n) }
     require(keys.distinct.size == keys.size, "bench key abbreviation collision")
     val qs = results.map { case (n, v) => "\"" + short(n) + "\":" + f"$v%.2f" }
@@ -221,7 +272,8 @@ object Bench {
         .mkString("{", ",", "}")
       val r = retries.map { case (n, v) => "\"" + n + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,"artifact_ms":$a,"queries":$q,"retry":$r,"sf":"$sfDir"}"""
+      val m = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
+      f"""{"canary_pre":$canaryPre%.3f,"canary_post":$canaryPost%.3f,"artifact_ms":$a,"queries":$q,"retry":$r,"movers":$m,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detail + "\n")

@@ -77,11 +77,53 @@ object MultimodalPack extends QueryPack {
       .orderBy(col("shard_id"))
   }
 
+  val ShardBytes = 4096L
+
+  /** mm05's write half: materialize mm04's plan — every (media, text)
+    * sample lands in its assigned shard's OWN directory
+    * (partitionBy(shard_id); at 100 TB each shard directory is the
+    * unit a training loader streams sequentially, the tar-shard
+    * discipline mm04's scaladoc describes). Returns the dataset root.
+    * Per-application path, same race discipline as i08. */
+  private[graft] def shardedWriteDir(spark: SparkSession, dir: String,
+                                     shardBytes: Long = ShardBytes): String = {
+    val out = s"target/mm_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    val docs = Tables(spark, dir).documents
+      .select(col("doc_id").as("media_id"), col("text"))
+    val m = docs.select(col("media_id"),
+      (octet_length(col("text")).cast("long") + lit(64L)).as("payload_bytes"))
+    val plan = graft.text.SequencePacking
+      .packSequences(m, col("media_id"), col("payload_bytes"), shardBytes)
+      .select(col("id").as("media_id"), col("seq_id").as("shard_id"),
+        col("n_tok").as("payload_bytes"))
+    // id-keyed join of the assignment back onto the payload — both
+    // sides partition on media_id, no broadcast needed at any scale
+    docs.join(plan, Seq("media_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    out
+  }
+
+  /** mm05: the shard plan MATERIALIZED and read back — mm04 gains its
+    * consumer (round-8 verdict item: the plan operator had no
+    * materialization). The oracle replays the assignment and the
+    * per-sample content hash from `documents` alone, so any sample
+    * lost, duplicated, or mangled across the plan→partitioned-write→
+    * read chain fails the hash; the spec asserts the on-disk layout
+    * (one directory per planned shard, per-shard row counts equal the
+    * plan, shard bytes bounded by budget + one sample overhang). */
+  def shardedRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(shardedWriteDir(spark, dir))
+      .select(col("media_id"), col("shard_id").cast("long").as("shard_id"),
+        col("payload_bytes"), md5(col("text")).as("text_md5"))
+      .orderBy(col("media_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_meta" -> decodeMeta,
     "mm02_frames" -> frames,
     "mm03_resized" -> resized,
-    "mm04_shard_plan" -> ((s, d) => shardPlan(s, d)))
+    "mm04_shard_plan" -> ((s, d) => shardPlan(s, d)),
+    "mm05_sharded_roundtrip" -> shardedRoundtrip)
 
   /** 64-byte synthetic content as a 128-char hex string. */
   private val hexCte = """
@@ -130,5 +172,15 @@ object MultimodalPack extends QueryPack {
       |  count(*) AS n_items,
       |  CAST(sum(pb) AS BIGINT) AS shard_bytes,
       |  min(media_id) AS first_id, max(media_id) AS last_id
-      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)
+      |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin,
+    "mm05_sharded_roundtrip" -> """
+      |WITH p AS (SELECT doc_id AS media_id, text,
+      |    CAST(strlen(text) AS BIGINT) + 64 AS pb FROM documents),
+      |c AS (SELECT media_id, text, pb,
+      |    sum(pb) OVER (ORDER BY media_id ROWS UNBOUNDED PRECEDING) - pb
+      |      AS byte_start
+      |  FROM p)
+      |SELECT media_id, CAST(byte_start // 4096 AS BIGINT) AS shard_id,
+      |  pb AS payload_bytes, md5(text) AS text_md5
+      |FROM c ORDER BY media_id""".stripMargin)
 }

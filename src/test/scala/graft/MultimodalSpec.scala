@@ -74,4 +74,31 @@ class MultimodalSpec extends AnyFunSuite {
         s"shard $sid underfull at $bytes bytes (bound ${S - maxPayload})")
     }
   }
+
+  test("sharded write materializes the plan: one dir per shard, " +
+      "plan-equal row counts, size-bounded") {
+    val S = MultimodalPack.ShardBytes
+    val root = MultimodalPack.shardedWriteDir(spark, sf)
+    val plan = MultimodalPack.shardPlan(spark, sf, S)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // one shard_id=K directory per planned shard, nothing extra
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(f => f.getName.stripPrefix("shard_id=").toLong)
+      .toSet
+    assert(dirs == plan.keySet, "on-disk shard dirs must equal the plan")
+    // per-shard row counts and byte totals equal the plan's manifest
+    val onDisk = spark.read.parquet(root)
+      .groupBy(col("shard_id").cast("long").as("sid"))
+      .agg(count(lit(1)).as("n"), sum(col("payload_bytes")).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(onDisk == plan, "per-shard (rows, bytes) must equal the manifest")
+    // size bound on the materialized shards (budget + one straddler)
+    val maxPayload = graft.core.Tables(spark, sf).documents
+      .select(max(octet_length(col("text")).cast("long") + 64L))
+      .collect()(0).getLong(0)
+    onDisk.foreach { case (sid, (_, bytes)) =>
+      assert(bytes < S + maxPayload, s"shard $sid bytes $bytes over bound")
+    }
+  }
 }

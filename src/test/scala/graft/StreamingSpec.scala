@@ -216,6 +216,56 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stp + hitl == docs.count())
   }
 
+  test("p04 checkpoint recovery: restart mid-feed is exactly-once") {
+    // the round-8 brief: the checkpoint dir existed but no spec ever
+    // exercised RECOVERY. Kill the watched-folder stream between
+    // micro-batches, drop more files, restart on the SAME checkpoint:
+    // the file source must not re-ingest the pre-kill files (their
+    // offsets are committed) and must pick up the new ones — the
+    // partitioned sink ends with exactly one row per document.
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).limit(30).cache()
+    val a = docs.filter(col("doc_id") < 20)
+    val b = docs.filter(col("doc_id") >= 20 && col("doc_id") < 25)
+    val c = docs.filter(col("doc_id") >= 25)
+    val watchDir = java.nio.file.Files.createTempDirectory("graft_p04r_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_p04r_out").toString + "/routed"
+    a.coalesce(1).write.mode("overwrite").parquet(watchDir)
+    val q1 = Streams.extractConfirmRoute(spark, watchDir,
+      docs.schema, outDir, maxFilesPerTrigger = 1)
+    try q1.processAllAvailable() finally q1.stop() // the "kill"
+    val afterFirst = spark.read.parquet(outDir).count()
+    assert(afterFirst == a.count(), "first run processed file A")
+    // mid-feed arrivals while the stream is down
+    def drop(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_p04r_b").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(watchDir, name + p.getFileName)))
+    }
+    drop(b, "b_")
+    drop(c, "c_")
+    // restart on the same checkpoint (same outDir derives it)
+    val q2 = Streams.extractConfirmRoute(spark, watchDir,
+      docs.schema, outDir, maxFilesPerTrigger = 1)
+    try q2.processAllAvailable() finally q2.stop()
+    val routed = spark.read.parquet(outDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    // exactly-once across the restart: every doc once, none twice
+    assert(routed.size == docs.count(), s"${routed.size} rows for ${docs.count()} docs")
+    assert(routed.distinct.size == routed.size, "no doc may be re-processed")
+    // and the recovered composition still equals the batch twin
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "route").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sig(spark.read.parquet(outDir)) ==
+      sig(graft.pipeline.Lifecycles.confirmRoute(
+        graft.llm.LlmPack.extractLongOn(docs))))
+  }
+
   test("event-time p04: late docs drop, replays collapse, on-time equals batch") {
     import org.apache.spark.sql.functions.lit
     val docs = graft.core.Tables(spark, sf).documents

@@ -25,7 +25,8 @@ object ExplainAudit {
         "i08_compacted_roundtrip", "a16_quality_cap", "d17_line_dedup",
         "t08_vocab_coverage", "d18_keep_best", "a17_mixture_budget",
         "t09_train_order", "t11_bpe_tokenize", "a18_source_overlap",
-        "a19_source_drift")
+        "a19_source_drift",
+        "a20_quality_cap_scaled", "mm05_sharded_roundtrip")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

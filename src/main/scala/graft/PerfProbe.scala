@@ -134,6 +134,49 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe bpescale` — the BPE merge loop at
+    // realistic vocabulary sizes (the suite's t10 runs 16 merges over
+    // 4096 types for oracle-CTE tractability; production tokenizers
+    // run ~1k-32k merges over ~64k types). One distributed histogram
+    // pass + bounded collect, then the driver loop at a (merges,
+    // types) grid — the numbers go to PERF.md's merge-loop table,
+    // with the "when to go distributed" note.
+    if (args.contains("bpescale")) {
+      import graft.text.{Bpe, TextOps}
+      val t0 = System.nanoTime()
+      val counts = graft.core.Tables(spark, sfDir).documents
+        .select(explode(TextOps.words(col("text"))).as("wd"))
+        .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("wd")).limit(65536)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      println(f"BPESCALE histogram+collect: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        s" (distinct types collected=${counts.size})")
+      // the synthetic corpus has a ~31-word vocabulary — pad to a
+      // REALISTIC natural-language type table with deterministic
+      // syllable-composed words under a Zipf count law, so the loop
+      // sees production-shaped work (word length 4-24 chars, long tail
+      // of count-1 types)
+      val syl = Array("ka", "to", "ri", "mu", "en", "sha", "lo", "ve",
+        "qu", "zi", "na", "ber", "ten", "gra", "pol", "dis")
+      def synWord(i: Int): String = {
+        val h = i * 0x9e3779b9
+        (0 until (2 + math.floorMod(h, 5))).map(j =>
+          syl(math.floorMod(h >> (j * 4 + 3), 16))).mkString
+      }
+      val syn = (0 until 65536).map(i =>
+        (synWord(i) + i, math.max(1L, 3000000L / (i + 1)))) // suffix dedups
+      for ((nm, mt) <- Seq((16, 4096), (256, 16384), (256, 65536),
+                           (1024, 65536))) {
+        val types = syn.take(mt)
+        val t1 = System.nanoTime()
+        val ms = Bpe.trainOnTypes(types, nm)
+        println(f"BPESCALE merges=$nm types=${types.size}: " +
+          f"${(System.nanoTime() - t1) / 1e9}%.2f s (learned=${ms.size})")
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe crossover` — the d10/d05 band-width
     // crossover measurement: banded vs all-pairs wall time on 1× and
     // a 10×-unioned corpus (distinct ids, duplicated text — realistic

@@ -90,14 +90,18 @@ object Bpe {
       }
     }
 
-  /** The classic merge loop over a bounded (word, count) table. */
-  private[graft] def trainOnTypes(types: Seq[(String, Long)]): Seq[Merge] = {
+  /** The classic merge loop over a bounded (word, count) table.
+    * `nMerges` defaults to the suite constant; the PerfProbe bpescale
+    * leg passes realistic vocab-sized values to document the driver
+    * loop's cost curve (PERF.md). */
+  private[graft] def trainOnTypes(types: Seq[(String, Long)],
+                                  nMerges: Int = NMerges): Seq[Merge] = {
     var vocab: Map[List[String], Long] = types
       .groupMapReduce { case (w, _) => codePoints(w).toList } { case (_, c) => c }(_ + _)
     val out = Seq.newBuilder[Merge]
     var it = 0
     var exhausted = false
-    while (it < NMerges && !exhausted) {
+    while (it < nMerges && !exhausted) {
       val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
       for ((syms, c) <- vocab; Seq(l, r) <- syms.sliding(2) if syms.sizeIs > 1)
         stats.updateWith((l, r))(v => Some(v.getOrElse(0L) + c))

@@ -235,6 +235,41 @@ object TextPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** t12: per-language tokenizer FERTILITY report — tokens/word and
+    * chars/token by language under the learned BPE merges, the
+    * standard multilingual tokenizer-evaluation table (fertility in
+    * the sense of Ács/mBERT analyses and multilingual-tokenizer
+    * papers: how many subwords the tokenizer spends per word of each
+    * language; a language with high fertility is under-served by the
+    * vocabulary and pays more sequence length per sentence). Shape:
+    * the same codegen'd replace-chain scan as t11, then ONE
+    * partial-aggregatable shuffle on lang — corpus-linear, report-
+    * sized output. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val ms = Bpe.merges(spark, dir)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    Tables(spark, dir).documentsSpread
+      .select(col("lang"), TextOps.words(col("text")).as("ws"))
+      .select(col("lang"),
+        size(col("ws")).cast("long").as("nw"),
+        coalesce(aggregate(
+            transform(col("ws"),
+              w => Bpe.tokenCount(Bpe.applyMerges(Bpe.symbolize(w), ms))),
+            lit(0L), (acc, n) => acc + n), lit(0L)).as("nb"),
+        coalesce(aggregate(
+            transform(col("ws"), w => length(w).cast("long")),
+            lit(0L), (acc, n) => acc + n), lit(0L)).as("nc"))
+      .groupBy(col("lang"))
+      .agg(sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_bpe"), col("n_chars"),
+        round(when(col("n_words") > 0, d(col("n_bpe")) / d(col("n_words")))
+          .otherwise(lit(0.0)), 6).as("fertility"),
+        round(when(col("n_bpe") > 0, d(col("n_chars")) / d(col("n_bpe")))
+          .otherwise(lit(0.0)), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
   /** BPE training (histogram shuffle + driver merge loop) is compute-
     * once state — warmed by the bench like the other fitted artifacts
     * so t10/t11 measure emission/application, not re-training. */
@@ -244,6 +279,7 @@ object TextPack extends QueryPack {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_bpe_merges" -> bpeMerges,
     "t11_bpe_tokenize" -> bpeTokenize,
+    "t12_bpe_fertility" -> bpeFertility,
     "t09_train_order" -> trainOrder,
     "t08_vocab_coverage" -> vocabCoverage,
     "t01_chunk_stats" -> chunkStats,
@@ -322,6 +358,32 @@ object TextPack extends QueryPack {
       |  CAST(coalesce(list_sum(list_transform(ts, s -> len(string_split(trim(s), '  ')))), 0) AS BIGINT) AS n_bpe,
       |  md5(array_to_string(list_transform(ts, s -> regexp_replace(trim(s), '  ', ' ', 'g')), '|')) AS tok_md5
       |FROM ap ORDER BY doc_id""".stripMargin
+    },
+    "t12_bpe_fertility" -> {
+      val chain = (1 to Bpe.NMerges).foldLeft(
+        s"'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')") { (e, i) =>
+        s"replace($e, ' ' || g$i.lhs || '  ' || g$i.rhs || ' ', ' ' || g$i.lhs || g$i.rhs || ' ')"
+      }
+      val froms = (1 to Bpe.NMerges).map(i => s"m$i AS g$i").mkString(", ")
+      s"""
+      |WITH $bpeStagesSql,
+      |docw AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN []
+      |  ELSE regexp_split_to_array(trim(text), '\\s+') END AS ws FROM documents),
+      |ap AS (SELECT lang, ws, list_transform(ws, w -> $chain) AS ts
+      |  FROM docw, $froms),
+      |per AS (SELECT lang, len(ws) AS nw,
+      |    coalesce(list_sum(list_transform(ts, s -> len(string_split(trim(s), '  ')))), 0) AS nb,
+      |    coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS nc
+      |  FROM ap)
+      |SELECT lang, CAST(sum(nw) AS BIGINT) AS n_words,
+      |  CAST(sum(nb) AS BIGINT) AS n_bpe, CAST(sum(nc) AS BIGINT) AS n_chars,
+      |  round(CASE WHEN sum(nw) > 0
+      |    THEN CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS fertility,
+      |  round(CASE WHEN sum(nb) > 0
+      |    THEN CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE)
+      |    ELSE 0.0 END, 6) AS chars_per_token
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
     },
     "t09_train_order" -> s"""
       |WITH b AS (SELECT doc_id,

@@ -205,13 +205,56 @@ object DedupPack extends QueryPack {
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
 
-  /** Session-scoped groups artifact: the pointer-jumping loop is the
-    * most expensive non-artifact work in the pack, and BOTH d08 and
-    * d14 need the same components over the same pair artifact — run
-    * the fixpoint once per session. */
+  /** Session-scoped groups artifact, built EXACT-COLLAPSE-FIRST: one
+    * representative (min doc_id) per identical text, Jaccard pair
+    * mining + union-find over the representatives only, then a
+    * linear expansion join attaching every member to its
+    * representative's group. This is the standard production
+    * composition (exact dedup before fuzzy — RefinedWeb §3.3 runs
+    * exact dedup, then MinHash over survivors) and it is GROUP-
+    * IDENTICAL to mining the full corpus: exact duplicates have
+    * identical shingle sets, so (a) intra-class pairs are J=1 ≥ any
+    * threshold (a class of size ≥ 2 is always one group), (b) a
+    * cross-class member pair exists iff the representative pair does,
+    * and (c) the group keeper (min doc_id) equals the representative-
+    * level keeper because each representative IS its class minimum.
+    * DedupSpec pins equality against the direct full-pair path, on
+    * the corpus and on a 3×-replicated one.
+    *
+    * Why it matters at scale: true near-dup pairs grow QUADRATICALLY
+    * in duplicate-cluster size — a 30×-replicated corpus has ~900×
+    * the pairs, and the round-9 30× leg measured the full-corpus
+    * mining path at 353 s (masked in round 8 by a retry that read
+    * this very memo back; the scope-drop fix exposed it). Collapsing
+    * first bounds mining by the DISTINCT corpus, which replication
+    * does not grow; the d02 pair REPORT keeps the full-corpus path,
+    * where emitting all true pairs is the task itself. */
   private def dedupGroupsArtifact(spark: SparkSession, dir: String): DataFrame =
     graft.core.Artifacts.memo(spark, s"dedup_groups:$dir")(
-      Dedup.dedupGroups(jaccardPairsArtifact(spark, dir)))
+      groupsViaExactCollapse(augmented(spark, dir)))
+
+  /** The collapse-first groups pipeline over any (doc_id, text)
+    * corpus — see [[dedupGroupsArtifact]] for the equality argument.
+    * Shared with the spec's direct-path comparison. */
+  private[graft] def groupsViaExactCollapse(corpus: DataFrame): DataFrame = {
+    val classes = graft.core.Caches.transient(
+      corpus.select(col("doc_id"), md5(col("text")).as("h")))
+    val reps = graft.core.Caches.transient(
+      classes.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members")))
+    val repCorpus = corpus
+      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
+    val repGroups = Dedup.dedupGroups(Dedup.jaccardPairs(repCorpus,
+      col("doc_id"), col("text"), k = 3, threshold = 0.5))
+    // membership contract unchanged: a doc appears iff it is in some
+    // FULL pair — intra-class (class size ≥ 2) or via its rep's pair
+    classes.join(reps, Seq("h"))
+      .join(repGroups.select(col("doc_id").as("rep_id"), col("keeper_id")),
+        Seq("rep_id"), "left")
+      .filter(col("keeper_id").isNotNull || col("n_members") > 1)
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("rep_id")).as("keeper_id"))
+  }
 
   /** Pairs → groups: transitive closure of the d02 Jaccard pairs.
     * The planted structure makes the components non-trivial — for

@@ -87,4 +87,25 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(Bpe.trainOnTypes(types) == a)
   }
+
+  test("fertility report aggregates t11's per-doc counts by language") {
+    // t12's rollup must agree with summing the per-document tokenize
+    // report joined to the documents table — same merges, same corpus
+    val t11 = graft.text.TextPack.bpeTokenize(spark, sf)
+      .join(graft.core.Tables(spark, sf).documents
+        .select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_words")).as("w"), sum(col("n_bpe")).as("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val t12 = graft.text.TextPack.bpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(t12.keySet == t11.keySet)
+    t12.foreach { case (lang, (w, b, fert)) =>
+      assert((w, b) == t11(lang), s"lang $lang counts")
+      assert(math.abs(fert - b.toDouble / w.toDouble) < 1e-6)
+      // BPE at 16 merges can only split words into >= 1 token each
+      assert(fert >= 1.0, s"fertility below 1 for $lang")
+    }
+  }
 }

@@ -171,6 +171,26 @@ class DedupSpec extends AnyFunSuite {
       "a keeper must be its own keeper")
   }
 
+  test("exact-collapse groups equal the direct full-pair path, incl. " +
+      "on a replicated corpus") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def direct(c: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupGroups(Dedup.jaccardPairs(c, col("doc_id"), col("text"),
+          k = 3, threshold = 0.5))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def collapsed(c: org.apache.spark.sql.DataFrame) =
+      DedupPack.groupsViaExactCollapse(c)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aug = DedupPack.augmented(spark, sf, spread = false)
+    assert(collapsed(aug) == direct(aug))
+    // replicate 3x with distinct ids — exact-dup cliques grow 3x, true
+    // pairs ~9x; the collapse must still reproduce groups EXACTLY
+    val rep3 = (0 until 3).map { k =>
+      aug.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _)
+    assert(collapsed(rep3) == direct(rep3))
+  }
+
   test("d09 decontamination flags only train docs, with sane fractions") {
     val rows = DedupPack.decontamination(spark, sf).collect()
     assert(rows.nonEmpty, "word-soup vocabulary overlap should exist")

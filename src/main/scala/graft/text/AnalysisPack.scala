@@ -654,8 +654,59 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("source"))
   }
 
+  /** a21: per-document character-entropy report — the classic
+    * low-entropy junk detector (binary blobs, repeated-character
+    * padding, template spam score near 0; natural prose sits around
+    * 4–4.5 bits/char): Shannon entropy over the document's code
+    * points, plus the character count and distinct-alphabet size.
+    * C4/Gopher-era pipelines use exactly this signal to drop
+    * machine-generated or binary-contaminated pages that pass
+    * length/stopword checks (cf. reference quality filtering,
+    * `Neww_Fai.py` page-quality gating; the formula is public
+    * information theory).
+    *
+    * Characters are code points via `regexp_extract_all('[\s\S]')`
+    * on BOTH engines — Java regex and RE2 both match a class per
+    * code point, so surrogate pairs count once (a raw split("")
+    * would halve astral characters on the JVM side only).
+    *
+    * Determinism: H = (ln N − (Σ n_c·ln n_c)/N)/ln 2 with each
+    * n_c·ln n_c term rounded to 9 decimals and summed through
+    * DECIMAL(28,9) (the a08/a19 discipline), so the sum is
+    * order-independent; `+ 0.0` collapses a −0.0 from the uniform
+    * single-character edge on both engines. Scale shape: the explode
+    * stays inside whole-stage codegen (never materialized) and both
+    * aggregations partial map-side — the (doc, char) shuffle carries
+    * at most the per-doc alphabet, the doc shuffle one row per doc.
+    * Empty documents report (0, 0, 0.0) via the left join, not
+    * absence. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyOf(Tables(spark, dir).documents)
+
+  private[graft] def charEntropyOf(docs: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val ch = docs.select(col("doc_id"),
+      explode(regexp_extract_all(col("text"), lit("[\\s\\S]"), lit(0))).as("ch"))
+    val per = ch.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"),
+        round(d(col("cnt")) * log(d(col("cnt"))), 9)
+          .cast("decimal(28,9)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_uniq"),
+        sum(col("term")).as("s"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_chars"),
+        coalesce(col("n_uniq"), lit(0L)).as("n_uniq"),
+        (round(coalesce(
+          (log(d(col("n"))) - d(col("s")) / d(col("n"))) / log(lit(2.0)),
+          lit(0.0)), 6) + lit(0.0)).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a18_source_overlap" -> sourceOverlap,
+    "a21_char_entropy" -> charEntropy,
     "a19_source_drift" -> sourceDrift,
     "a15_heavy_hitters" -> heavyHitters,
     "a16_quality_cap" -> ((s, d) => qualityCap(s, d)),
@@ -748,6 +799,20 @@ object AnalysisPack extends QueryPack {
     |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a21_char_entropy" -> s"""
+      |WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
+      |  FROM documents),
+      |c AS (SELECT doc_id, ch, count(*) AS cnt FROM ch GROUP BY 1, 2),
+      |p AS (SELECT doc_id, sum(cnt) AS n, count(*) AS n_uniq,
+      |    sum(CAST(round(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)), 9)
+      |        AS DECIMAL(28,9))) AS s
+      |  FROM c GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_chars,
+      |  CAST(coalesce(p.n_uniq, 0) AS BIGINT) AS n_uniq,
+      |  round(coalesce((ln(CAST(p.n AS DOUBLE)) - CAST(p.s AS DOUBLE)
+      |      / CAST(p.n AS DOUBLE)) / ln(2.0), 0.0), 6) + 0.0 AS entropy
+      |FROM documents d LEFT JOIN p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
     "a18_source_overlap" -> s"""
       |WITH w AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN []
       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM documents),

@@ -413,6 +413,50 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(out == expected.sortBy(t => (t._1, t._2)))
   }
 
+  test("char entropy: closed-form vectors, code-point counting, empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),      // uniform single char: H = 0 (and never -0.0)
+      (2L, "abab"),      // two equiprobable chars: H = 1 bit
+      (3L, "abcd"),      // four distinct: H = 2 bits
+      (4L, ""),          // empty: reported as (0, 0, 0.0), not dropped
+      (5L, "😀😀") // astral emoji twice: ONE code
+                         // point counted twice, H = 0 — a code-unit
+                         // split would see 2 half-surrogates, H = 1
+    ).toDF("doc_id", "text")
+    val out = graft.text.AnalysisPack.charEntropyOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 0.0), (2L, 4L, 2L, 1.0), (3L, 4L, 4L, 2.0),
+      (4L, 0L, 0L, 0.0), (5L, 2L, 1L, 0.0)))
+    // the +0.0 guard: a zero entropy must be +0.0, never -0.0
+    assert(out.forall(t => t._4 != 0.0 || !(1.0 / t._4).isNegInfinity))
+  }
+
+  test("char entropy on the corpus equals a driver code-point replay") {
+    val sf = SparkTestSession.sf
+    val out = graft.text.AnalysisPack.charEntropy(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = docs.map { case (id, text) =>
+      val cps = text.codePoints().toArray
+      if (cps.isEmpty) (id, 0L, 0L, 0.0)
+      else {
+        val counts = cps.groupBy(identity).view.mapValues(_.length.toLong)
+        val n = cps.length.toLong
+        val s = counts.values.toSeq.sorted.map(c => BigDecimal(c * math.log(c.toDouble))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+        val h = (math.log(n.toDouble) - (s / n).toDouble) / math.log(2.0)
+        (id, n, counts.size.toLong,
+          BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0)
+      }
+    }
+    assert(out == expected.toSeq)
+  }
+
   test("source drift: single source has exactly zero KL; corpus KLs are " +
       "non-negative over the full grid") {
     import spark.implicits._

@@ -356,6 +356,53 @@ object VectorPack extends QueryPack {
       .orderBy(col("method"))
   }
 
+  /** v22: k-means cluster report — the corpus-cartography table that
+    * clustering-driven curation reads first (SemDeDup partitions by
+    * exactly these clusters; domain-discovery and DoReMi-style
+    * mixture work start from cluster sizes and purity): per cluster,
+    * its size, corpus share, mean dot-product to the centroid (the
+    * coherence number — low means a junk-drawer cluster), the modal
+    * label, and that label's fraction (purity against the existing
+    * labeling). Consumes the SESSION quantizer artifacts
+    * ([[ivfCentroidsArtifact]]/[[ivfAssignmentsArtifact]]) — the same
+    * trained-once k-means v10/v13/d12 serve from, so the report is
+    * free of re-training and the oracle replays the identical Lloyd
+    * chain. Scale shape: one broadcast join against the 16-row
+    * centroid relation, per-row dots rounded at 9 decimals and
+    * decimal-summed (order-independent), both aggregations partial
+    * map-side; the modal-label window runs over cluster×label COUNTS
+    * (bounded by k·\|labels\|), never corpus rows. */
+  def clusterReport(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddingsSpread
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+    val cent = ivfCentroidsArtifact(spark, dir)
+      .select(col("centroid_id"), col("embedding").as("cv"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val joined = graft.core.Caches.transient(
+      ivfAssignmentsArtifact(spark, dir).join(emb, Seq("vec_id"))
+        .join(broadcast(cent), Seq("centroid_id"))
+        .select(col("centroid_id"), col("label"),
+          round(VectorOps.dot(col("v"), col("cv")), 9)
+            .cast("decimal(28,9)").as("dot")))
+    val g = joined.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("dot")).as("s"))
+    val lb = joined.groupBy(col("centroid_id"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val top = lb.withColumn("rn", row_number().over(Window
+        .partitionBy(col("centroid_id"))
+        .orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+    val tot = g.agg(sum(col("n")).as("tot"))
+    g.join(top, Seq("centroid_id")).crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n").as("size"),
+        round(d(col("n")) / d(col("tot")), 6).as("share"),
+        round(d(col("s")) / d(col("n")), 6).as("mean_dot"),
+        col("label").cast("long").as("top_label"),
+        round(d(col("c")) / d(col("n")), 6).as("purity"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** v14: contrastive triplet mining over the augmented vectors —
     * every planted near-dup pair yields two (anchor, positive, hard
     * negative) training rows; the hard negative is the anchor's most
@@ -390,7 +437,8 @@ object VectorPack extends QueryPack {
     "v18_fixed_sample" -> fixedSample,
     "v19_knn_ivf_auto" -> ivfAuto,
     "v20_knn_sharded" -> knnSharded,
-    "v21_index_recall" -> indexRecall)
+    "v21_index_recall" -> indexRecall,
+    "v22_cluster_report" -> clusterReport)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
@@ -745,8 +793,33 @@ object VectorPack extends QueryPack {
     |FROM h, tot ORDER BY method""".stripMargin
   }
 
+  /** v22 oracle: the shared IVF Lloyd chain, then per-cluster size /
+    * share / decimal-summed mean dot / modal label + purity. */
+  private val clusterReportSql = s"""
+    |WITH $eCte,
+    |$ivfCtes,
+    |j AS (SELECT a.cid, emb.label,
+    |    CAST(round(list_dot_product(e.v, c.cv), 9) AS DECIMAL(28,9)) AS dot
+    |  FROM asg a JOIN e ON e.vec_id = a.vec_id
+    |  JOIN c2 c ON c.cid = a.cid
+    |  JOIN embeddings emb ON emb.vec_id = a.vec_id),
+    |g AS (SELECT cid, count(*) AS n, sum(dot) AS s FROM j GROUP BY cid),
+    |lb AS (SELECT cid, label, count(*) AS c FROM j GROUP BY 1, 2),
+    |lt AS (SELECT cid, label, c,
+    |    row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+    |  FROM lb),
+    |t AS (SELECT count(*) AS tot FROM e)
+    |SELECT g.cid AS centroid_id, CAST(g.n AS BIGINT) AS size,
+    |  round(CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share,
+    |  round(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS mean_dot,
+    |  CAST(lt.label AS BIGINT) AS top_label,
+    |  round(CAST(lt.c AS DOUBLE) / CAST(g.n AS DOUBLE), 6) AS purity
+    |FROM g JOIN lt ON lt.cid = g.cid AND lt.rn = 1, t
+    |ORDER BY centroid_id""".stripMargin
+
   val oracles: Map[String, String] =
     oracles0 +
+      ("v22_cluster_report" -> clusterReportSql) +
       ("v21_index_recall" -> indexRecallSql) +
       ("v14_contrastive_triplets" -> contrastiveSql) +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +

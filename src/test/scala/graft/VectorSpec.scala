@@ -97,6 +97,24 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster report partitions the corpus; shares/purity well-formed") {
+    val out = graft.vector.VectorPack.clusterReport(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    val total = graft.core.Tables(spark, sf).embeddings.count()
+    assert(out.map(_._2).sum == total, "cluster sizes must partition the corpus")
+    assert(out.map(_._1).distinct.length == out.length, "one row per cluster")
+    assert(math.abs(out.map(_._3).sum - 1.0) < 1e-4, "shares must sum to 1")
+    val labels = graft.core.Tables(spark, sf).embeddings
+      .select(col("label").cast("long")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    out.foreach { case (cid, n, share, _, top, purity) =>
+      assert(n > 0 && share > 0.0, s"cluster $cid empty")
+      assert(labels.contains(top), s"cluster $cid modal label $top unknown")
+      assert(purity > 0.0 && purity <= 1.0, s"cluster $cid purity $purity")
+    }
+  }
+
   test("fixed sample is a deterministic 25-doc subset") {
     val a = graft.vector.VectorPack.fixedSample(spark, sf).collect()
       .map(_.getLong(0)).toSeq

@@ -86,6 +86,88 @@ object DedupPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** d19: incremental MinHash-LSH dedup — the FUZZY twin of d16's
+    * exact digest screen, completing the continuous-ingest story: a
+    * near-copy with one word changed sails through d16 (different
+    * md5) but must not re-enter the corpus. The historical corpus
+    * keeps its per-band minhash signature table (in production a
+    * PERSISTED relation, built in the one pass that indexed history —
+    * never rescanned per batch); the arriving batch (ids ≥ 100000)
+    * computes signatures for its own docs only, candidates come from
+    * the band equi-join batch→history, and exact hashed-shingle
+    * Jaccard verifies CANDIDATES only — LSH screens, exact verifies,
+    * the standard two-phase composition (d03's banding + d02's
+    * verify, cross-relation). Per batch doc: candidate count, best
+    * history match (max Jaccard, tie → min hist_id; −1 when none),
+    * and the verdict at d02's 0.5 threshold.
+    *
+    * Scale shape: history-side cost amortizes across batches via the
+    * persisted signature table; per-batch cost is the batch's own
+    * signature pass plus a join keyed on (band, bandsig) whose
+    * fan-out is the candidate set, and the verify join carries only
+    * candidate docs' shingle sets. Nothing rescans history text. */
+  def incrementalMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    incrementalMinhashOf(
+      aug.filter(col("doc_id") < 100000),
+      aug.filter(col("doc_id") >= 100000))
+  }
+
+  /** d19 core over explicit (history, batch) relations of
+    * (doc_id, text) — the seam a production ingest would call with
+    * its persisted history signature table upstream. */
+  private[graft] def incrementalMinhashOf(hist: DataFrame,
+                                          batch: DataFrame): DataFrame = {
+    def bandSigs(df: DataFrame, idName: String): DataFrame =
+      Dedup.minhashRows(
+          df.select(col("doc_id").as("id"),
+            explode(Dedup.shingles(col("text"), 3)).as("sh")), 12)
+        .withColumn("band", (col("seed") / 3).cast("int"))
+        .groupBy(col("id"), col("band"))
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+            s => s.getField("mh").cast("string"))).as("bandsig"))
+        .select(col("id").as(idName), col("band"), col("bandsig"))
+    val cand = graft.core.Caches.transient(
+      bandSigs(batch, "doc_id")
+        .join(bandSigs(hist, "hist_id"), Seq("band", "bandsig"))
+        .select(col("doc_id"), col("hist_id")).distinct())
+    val bsh = graft.core.Caches.transient(
+      Dedup.hashedShingleRows(batch, col("doc_id"), col("text"), 3))
+    val hsh = graft.core.Caches.transient(
+      Dedup.hashedShingleRows(hist, col("doc_id"), col("text"), 3))
+    val inter = cand
+      .join(bsh.select(col("id").as("doc_id"), col("sh")), Seq("doc_id"))
+      .join(hsh.select(col("id").as("hist_id"), col("sh")), Seq("hist_id", "sh"))
+      .groupBy(col("doc_id"), col("hist_id")).agg(count(lit(1)).as("inter"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val jc = cand
+      .join(inter, Seq("doc_id", "hist_id"), "left")
+      .join(bsh.groupBy(col("id")).agg(count(lit(1)).as("nb"))
+        .select(col("id").as("doc_id"), col("nb")), Seq("doc_id"))
+      .join(hsh.groupBy(col("id")).agg(count(lit(1)).as("nh"))
+        .select(col("id").as("hist_id"), col("nh")), Seq("hist_id"))
+      .select(col("doc_id"), col("hist_id"),
+        (d(coalesce(col("inter"), lit(0L))) /
+          d(col("nb") + col("nh") - coalesce(col("inter"), lit(0L)))).as("jac"))
+    val best = jc.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("jac").desc, col("hist_id"))))
+      .filter(col("rn") === 1)
+    val nc = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_candidates"))
+    batch.select(col("doc_id"))
+      .join(nc, Seq("doc_id"), "left")
+      .join(best.select(col("doc_id"), col("hist_id"), col("jac")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("hist_id"), lit(-1L)).as("best_hist_id"),
+        round(coalesce(col("jac"), lit(0.0)), 6).as("best_jaccard"),
+        when(coalesce(col("jac"), lit(0.0)) >= 0.5, "near_dup_of_history")
+          .otherwise("new").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Session-scoped Jaccard-pair artifact: d02 reports the pairs, d08
     * resolves them into groups — one mining pass serves both (the
     * `exactSelfTop3` discipline). */
@@ -503,6 +585,7 @@ object DedupPack extends QueryPack {
     "d07_jaccard_stopshingle" -> jaccardStopShingle,
     "d01_exact_dedup" -> exactDedup,
     "d16_incremental_dedup" -> incrementalDedup,
+    "d19_incremental_minhash" -> incrementalMinhash,
     "d02_jaccard_pairs" -> jaccard,
     "d03_minhash_candidates" -> minhash,
     "d04_simhash_values" -> simhashValues,
@@ -543,6 +626,29 @@ object DedupPack extends QueryPack {
     * Jaccard oracles read. */
   private val hashedShingleSql =
     s"""hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh)"""
+
+  /** The minhash band-signature chain (32-bit base hash → 12-seed
+    * family mins → 4 band signatures) — shared by the d03 and d19
+    * oracles so the LSH family cannot fork. Assumes the `sh` shingle
+    * CTE in scope; interpolated into strings that stripMargin AFTER
+    * interpolation, so no content line starts with a margin char. */
+  private val minhashBandsSql = s"""hb AS (SELECT id,
+    |  CAST((strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) AS BIGINT) * 268435456
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 16777216
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 1048576
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 4, 1)) - 1) * 65536
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 5, 1)) - 1) * 4096
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 6, 1)) - 1) * 256
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 7, 1)) - 1) * 16
+    |  + (strpos('0123456789abcdef', substr(md5(sh), 8, 1)) - 1) AS base
+    |  FROM sh),
+    |mh AS (SELECT id, seed,
+    |    min(((1000003 + 222222 * seed) * base + 777767 * seed + 12345)
+    |      % ${Dedup.MinhashP}) AS mh
+    |  FROM hb, unnest(range(0, 12)) t(seed) GROUP BY id, seed),
+    |bands AS (SELECT id, CAST(seed // 3 AS INT) AS band,
+    |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bandsig
+    |  FROM mh GROUP BY id, CAST(seed // 3 AS INT))""".stripMargin
 
   /** d09's shingle relation is over the RAW documents table (no
     * planted dups — contamination is natural vocabulary overlap). */
@@ -721,6 +827,36 @@ object DedupPack extends QueryPack {
       |       ELSE 'new' END AS status
       |FROM batch b LEFT JOIN hist ON b.h = hist.h JOIN fb ON b.h = fb.h
       |ORDER BY b.doc_id""".stripMargin,
+    "d19_incremental_minhash" -> s"""
+      |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
+      |$minhashBandsSql,
+      |cand AS (SELECT DISTINCT b.id AS doc_id, h.id AS hist_id
+      |  FROM bands b JOIN bands h ON b.band = h.band AND b.bandsig = h.bandsig
+      |  WHERE b.id >= 100000 AND h.id < 100000),
+      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+      |iv AS (SELECT c.doc_id, c.hist_id, count(*) AS inter
+      |  FROM cand c JOIN hsh a ON a.id = c.doc_id
+      |  JOIN hsh h2 ON h2.id = c.hist_id AND h2.sh = a.sh
+      |  GROUP BY 1, 2),
+      |jc AS (SELECT c.doc_id, c.hist_id,
+      |    CAST(coalesce(iv.inter, 0) AS DOUBLE)
+      |      / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE) AS jac
+      |  FROM cand c LEFT JOIN iv ON iv.doc_id = c.doc_id AND iv.hist_id = c.hist_id
+      |  JOIN sizes sa ON sa.id = c.doc_id JOIN sizes sb ON sb.id = c.hist_id),
+      |bst AS (SELECT doc_id, hist_id, jac,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, hist_id) AS rn
+      |  FROM jc),
+      |nc AS (SELECT doc_id, count(*) AS n_candidates FROM cand GROUP BY 1)
+      |SELECT a.doc_id,
+      |  CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(coalesce(b.hist_id, -1) AS BIGINT) AS best_hist_id,
+      |  round(coalesce(b.jac, 0.0), 6) AS best_jaccard,
+      |  CASE WHEN coalesce(b.jac, 0.0) >= 0.5 THEN 'near_dup_of_history'
+      |       ELSE 'new' END AS status
+      |FROM (SELECT doc_id FROM aug WHERE doc_id >= 100000) a
+      |LEFT JOIN nc ON nc.doc_id = a.doc_id
+      |LEFT JOIN bst b ON b.doc_id = a.doc_id AND b.rn = 1
+      |ORDER BY a.doc_id""".stripMargin,
     "d02_jaccard_pairs" -> s"""
       |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
       |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
@@ -734,22 +870,7 @@ object DedupPack extends QueryPack {
       |ORDER BY a_id, b_id""".stripMargin,
     "d03_minhash_candidates" -> s"""
       |WITH $augmentedSql, $shingleSql,
-      |hb AS (SELECT id, CAST((strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) AS BIGINT) * 268435456
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 16777216
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 1048576
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 4, 1)) - 1) * 65536
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 5, 1)) - 1) * 4096
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 6, 1)) - 1) * 256
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 7, 1)) - 1) * 16
-      |  + (strpos('0123456789abcdef', substr(md5(sh), 8, 1)) - 1) AS base
-      |  FROM sh),
-      |mh AS (SELECT id, seed,
-      |    min(((1000003 + 222222 * seed) * base + 777767 * seed + 12345)
-      |      % ${Dedup.MinhashP}) AS mh
-      |  FROM hb, unnest(range(0, 12)) t(seed) GROUP BY id, seed),
-      |bands AS (SELECT id, CAST(seed // 3 AS INT) AS band,
-      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS bandsig
-      |  FROM mh GROUP BY id, CAST(seed // 3 AS INT))
+      |$minhashBandsSql
       |SELECT DISTINCT a.id AS a_id, b.id AS b_id
       |FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig
       |WHERE a.id < b.id

@@ -32,6 +32,44 @@ class DedupSpec extends AnyFunSuite {
     assert(planted >= 90)
   }
 
+  test("incremental minhash: dup, near-dup, and genuinely-new batch docs") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally different historical content about spark engines here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),        // exact
+      (12L, "one two three four five six seven eight nine eleven"),  // near
+      (13L, "fresh unrelated words nothing shared with any history") // new
+    ).toDF("doc_id", "text")
+    val out = DedupPack.incrementalMinhashOf(hist, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.length == 3)
+    assert(byId(11L)._5 == "near_dup_of_history" && byId(11L)._3 == 1L
+      && byId(11L)._4 == 1.0, "exact copy must match history doc 1 at 1.0")
+    assert(byId(12L)._5 == "near_dup_of_history" && byId(12L)._3 == 2L
+      && byId(12L)._4 > 0.5, "near copy must match history doc 2")
+    assert(byId(13L)._5 == "new" && byId(13L)._2 == 0L
+      && byId(13L)._3 == -1L && byId(13L)._4 == 0.0,
+      "unrelated doc must report new with no candidates")
+  }
+
+  test("incremental minhash flags every planted batch copy on the corpus") {
+    val out = DedupPack.incrementalMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(out.length == 150)
+    val exact = out.filter(_._1 >= 200000)
+    assert(exact.length == 50 && exact.forall { case (id, best, s) =>
+      s == "near_dup_of_history" && best == id - 200000 })
+    val near = out.filter(t => t._1 >= 100000 && t._1 < 200000)
+    assert(near.count(_._3 == "near_dup_of_history") >= 90,
+      "LSH band screen must recall nearly all planted near-copies")
+  }
+
   test("simhash of a document equals simhash of its exact copy") {
     val s = DedupPack.simhashValues(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

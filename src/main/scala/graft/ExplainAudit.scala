@@ -26,7 +26,8 @@ object ExplainAudit {
         "t08_vocab_coverage", "d18_keep_best", "a17_mixture_budget",
         "t09_train_order", "t11_bpe_tokenize", "a18_source_overlap",
         "a19_source_drift",
-        "a20_quality_cap_scaled", "mm05_sharded_roundtrip")
+        "a20_quality_cap_scaled", "mm05_sharded_roundtrip",
+        "a21_char_entropy", "v22_cluster_report", "d19_incremental_minhash")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -27,7 +27,9 @@ object ExplainAudit {
         "t09_train_order", "t11_bpe_tokenize", "a18_source_overlap",
         "a19_source_drift",
         "a20_quality_cap_scaled", "mm05_sharded_roundtrip",
-        "a21_char_entropy", "v22_cluster_report", "d19_incremental_minhash")
+        "a21_char_entropy", "v22_cluster_report", "d19_incremental_minhash",
+        "n18_unicode_clean", "t13_packing_efficiency", "m12_bootstrap_ci",
+        "l11_mmr_rerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

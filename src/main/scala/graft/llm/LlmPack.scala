@@ -164,6 +164,124 @@ object LlmPack extends QueryPack {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  val MmrPool = 10      // candidate pool per query
+  val MmrSelect = 5     // diversified picks
+  // 0.7 / 0.3 as independent literals on BOTH engines — never derive one from
+  // the other (1.0 - 0.7 in IEEE doubles is 0.30000000000000004)
+  private val MmrLam = 0.7
+  private val MmrComp = 0.3
+
+  /** l11: MMR diversified re-rank (Carbonell & Goldstein 1998:
+    * maximal marginal relevance, score = λ·sim(q,d) −
+    * (1−λ)·max_{s∈S} sim(d,s)) — the diversity-aware tail of the
+    * retrieval stack: after l03/l07/l08 fetch candidates, MMR picks a
+    * context set that is relevant AND non-redundant, the standard
+    * remedy for near-duplicate passages crowding a RAG window.
+    * Greedy over a BOUNDED candidate pool (top-[[MmrPool]] by dense
+    * similarity, doc_id < 20 query set), [[MmrSelect]] picks at
+    * λ = 0.7.
+    *
+    * Scale shape: the greedy loop is a FIXED [[MmrSelect]]-stage
+    * plan, not a per-group collect — each stage is an anti-join
+    * (drop picked), a bounded pair-join against the ≤ pool² per-query
+    * pair sims, a partial-aggregated max-penalty, and a
+    * per-query-partition rank window; every per-query relation is
+    * bounded by the pool constant, never corpus size. Determinism:
+    * dots through [[graft.plans.ArrayDot]] (sequential accumulation,
+    * = DuckDB's list_dot_product), every score rounded to 9 before
+    * compare, ties break by doc_id; the oracle replays the greedy as
+    * [[MmrSelect]] chained CTE stages (the t10 staged-oracle
+    * discipline). */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.ArrayDot.dotNative
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("did"),
+        round(dotNative(col("qv"), col("v")), 9).as("qsim"))
+    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("did"))
+    val cands = graft.core.Caches.transient(
+      sims.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= MmrPool).drop("rnk"))
+    val cv = cands.join(e, cands("did") === e("vec_id"))
+      .select(col("qid"), col("did"), col("v"))
+    val cp = graft.core.Caches.transient(
+      cv.as("a").join(cv.as("b"),
+          col("a.qid") === col("b.qid") && col("a.did") =!= col("b.did"))
+        .select(col("a.qid").as("qid"), col("a.did").as("d1"),
+          col("b.did").as("d2"),
+          round(dotNative(col("a.v"), col("b.v")), 9).as("psim")))
+    val wpick = org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
+    var selected: DataFrame = null
+    var rem = cands
+    for (i <- 1 to MmrSelect) {
+      val scored =
+        if (selected == null)
+          rem.select(col("qid"), col("did"),
+            round(lit(MmrLam) * col("qsim"), 9).as("score"))
+        else {
+          val pen = cp
+            .join(selected.select(col("qid"), col("did").as("d2")), Seq("qid", "d2"))
+            .groupBy(col("qid"), col("d1")).agg(max(col("psim")).as("pen"))
+            .withColumnRenamed("d1", "did")
+          rem.join(pen, Seq("qid", "did"), "left")
+            .select(col("qid"), col("did"),
+              round(lit(MmrLam) * col("qsim") -
+                lit(MmrComp) * coalesce(col("pen"), lit(0.0)), 9).as("score"))
+        }
+      val pick = scored.withColumn("rn", row_number().over(wpick))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("did"), lit(i.toLong).as("rank"), col("score"))
+      selected = if (selected == null) pick else selected.unionByName(pick)
+      rem = rem.join(pick.select(col("qid"), col("did")), Seq("qid", "did"), "left_anti")
+    }
+    selected
+      .select(col("qid").as("query_id"), col("rank"), col("did").as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One MMR greedy stage as SQL — anti-join the picked set, max
+    * penalty against it through the shared pair sims, rank the
+    * re-scored remainder (tie → doc_id), append the winner. */
+  private def mmrStageSql(i: Int): String = {
+    val prev = i - 1
+    s"""
+      |rem$i AS (SELECT c.* FROM mcands c LEFT JOIN msel$prev s
+      |  ON c.qid = s.qid AND c.did = s.did WHERE s.did IS NULL),
+      |pen$i AS (SELECT mcp.qid, mcp.d1 AS did, max(mcp.psim) AS pen
+      |  FROM mcp JOIN msel$prev s ON mcp.qid = s.qid AND mcp.d2 = s.did
+      |  GROUP BY mcp.qid, mcp.d1),
+      |msc$i AS (SELECT r.qid, r.did,
+      |    round($MmrLam * r.qsim - $MmrComp * coalesce(p.pen, 0.0), 9) AS score
+      |  FROM rem$i r LEFT JOIN pen$i p ON p.qid = r.qid AND p.did = r.did),
+      |mp$i AS (SELECT qid, did, score FROM (SELECT *, row_number() OVER
+      |    (PARTITION BY qid ORDER BY score DESC, did) AS rn FROM msc$i) WHERE rn = 1),
+      |msel$i AS (SELECT * FROM msel$prev
+      |  UNION ALL SELECT qid, did, CAST($i AS BIGINT), score FROM mp$i)""".stripMargin
+  }
+
+  private def mmrOracleSql: String = s"""
+    |WITH me AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    |mq AS (SELECT vec_id AS qid, v AS qv FROM me WHERE vec_id < 20),
+    |msims AS (SELECT qid, me.vec_id AS did, round(list_dot_product(qv, me.v), 9) AS qsim
+    |  FROM mq, me WHERE me.vec_id <> qid),
+    |mcands AS (SELECT qid, did, qsim FROM (SELECT *, row_number() OVER
+    |    (PARTITION BY qid ORDER BY qsim DESC, did) AS rnk FROM msims) WHERE rnk <= $MmrPool),
+    |mcv AS (SELECT qid, did, v FROM mcands JOIN me ON me.vec_id = mcands.did),
+    |mcp AS (SELECT a.qid, a.did AS d1, b.did AS d2,
+    |    round(list_dot_product(a.v, b.v), 9) AS psim
+    |  FROM mcv a JOIN mcv b ON a.qid = b.qid AND a.did <> b.did),
+    |msc1 AS (SELECT qid, did, round($MmrLam * qsim, 9) AS score FROM mcands),
+    |mp1 AS (SELECT qid, did, score FROM (SELECT *, row_number() OVER
+    |    (PARTITION BY qid ORDER BY score DESC, did) AS rn FROM msc1) WHERE rn = 1),
+    |msel1 AS (SELECT qid, did, CAST(1 AS BIGINT) AS rank, score FROM mp1),
+    |${(2 to MmrSelect).map(mmrStageSql).mkString(",").stripPrefix(",")}
+    |SELECT qid AS query_id, rank, did AS doc_id, round(score, 6) AS score
+    |FROM msel$MmrSelect ORDER BY query_id, rank""".stripMargin
+
   /** §3.4 validation-confirmation: deterministic 2-of-3 rule over
     * (first name, last name, address tokens) + edit distance. */
   val confirmVectors: Seq[(String, String, String, String)] = Seq(
@@ -283,6 +401,7 @@ object LlmPack extends QueryPack {
     "l04_confirmation" -> confirmation,
     "l07_bm25_retrieval" -> bm25Retrieval,
     "l08_hybrid_rrf" -> hybridRrf,
+    "l11_mmr_rerank" -> mmrRerank,
     "l09_hash_embed" -> hashEmbed,
     "l10_retrieval_metrics" -> retrievalMetrics)
 
@@ -413,6 +532,7 @@ object LlmPack extends QueryPack {
       |WITH $bm25Cte
       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
       |FROM rb WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "l11_mmr_rerank" -> mmrOracleSql,
     "l08_hybrid_rrf" -> s"""
       |WITH $bm25Cte,
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

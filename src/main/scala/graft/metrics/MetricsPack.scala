@@ -136,7 +136,81 @@ object MetricsPack extends QueryPack {
       .orderBy(col("fn"))
   }
 
+  val BootReplicates = 200
+
+  /** m12: Poisson-bootstrap confidence interval for the classifier's
+    * top-1 accuracy — the scalable bootstrap (each row draws a
+    * Poisson(1) weight per replicate instead of the classical
+    * resample-by-index, so no global row indexing, no per-replicate
+    * pass over the data; Chamandy et al. 2012 "Estimating uncertainty
+    * for massive data streams" is the public account of the
+    * technique, Kleiner et al. 2014's BLB its sampled refinement).
+    * Reports the point accuracy, bootstrap mean/std, and the discrete
+    * 95% CI (the 6th and 195th order statistics of the 200 replicate
+    * accuracies, i.e. floor(αB/2)+1 from each end).
+    *
+    * Determinism: the weight is the inverse-CDF of Poisson(1) applied
+    * to u = (first 52 bits of md5("m12:" + replicate + ":" + qid)) /
+    * 2^52 — u is a dyadic rational both engines compute bit-exactly,
+    * and the cumulative thresholds are shared double literals, so
+    * every weight matches the DuckDB oracle's exactly (weights ≥ 8,
+    * cumulative mass 1e-5, truncate to 7 — identically on both
+    * sides). Replicate accuracies are rounded to 9 decimals and
+    * decimal-summed (the a08 discipline) so means/stds are
+    * order-independent.
+    *
+    * Scale shape: the ×B row expansion is a map-side crossJoin with a
+    * broadcast 200-row relation and partially aggregates to ≤ B rows
+    * per partition before the one tiny shuffle (B groups); the order
+    * statistics rank exactly B = [[BootReplicates]] rows — a bounded
+    * window over a constant-size relation, never over the data. */
+  def bootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val p1 = hits(spark, dir).filter(col("rank") === 1)
+      .select(col("query_id").as("qid"),
+        when(col("true_label") === col("n_label"), 1L).otherwise(0L).as("y"))
+    val reps = spark.range(BootReplicates).select(col("id").as("b"))
+    val u = conv(substring(md5(concat(lit("m12:"), col("b").cast("string"),
+        lit(":"), col("qid").cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0)
+    val wt = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .when(u < 0.9994058151824183, 5L)
+      .when(u < 0.999916758850712, 6L)
+      .otherwise(7L)
+    val accs = graft.core.Caches.transient(
+      p1.crossJoin(broadcast(reps))
+        .select(col("b"), col("y"), wt.as("wt"))
+        .groupBy(col("b"))
+        .agg(round(sum(col("wt") * col("y")).cast("double") /
+          sum(col("wt")).cast("double"), 9).as("acc")))
+    val ranked = accs.withColumn("rn",
+      row_number().over(Window.orderBy(col("acc"), col("b"))))
+    val stats = accs.agg(count(lit(1)).as("nb"),
+      sum(round(col("acc"), 9).cast("decimal(28,9)")).cast("double").as("sa"),
+      sum(round(col("acc") * col("acc"), 9).cast("decimal(28,9)"))
+        .cast("double").as("sa2"))
+    val pt = p1.agg(count(lit(1)).as("n_rows"),
+      (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("pa"))
+    val nbd = col("nb").cast("double")
+    val mean = col("sa") / nbd
+    pt.crossJoin(stats)
+      .crossJoin(ranked.filter(col("rn") === 6)
+        .select(round(col("acc"), 6).as("ci_lo")))
+      .crossJoin(ranked.filter(col("rn") === BootReplicates - 5)
+        .select(round(col("acc"), 6).as("ci_hi")))
+      .select(col("n_rows"), col("nb").as("n_boot"),
+        round(col("pa"), 6).as("point_acc"),
+        round(mean, 6).as("boot_mean"),
+        round(sqrt(greatest((col("sa2") - nbd * mean * mean) / (nbd - 1.0),
+          lit(0.0))), 6).as("boot_std"),
+        col("ci_lo"), col("ci_hi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_bootstrap_ci" -> bootstrapCi,
     "m01_confusion" -> confusion,
     "m02_classification_report" -> report,
     "m03_doc_rollup" -> docRollup,
@@ -204,7 +278,51 @@ object MetricsPack extends QueryPack {
       |    wf / CAST(total AS DOUBLE), total FROM s)
       |ORDER BY ord, label""".stripMargin
 
+  /** DuckDB BIGINT from the first 13 hex chars of md5 expr `h` — the
+    * nibble-sum idiom (see [[graft.dedup.DedupPack]]'s hv60). */
+  private val hex52Sql: String =
+    (0 until 13).map { i =>
+      val mult = java.math.BigInteger.valueOf(16).pow(12 - i)
+      s"CAST(strpos('0123456789abcdef', substr(h, ${1 + i}, 1)) - 1 AS BIGINT) * $mult"
+    }.mkString("(", " + ", ")")
+
+  /** Shared Poisson(1) inverse-CDF thresholds (cumulative e^-1/k!) —
+    * the same double literals the Spark side compares against. */
+  private val poissonCaseSql: String =
+    "CASE WHEN u < 0.36787944117144233 THEN 0" +
+      " WHEN u < 0.7357588823428847 THEN 1" +
+      " WHEN u < 0.9196986029286058 THEN 2" +
+      " WHEN u < 0.9810118431238463 THEN 3" +
+      " WHEN u < 0.9963401531726563 THEN 4" +
+      " WHEN u < 0.9994058151824183 THEN 5" +
+      " WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
+
   val oracles: Map[String, String] = Map(
+    "m12_bootstrap_ci" -> s"""
+      |WITH $predsCte,
+      |py AS (SELECT qid, CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |reps AS (SELECT i AS b FROM generate_series(0, ${BootReplicates - 1}) AS g(i)),
+      |w0 AS (SELECT b, y,
+      |    md5('m12:' || CAST(b AS VARCHAR) || ':' || CAST(qid AS VARCHAR)) AS h
+      |  FROM py, reps),
+      |w1 AS (SELECT b, y, CAST($hex52Sql AS DOUBLE) / 4503599627370496.0 AS u FROM w0),
+      |w AS (SELECT b, y, $poissonCaseSql AS wt FROM w1),
+      |accs AS (SELECT b, round(CAST(sum(wt * y) AS DOUBLE)
+      |    / CAST(sum(wt) AS DOUBLE), 9) AS acc FROM w GROUP BY b),
+      |ranked AS (SELECT acc, row_number() OVER (ORDER BY acc, b) AS rn FROM accs),
+      |stats AS (SELECT count(*) AS nb,
+      |    CAST(sum(CAST(round(acc, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sa,
+      |    CAST(sum(CAST(round(acc * acc, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sa2
+      |  FROM accs),
+      |pt AS (SELECT count(*) AS n_rows,
+      |    CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pa FROM py)
+      |SELECT pt.n_rows, stats.nb AS n_boot, round(pt.pa, 6) AS point_acc,
+      |  round(sa / CAST(nb AS DOUBLE), 6) AS boot_mean,
+      |  round(sqrt(greatest((sa2 - CAST(nb AS DOUBLE) * (sa / CAST(nb AS DOUBLE))
+      |    * (sa / CAST(nb AS DOUBLE))) / (CAST(nb AS DOUBLE) - 1.0), 0.0)), 6) AS boot_std,
+      |  (SELECT round(acc, 6) FROM ranked WHERE rn = 6) AS ci_lo,
+      |  (SELECT round(acc, 6) FROM ranked WHERE rn = ${BootReplicates - 5}) AS ci_hi
+      |FROM pt, stats""".stripMargin,
     "m01_confusion" -> s"""
       |WITH $predsCte
       |SELECT t AS true_label, p AS pred_label, count(*) AS n

@@ -288,7 +288,44 @@ object NormalizePack extends QueryPack {
       .orderBy(col("id"))
   }
 
+  /** Deterministic unicode damage planted on every 5th document (the
+    * a14 planting discipline — the synthetic corpus is pure ASCII, so
+    * the oracle-checked interesting cases are constructed identically
+    * on both engines): precomposed and combining-sequence accents, a
+    * double space, NBSP, a BEL control, a tab. */
+  val unicodePlant: String =
+    "\u00DCn\u00EFcode  caf\u00E9\u00A0(e\u0301)\u0007\ttest "
+
+  private val unicodePlantSql: String =
+    "chr(220) || 'n' || chr(239) || 'code  caf' || chr(233) || chr(160)" +
+      " || '(e' || chr(769) || ')' || chr(7) || chr(9) || 'test '"
+
+  /** n18: corpus unicode cleanup through the native
+    * [[graft.plans.UnicodeClean]] kernel (NFC + accent strip + NBSP
+    * unification + control removal + whitespace collapse — see its
+    * scaladoc for the pipeline and citations). Reports per doc whether
+    * cleaning changed anything, the before/after code-point lengths,
+    * and the cleaned-content hash; the DuckDB oracle replays the same
+    * five steps as `strip_accents(nfc_normalize(..))` + a regexp
+    * chain. Scale shape: one codegen'd scan, no shuffle before the
+    * ordered output. */
+  def unicodeCleanQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.core.Tables(spark, dir).documents
+    docs.select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(unicodePlant), col("text")))
+          .otherwise(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        graft.plans.UnicodeClean.unicodeClean(col("t")).as("c"))
+      .select(col("doc_id"),
+        when(col("c") =!= col("t"), 1L).otherwise(0L).as("changed"),
+        length(col("t")).cast("long").as("len_raw"),
+        length(col("c")).cast("long").as("len_clean"),
+        md5(col("c")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n18_unicode_clean" -> unicodeCleanQ,
     "n01_money_norm" -> moneyNorm,
     "n02_money_credits" -> moneyCredits,
     "n03_date_sane" -> dateSane,
@@ -316,6 +353,23 @@ object NormalizePack extends QueryPack {
   private def fmt(amtExpr: String): String = moneyFmt.replace("AMT", amtExpr)
 
   private val oracles0: Map[String, String] = Map(
+    "n18_unicode_clean" -> s"""
+      |WITH raw AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN $unicodePlantSql || text ELSE text END AS t
+      | FROM documents),
+      |c1 AS (SELECT doc_id, t, strip_accents(nfc_normalize(t)) AS s FROM raw),
+      |c2 AS (SELECT doc_id, t,
+      |  regexp_replace(s, '[\\x{00A0}\\x{2007}\\x{202F}]', ' ', 'g') AS s FROM c1),
+      |c3 AS (SELECT doc_id, t,
+      |  regexp_replace(s, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g') AS s FROM c2),
+      |c4 AS (SELECT doc_id, t,
+      |  trim(regexp_replace(s, '[ \\t]+', ' ', 'g'), ' ') AS s FROM c3)
+      |SELECT doc_id,
+      |  CAST(CASE WHEN s <> t THEN 1 ELSE 0 END AS BIGINT) AS changed,
+      |  CAST(length(t) AS BIGINT) AS len_raw,
+      |  CAST(length(s) AS BIGINT) AS len_clean,
+      |  md5(s) AS clean_md5
+      |FROM c4 ORDER BY doc_id""".stripMargin,
     "n01_money_norm" -> s"""
       |WITH x AS (SELECT * FROM ${valuesSql(moneyVectors.map(Seq(_)), Seq("s"))}),
       |a AS (SELECT id, s, trim(s) AS s0 FROM x),

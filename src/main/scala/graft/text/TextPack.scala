@@ -102,6 +102,52 @@ object TextPack extends QueryPack {
         col("seq_id"), col("seq_offset"))
       .orderBy(col("doc_id"))
 
+  /** t13: packing-efficiency report — the layout-decision table for
+    * the two standard pretraining sequence layouts (Raffel et al.
+    * 2020 pack-and-split; padded per-document batching as the
+    * contrast): for each layout the sequence count, total capacity,
+    * padding waste, fill rate, and how many documents get split
+    * across sequence boundaries. Concat layout numbers derive from
+    * t07's distributed prefix sum (a doc splits iff its first and
+    * last token land in different sequences); padded layout is a
+    * closed form per doc (ceil(n_tok/L) sequences, split iff
+    * n_tok > L). Scale shape: t07's two linear passes + one
+    * partial-aggregated rollup to a single row — the two output rows
+    * are projections of that one aggregate, never a second corpus
+    * scan. */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val L = SeqLen
+    val packed = SequencePacking.packSequences(Tables(spark, dir).documents,
+      col("doc_id"), TextOps.wordLen(col("text")), L)
+    val agg = graft.core.Caches.transient(packed.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(col("n_tok")), lit(0L)).as("total_tokens"),
+      coalesce(sum(when(col("n_tok") > 0 &&
+          expr(s"(tok_start + n_tok - 1) div $L") =!= col("seq_id"), 1L)
+        .otherwise(0L)), lit(0L)).as("concat_split"),
+      coalesce(sum(expr(s"(n_tok + ${L - 1}) div $L")), lit(0L)).as("pad_seq"),
+      coalesce(sum(when(col("n_tok") > L, 1L).otherwise(0L)), lit(0L))
+        .as("pad_split")))
+    val concatRow = agg.select(lit("concat").as("layout"),
+      col("n_docs"), col("total_tokens"),
+      expr(s"(total_tokens + ${L - 1}) div $L").as("n_sequences"),
+      col("concat_split").as("docs_split"))
+    val padRow = agg.select(lit("padded").as("layout"),
+      col("n_docs"), col("total_tokens"),
+      col("pad_seq").as("n_sequences"),
+      col("pad_split").as("docs_split"))
+    concatRow.unionByName(padRow)
+      .select(col("layout"), col("n_docs"), col("total_tokens"),
+        col("n_sequences"), (col("n_sequences") * L).as("capacity"),
+        (col("n_sequences") * L - col("total_tokens")).as("waste_tokens"),
+        when(col("n_sequences") > 0,
+            round(col("total_tokens").cast("double") /
+              (col("n_sequences") * L).cast("double"), 6))
+          .otherwise(lit(0.0)).as("fill_rate"),
+        col("docs_split"))
+      .orderBy(col("layout"))
+  }
+
   /** t08: vocabulary-coverage (Zipf) report — "how many distinct
     * words cover p of all tokens", the tokenizer-budget planning
     * number (BPE vocab sizing, Sennrich et al. 2016; token-frequency
@@ -288,7 +334,8 @@ object TextPack extends QueryPack {
     "t04_lang_report" -> langReport,
     "t05_flatten_by_source" -> flattenBySource,
     "t06_truncate" -> truncate,
-    "t07_pack_sequences" -> packSequences)
+    "t07_pack_sequences" -> packSequences,
+    "t13_packing_efficiency" -> packingEfficiency)
 
   private def sqlLit(s: String): String =
     if (s == null) "NULL" else "'" + s.replace("'", "''") + "'"
@@ -487,5 +534,33 @@ object TextPack extends QueryPack {
       |SELECT doc_id, n_tok, CAST(tok_start AS BIGINT) AS tok_start,
       |  CAST(tok_start // $SeqLen AS BIGINT) AS seq_id,
       |  CAST(tok_start % $SeqLen AS BIGINT) AS seq_offset
-      |FROM c ORDER BY doc_id""".stripMargin)
+      |FROM c ORDER BY doc_id""".stripMargin,
+    "t13_packing_efficiency" -> s"""
+      |WITH b AS (SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tok
+      | FROM documents),
+      |c AS (SELECT doc_id, n_tok,
+      |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+      | FROM b),
+      |agg AS (SELECT count(*) AS n_docs, coalesce(sum(n_tok), 0) AS total,
+      |  coalesce(sum(CASE WHEN n_tok > 0 AND (tok_start // $SeqLen)
+      |      <> ((tok_start + n_tok - 1) // $SeqLen) THEN 1 ELSE 0 END), 0) AS concat_split,
+      |  coalesce(sum((n_tok + ${SeqLen - 1}) // $SeqLen), 0) AS pad_seq,
+      |  coalesce(sum(CASE WHEN n_tok > $SeqLen THEN 1 ELSE 0 END), 0) AS pad_split
+      | FROM c),
+      |u AS (
+      |  SELECT 'concat' AS layout, n_docs, total,
+      |    (total + ${SeqLen - 1}) // $SeqLen AS n_seq, concat_split AS docs_split FROM agg
+      |  UNION ALL SELECT 'padded', n_docs, total, pad_seq, pad_split FROM agg)
+      |SELECT layout, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(total AS BIGINT) AS total_tokens,
+      |  CAST(n_seq AS BIGINT) AS n_sequences,
+      |  CAST(n_seq * $SeqLen AS BIGINT) AS capacity,
+      |  CAST(n_seq * $SeqLen - total AS BIGINT) AS waste_tokens,
+      |  CASE WHEN n_seq > 0 THEN round(CAST(total AS DOUBLE)
+      |    / CAST(n_seq * $SeqLen AS DOUBLE), 6) ELSE 0.0 END AS fill_rate,
+      |  CAST(docs_split AS BIGINT) AS docs_split
+      |FROM u ORDER BY layout""".stripMargin)
 }

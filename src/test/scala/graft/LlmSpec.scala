@@ -221,4 +221,34 @@ class LlmSpec extends AnyFunSuite {
       BigDecimal(perQ.map(_._2).sum / 20).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble))
   }
+
+  test("mmr rerank: relevance-first pick, no repeats, diversity bite") {
+    import graft.llm.LlmPack
+    val sf = SparkTestSession.sf
+    val rows = LlmPack.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 20 && byQ.values.forall(_.length == 5))
+    byQ.foreach { case (q, rs) =>
+      // rank 1..5, no duplicate docs within a query
+      assert(rs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L), s"q$q")
+      assert(rs.map(_._3).distinct.length == 5, s"q$q repeats")
+      // stage scores never increase: the penalty only grows as S fills
+      val inOrder = rs.sortBy(_._2).map(_._4)
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"q$q scores $inOrder")
+    }
+    // rank-1 is the pure-relevance argmax: equals the kNN top neighbor
+    val top1 = graft.vector.KnnJoin.exactSelfTop3(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .filter(org.apache.spark.sql.functions.col("query_id") < 20)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toMap
+    byQ.foreach { case (q, rs) =>
+      assert(rs.find(_._2 == 1L).get._3 == top1(q), s"q$q rank-1 not the kNN top")
+    }
+    // determinism
+    val again = LlmPack.mmrRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == again.toSeq)
+  }
 }

@@ -29,7 +29,8 @@ object ExplainAudit {
         "a20_quality_cap_scaled", "mm05_sharded_roundtrip",
         "a21_char_entropy", "v22_cluster_report", "d19_incremental_minhash",
         "n18_unicode_clean", "t13_packing_efficiency", "m12_bootstrap_ci",
-        "l11_mmr_rerank")
+        "l11_mmr_rerank", "m13_paired_compare", "r19_cube_orders",
+        "a22_source_dedup_rate", "l12_token_f1")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -31,6 +31,36 @@ object PerfProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // `runMain graft.PerfProbe mmr` — l11 stage attribution: pool
+    // build vs pair sims vs the 5-stage greedy.
+    if (args.contains("mmr")) {
+      import graft.plans.ArrayDot.dotNative
+      val e = graft.core.Tables(spark, sfDir).embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("did"),
+          round(dotNative(col("qv"), col("v")), 9).as("qsim"))
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("qsim").desc, col("did"))
+      val cands = sims.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= 10).drop("rnk")
+      time("mmr sims+pool") { noop(cands) }
+      val cv = cands.join(e, cands("did") === e("vec_id"))
+        .select(col("qid"), col("did"), col("v"))
+      val cp = cv.as("a").join(cv.as("b"),
+          col("a.qid") === col("b.qid") && col("a.did") =!= col("b.did"))
+        .select(col("a.qid").as("qid"), col("a.did").as("d1"),
+          col("b.did").as("d2"),
+          round(dotNative(col("a.v"), col("b.v")), 9).as("psim"))
+      time("mmr pair sims") { noop(cp) }
+      time("mmr full (cold)") { noop(graft.llm.LlmPack.mmrRerank(spark, sfDir)) }
+      time("mmr full (warm)") { noop(graft.llm.LlmPack.mmrRerank(spark, sfDir)) }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe artreps` — artifact-build variance
     // attribution: build every session artifact 3× in ONE JVM, a
     // fresh SparkSession per rep so the memo can't serve a cached

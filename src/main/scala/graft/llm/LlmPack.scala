@@ -90,6 +90,55 @@ object LlmPack extends QueryPack {
         col("accuracy"))
       .orderBy(col("field"))
 
+  /** l12: token-level F1 over the extraction run — the SQuAD answer
+    * metric (Rajpurkar et al. 2016 §6.1): per (doc, field) the
+    * multiset intersection of whitespace tokens between prediction
+    * and ground truth gives precision/recall/F1; report the mean per
+    * field plus Overall (ROLLUP). The graded complement to l02's
+    * exact-match accuracy — partial credit for near-miss
+    * extractions. Edge policy (shared verbatim by the oracle): both
+    * sides empty → 1.0; no common token → 0.0.
+    *
+    * Scale shape: two explode→count aggregations (map-side partial),
+    * one (doc, field, token)-keyed join bounded by per-value token
+    * counts, a rollup. F1 terms rounded to 9 and decimal-summed (the
+    * a08 discipline). */
+  def tokenF1(spark: SparkSession, dir: String): DataFrame = {
+    val tk = graft.core.Caches.transient(
+      extractLong(spark, dir).select(col("doc_id"), col("field"),
+        TextOps.words(col("predicted_value")).as("pt"),
+        TextOps.words(col("ground_truth")).as("gt")))
+    def counts(c: String, out: String) = tk
+      .select(col("doc_id"), col("field"), explode(col(c)).as("tok"))
+      .groupBy(col("doc_id"), col("field"), col("tok"))
+      .agg(count(lit(1)).as(out))
+    val cm = counts("pt", "cp")
+      .join(counts("gt", "cg"), Seq("doc_id", "field", "tok"))
+      .groupBy(col("doc_id"), col("field"))
+      .agg(sum(least(col("cp"), col("cg"))).as("c"))
+    val cd = col("c").cast("double")
+    val p = cd / col("np")
+    val r = cd / col("ng")
+    val f = round(
+      when(col("np") === 0 && col("ng") === 0, 1.0)
+        .when(col("c") === 0, 0.0)
+        .otherwise(lit(2.0) * p * r / (p + r)), 9)
+    tk.select(col("doc_id"), col("field"),
+        size(col("pt")).cast("long").as("np"),
+        size(col("gt")).cast("long").as("ng"))
+      .join(cm, Seq("doc_id", "field"), "left")
+      .select(col("doc_id"), col("field"),
+        coalesce(col("c"), lit(0L)).as("c"), col("np"), col("ng"))
+      .select(col("field"), f.as("f"))
+      .rollup(col("field"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("f").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_token_f1"))
+      .select(coalesce(col("field"), lit("Overall")).as("field"),
+        col("n"), col("mean_token_f1"))
+      .orderBy(col("field"))
+  }
+
   /** L6 RAG: top-3 docs as context blocks + 2-of-3 label vote. */
   def ragContext(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -171,6 +220,41 @@ object LlmPack extends QueryPack {
   private val MmrLam = 0.7
   private val MmrComp = 0.3
 
+  /** Shared l11 inputs: the top-[[MmrPool]] candidate pool per query
+    * (doc_id < 20 query set, dense similarity) and the bounded
+    * candidate-pair sims (≤ pool² rows per query). Dots through
+    * [[graft.plans.ArrayDot]] (sequential accumulation, = DuckDB's
+    * list_dot_product); every sim rounded to 9 before any compare. */
+  private def mmrInputs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import graft.plans.ArrayDot.dotNative
+    val e = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("did"),
+        round(dotNative(col("qv"), col("v")), 9).as("qsim"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("qsim").desc, col("did"))
+    val cands = graft.core.Caches.transient(
+      sims.withColumn("rnk", row_number().over(wq))
+        .filter(col("rnk") <= MmrPool).drop("rnk"))
+    val cv = cands.join(e, cands("did") === e("vec_id"))
+      .select(col("qid"), col("did"), col("v"))
+    val cp = cv.as("a").join(cv.as("b"),
+        col("a.qid") === col("b.qid") && col("a.did") =!= col("b.did"))
+      .select(col("a.qid").as("qid"), col("a.did").as("d1"),
+        col("b.did").as("d2"),
+        round(dotNative(col("a.v"), col("b.v")), 9).as("psim"))
+    (cands, cp)
+  }
+
+  /** Spark's `round(x, 9)` as a scalar — BigDecimal.valueOf + HALF_UP,
+    * the exact semantic the staged twin and the DuckDB oracle apply. */
+  private def r9(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** l11: MMR diversified re-rank (Carbonell & Goldstein 1998:
     * maximal marginal relevance, score = λ·sim(q,d) −
     * (1−λ)·max_{s∈S} sim(d,s)) — the diversity-aware tail of the
@@ -181,41 +265,71 @@ object LlmPack extends QueryPack {
     * similarity, doc_id < 20 query set), [[MmrSelect]] picks at
     * λ = 0.7.
     *
-    * Scale shape: the greedy loop is a FIXED [[MmrSelect]]-stage
-    * plan, not a per-group collect — each stage is an anti-join
-    * (drop picked), a bounded pair-join against the ≤ pool² per-query
-    * pair sims, a partial-aggregated max-penalty, and a
-    * per-query-partition rank window; every per-query relation is
-    * bounded by the pool constant, never corpus size. Determinism:
-    * dots through [[graft.plans.ArrayDot]] (sequential accumulation,
-    * = DuckDB's list_dot_product), every score rounded to 9 before
-    * compare, ties break by doc_id; the oracle replays the greedy as
-    * [[MmrSelect]] chained CTE stages (the t10 staged-oracle
-    * discipline). */
+    * Scale shape: ONE shuffle — candidates and pair sims cogroup by
+    * query and the greedy runs in memory over the ≤ pool²-element
+    * group (the SequencePacking carve-out: genuinely iterative
+    * per-group logic over a CONSTANT-bounded group, never corpus
+    * size). The first, fully declarative formulation
+    * ([[mmrRerankStaged]]) paid ~15 barrier stages for the same
+    * 5-step greedy — measured at 5-6 s of pure tiny-stage scheduling
+    * at sf0.1 — and survives as the spec-pinned twin. Determinism:
+    * scores re-rounded to 9 via the same BigDecimal HALF_UP semantic
+    * as Spark's `round`, ties break by doc_id (ascending scan +
+    * strict >); the oracle replays the greedy as [[MmrSelect]]
+    * chained CTE stages (the t10 staged-oracle discipline). */
   def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
-    import graft.plans.ArrayDot.dotNative
-    val e = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val sims = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("did"),
-        round(dotNative(col("qv"), col("v")), 9).as("qsim"))
-    val wq = org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("did"))
-    val cands = graft.core.Caches.transient(
-      sims.withColumn("rnk", row_number().over(wq))
-        .filter(col("rnk") <= MmrPool).drop("rnk"))
-    val cv = cands.join(e, cands("did") === e("vec_id"))
-      .select(col("qid"), col("did"), col("v"))
-    val cp = graft.core.Caches.transient(
-      cv.as("a").join(cv.as("b"),
-          col("a.qid") === col("b.qid") && col("a.did") =!= col("b.did"))
-        .select(col("a.qid").as("qid"), col("a.did").as("d1"),
-          col("b.did").as("d2"),
-          round(dotNative(col("a.v"), col("b.v")), 9).as("psim")))
-    val wpick = org.apache.spark.sql.expressions.Window.partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
+    import spark.implicits._
+    val (cands, cp) = mmrInputs(spark, dir)
+    val lam = MmrLam
+    val comp = MmrComp
+    val k = MmrSelect
+    val picked = cands.select(col("qid"), col("did"), col("qsim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .cogroup(cp.select(col("qid"), col("d1"), col("d2"), col("psim"))
+        .as[(Long, Long, Long, Double)].groupByKey(_._1)) { (qid, cs, ps) =>
+        val cand = cs.map(c => (c._2, c._3)).toArray.sortBy(_._1)
+        val psim = ps.map(p => ((p._2, p._3), p._4)).toMap
+        val qsimOf = cand.toMap
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+        val remaining = scala.collection.mutable.ArrayBuffer(cand.map(_._1): _*)
+        var i = 1
+        while (i <= k && remaining.nonEmpty) {
+          var bestDid = -1L
+          var bestScore = Double.NegativeInfinity
+          for (d <- remaining) { // ascending did + strict > → tie breaks low
+            val pen =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(s => psim.getOrElse((d, s), 0.0)).max
+            val score = r9(lam * qsimOf(d) - comp * pen)
+            if (score > bestScore) { bestScore = score; bestDid = d }
+          }
+          out += ((qid, bestDid, i.toLong, bestScore))
+          selected += bestDid
+          remaining -= bestDid
+          i += 1
+        }
+        out.iterator
+      }
+    picked.toDF("qid", "did", "rank", "score")
+      .select(col("qid").as("query_id"), col("rank"), col("did").as("doc_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The fully declarative l11 twin — a fixed [[MmrSelect]]-stage
+    * plan: per stage an anti-join (drop picked), a bounded pair-join
+    * penalty max, and a per-query rank window. Result-identical to
+    * [[mmrRerank]] (spec-pinned); kept as the no-typed-API reference
+    * formulation and the shape the SQL oracle mirrors. */
+  private[graft] def mmrRerankStaged(spark: SparkSession, dir: String): DataFrame = {
+    val (cands0, cp0) = mmrInputs(spark, dir)
+    val cp = graft.core.Caches.transient(cp0)
+    val wpick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("did"))
     var selected: DataFrame = null
-    var rem = cands
+    var rem = cands0
     for (i <- 1 to MmrSelect) {
       val scored =
         if (selected == null)
@@ -231,9 +345,14 @@ object LlmPack extends QueryPack {
               round(lit(MmrLam) * col("qsim") -
                 lit(MmrComp) * coalesce(col("pen"), lit(0.0)), 9).as("score"))
         }
-      val pick = scored.withColumn("rn", row_number().over(wpick))
-        .filter(col("rn") === 1)
-        .select(col("qid"), col("did"), lit(i.toLong).as("rank"), col("score"))
+      // cache each pick: stage i's plan references every earlier
+      // pick, so an uncached loop doubles the logical plan per stage
+      // (2^MmrSelect subtree copies); the cache manager swaps the
+      // cached subtree in at planning time, keeping it linear
+      val pick = graft.core.Caches.transient(
+        scored.withColumn("rn", row_number().over(wpick))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("did"), lit(i.toLong).as("rank"), col("score")))
       selected = if (selected == null) pick else selected.unionByName(pick)
       rem = rem.join(pick.select(col("qid"), col("did")), Seq("qid", "did"), "left_anti")
     }
@@ -402,6 +521,7 @@ object LlmPack extends QueryPack {
     "l07_bm25_retrieval" -> bm25Retrieval,
     "l08_hybrid_rrf" -> hybridRrf,
     "l11_mmr_rerank" -> mmrRerank,
+    "l12_token_f1" -> tokenF1,
     "l09_hash_embed" -> hashEmbed,
     "l10_retrieval_metrics" -> retrievalMetrics)
 
@@ -533,6 +653,34 @@ object LlmPack extends QueryPack {
       |SELECT query_id, CAST(rnk AS BIGINT) AS rank, doc_id, round(score, 6) AS score
       |FROM rb WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
     "l11_mmr_rerank" -> mmrOracleSql,
+    "l12_token_f1" -> s"""
+      |WITH $stubCte,
+      |tk AS (SELECT doc_id, field,
+      |    CASE WHEN length(trim(predicted_value)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(predicted_value), '\\s+') END AS pt,
+      |    CASE WHEN length(trim(ground_truth)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(ground_truth), '\\s+') END AS gt
+      |  FROM longf),
+      |pc AS (SELECT doc_id, field, tok, count(*) AS cp
+      |  FROM (SELECT doc_id, field, unnest(pt) AS tok FROM tk) GROUP BY 1, 2, 3),
+      |gc AS (SELECT doc_id, field, tok, count(*) AS cg
+      |  FROM (SELECT doc_id, field, unnest(gt) AS tok FROM tk) GROUP BY 1, 2, 3),
+      |cm AS (SELECT pc.doc_id, pc.field, sum(least(cp, cg)) AS c
+      |  FROM pc JOIN gc ON pc.doc_id = gc.doc_id AND pc.field = gc.field
+      |    AND pc.tok = gc.tok GROUP BY 1, 2),
+      |rf AS (SELECT tk.doc_id, tk.field, coalesce(cm.c, 0) AS c,
+      |    len(pt) AS np, len(gt) AS ng
+      |  FROM tk LEFT JOIN cm ON cm.doc_id = tk.doc_id AND cm.field = tk.field),
+      |f1 AS (SELECT field, round(
+      |    CASE WHEN np = 0 AND ng = 0 THEN 1.0
+      |      WHEN c = 0 THEN 0.0
+      |      ELSE 2.0 * (CAST(c AS DOUBLE) / np) * (CAST(c AS DOUBLE) / ng)
+      |        / (CAST(c AS DOUBLE) / np + CAST(c AS DOUBLE) / ng) END, 9) AS f
+      |  FROM rf)
+      |SELECT coalesce(field, 'Overall') AS field, count(*) AS n,
+      |  round(CAST(sum(CAST(f AS DECIMAL(28,9))) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS mean_token_f1
+      |FROM f1 GROUP BY ROLLUP(field) ORDER BY field""".stripMargin,
     "l08_hybrid_rrf" -> s"""
       |WITH $bm25Cte,
       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -209,7 +209,67 @@ object MetricsPack extends QueryPack {
         col("ci_lo"), col("ci_hi"))
   }
 
+  /** m13: paired-classifier comparison — the model-comparison
+    * discipline for eval suites: classifier A (top-1 neighbor label)
+    * vs classifier B (l03's 2-of-3 vote) on the same queries.
+    * Reports the paired contingency counts (n00/n01/n10/n11 over
+    * correctness), both accuracies, McNemar's χ² with Edwards'
+    * continuity correction (max(|n01−n10|−1, 0)² / (n01+n10) — the
+    * exact-discordant-pair test for "is B better than A on the SAME
+    * data"; McNemar 1947), and Cohen's κ between the two LABEL
+    * sequences (po−pe)/(1−pe) (Cohen 1960) — agreement corrected for
+    * chance.
+    *
+    * Determinism: κ's chance term Σ_l P(A=l)·P(B=l) is per-label
+    * rounded to 9 and decimal-summed (the a08 discipline) so the
+    * label order can't move the double sum; counts are exact longs.
+    * Scale shape: one wide pass per query (the shared hits
+    * artifact), a count aggregate, and two label-marginal aggregates
+    * joined on label — marginals are bounded by |labels|, never query
+    * count. */
+  def pairedCompare(spark: SparkSession, dir: String): DataFrame = {
+    val wide = graft.core.Caches.transient(
+      hits(spark, dir).groupBy(col("query_id")).agg(
+          max(when(col("rank") === 1, col("n_label"))).as("a"),
+          max(when(col("rank") === 2, col("n_label"))).as("q2"),
+          max(when(col("rank") === 3, col("n_label"))).as("q3"),
+          max(col("true_label")).as("t"))
+        .select(col("query_id"), col("a"),
+          when(col("q2") === col("q3") && col("q2") =!= col("a"), col("q2"))
+            .otherwise(col("a")).as("b"), col("t")))
+    val counts = wide.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("a") =!= col("t") && col("b") =!= col("t"), 1L).otherwise(0L)).as("n00"),
+      sum(when(col("a") =!= col("t") && col("b") === col("t"), 1L).otherwise(0L)).as("n01"),
+      sum(when(col("a") === col("t") && col("b") =!= col("t"), 1L).otherwise(0L)).as("n10"),
+      sum(when(col("a") === col("t") && col("b") === col("t"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val margA = wide.groupBy(col("a").as("lab")).agg(count(lit(1)).as("ca"))
+    val margB = wide.groupBy(col("b").as("lab")).agg(count(lit(1)).as("cb"))
+    val nd = col("n").cast("double")
+    val pe = margA.join(margB, Seq("lab"), "full_outer")
+      .crossJoin(broadcast(counts.select(col("n"))))
+      .select(round(coalesce(col("ca"), lit(0L)).cast("double") / nd *
+          (coalesce(col("cb"), lit(0L)).cast("double") / nd), 9)
+        .cast("decimal(28,9)").as("term"))
+      .agg(sum(col("term")).cast("double").as("pe"))
+    val d = abs(col("n01") - col("n10")).cast("double")
+    val disc = (col("n01") + col("n10")).cast("double")
+    val po = col("agree").cast("double") / nd
+    counts.crossJoin(broadcast(pe))
+      .select(col("n"), col("n00"), col("n01"), col("n10"), col("n11"),
+        round((col("n10") + col("n11")).cast("double") / nd, 6).as("acc_top1"),
+        round((col("n01") + col("n11")).cast("double") / nd, 6).as("acc_vote"),
+        when(disc > 0,
+            round(pow(greatest(d - 1.0, lit(0.0)), 2) / disc, 6))
+          .otherwise(lit(0.0)).as("mcnemar_chi2"),
+        when(lit(1.0) - col("pe") =!= 0.0,
+            round((po - col("pe")) / (lit(1.0) - col("pe")), 6))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_paired_compare" -> pairedCompare,
     "m12_bootstrap_ci" -> bootstrapCi,
     "m01_confusion" -> confusion,
     "m02_classification_report" -> report,
@@ -298,6 +358,42 @@ object MetricsPack extends QueryPack {
       " WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
   val oracles: Map[String, String] = Map(
+    "m13_paired_compare" -> s"""
+      |WITH $predsCte,
+      |wide AS (SELECT qid,
+      |    max(CASE WHEN rnk = 1 THEN nlabel END) AS a,
+      |    max(CASE WHEN rnk = 2 THEN nlabel END) AS q2,
+      |    max(CASE WHEN rnk = 3 THEN nlabel END) AS q3,
+      |    max(tlabel) AS t
+      |  FROM r WHERE rnk <= 3 GROUP BY qid),
+      |w2 AS (SELECT qid, a,
+      |    CASE WHEN q2 = q3 AND q2 <> a THEN q2 ELSE a END AS b, t FROM wide),
+      |counts AS (SELECT count(*) AS n,
+      |    sum(CASE WHEN a <> t AND b <> t THEN 1 ELSE 0 END) AS n00,
+      |    sum(CASE WHEN a <> t AND b = t THEN 1 ELSE 0 END) AS n01,
+      |    sum(CASE WHEN a = t AND b <> t THEN 1 ELSE 0 END) AS n10,
+      |    sum(CASE WHEN a = t AND b = t THEN 1 ELSE 0 END) AS n11,
+      |    sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+      |  FROM w2),
+      |ma AS (SELECT a AS lab, count(*) AS ca FROM w2 GROUP BY a),
+      |mb AS (SELECT b AS lab, count(*) AS cb FROM w2 GROUP BY b),
+      |pe AS (SELECT CAST(sum(CAST(round(
+      |      CAST(coalesce(ca, 0) AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * (CAST(coalesce(cb, 0) AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+      |    AS DECIMAL(28,9))) AS DOUBLE) AS pe
+      |  FROM ma FULL OUTER JOIN mb USING (lab), counts)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(n00 AS BIGINT) AS n00,
+      |  CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10,
+      |  CAST(n11 AS BIGINT) AS n11,
+      |  round(CAST(n10 + n11 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_top1,
+      |  round(CAST(n01 + n11 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS acc_vote,
+      |  CASE WHEN n01 + n10 > 0 THEN round(
+      |      power(greatest(CAST(abs(n01 - n10) AS DOUBLE) - 1.0, 0.0), 2)
+      |      / CAST(n01 + n10 AS DOUBLE), 6) ELSE 0.0 END AS mcnemar_chi2,
+      |  CASE WHEN 1.0 - pe <> 0.0 THEN round(
+      |      (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) - pe) / (1.0 - pe), 6)
+      |    ELSE 0.0 END AS kappa
+      |FROM counts, pe""".stripMargin,
     "m12_bootstrap_ci" -> s"""
       |WITH $predsCte,
       |py AS (SELECT qid, CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),

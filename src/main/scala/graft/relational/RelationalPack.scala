@@ -133,6 +133,25 @@ object RelationalPack extends QueryPack {
         col("sum_qty"), col("support"))
       .orderBy(col("l_returnflag"))
 
+  /** r19: CUBE aggregation over orders — all four grouping
+    * combinations (status × priority, each alone, grand total) in ONE
+    * pass with `grouping_id` disambiguation: the OLAP cross-tab
+    * surface beside r06's pivot and r07's rollup. One shuffle covers
+    * every grouping set (Spark expands the cube map-side and partial-
+    * aggregates all sets in the same exchange); sums through the
+    * Exact decimal discipline. Both engines emit the same
+    * first-column-is-high-bit grouping id. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        Exact.toOut(Exact.sum2(col("o_totalprice"))).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("All")).as("status"),
+        coalesce(col("o_orderpriority"), lit("All")).as("priority"),
+        col("gid").cast("long").as("gid"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   /** Semi-join (M3 anti-leakage split gather: `left_semi` instead of the
     * reference's per-fn loop `Neww_Fai.py:239-245`). */
   def semiJoinCustomers(spark: SparkSession, dir: String): DataFrame = {
@@ -367,6 +386,7 @@ object RelationalPack extends QueryPack {
     "r05_distinct_per_group" -> distinctPerGroup,
     "r06_pivot_status_priority" -> pivotStatusPriority,
     "r07_rollup_returns" -> rollupReturns,
+    "r19_cube_orders" -> cubeOrders,
     "r08_semi_join" -> semiJoinCustomers,
     "r09_anti_join" -> antiJoinCustomers,
     "r10_union_segments" -> unionSegments,
@@ -429,6 +449,14 @@ object RelationalPack extends QueryPack {
         |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
         |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5_low
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "r19_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'All') AS status,
+        |  coalesce(o_orderpriority, 'All') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "r07_rollup_returns" ->
       """SELECT coalesce(l_returnflag, 'Overall') AS l_returnflag,
         |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,

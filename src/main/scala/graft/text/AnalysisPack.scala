@@ -704,7 +704,48 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** a22: per-source exact-duplication datasheet — for every source
+    * the doc count, distinct-content count, within-source duplicate
+    * count/rate, and how many of its content digests also appear in
+    * ANOTHER source (the cross-source contamination column of a
+    * corpus datasheet; cf. Dolma/Pile per-source dedup tables). The
+    * synthetic corpus is dup-free, so duplication is PLANTED
+    * deterministically on both engines (the a14/n18 discipline):
+    * docs with id < 60 duplicated into their own source, docs with
+    * id < 30 mirrored into a synthetic 'mirror' source.
+    *
+    * Scale shape: one digest groupBy (the d01 shape, map-side
+    * partial), a digest-level source count (rows bounded by distinct
+    * digests), and a per-source rollup — no joins keyed wider than
+    * the digest. */
+  def sourceDedupRate(spark: SparkSession, dir: String): DataFrame =
+    sourceDedupRateOf(Tables(spark, dir).documents)
+
+  private[graft] def sourceDedupRateOf(docs0: DataFrame): DataFrame = {
+    val base = docs0.select(col("doc_id"), col("source"), col("text"))
+    val within = base.filter(col("doc_id") < 60)
+      .select((col("doc_id") + 200000).as("doc_id"), col("source"), col("text"))
+    val cross = base.filter(col("doc_id") < 30)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        lit("mirror").as("source"), col("text"))
+    val aug = base.unionByName(within).unionByName(cross)
+    val byDig = graft.core.Caches.transient(
+      aug.select(col("source"), md5(col("text")).as("dig"))
+        .groupBy(col("source"), col("dig")).agg(count(lit(1)).as("cnt")))
+    val nSources = byDig.groupBy(col("dig")).agg(count(lit(1)).as("n_sources"))
+    byDig.join(nSources, Seq("dig"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("cnt")) - count(lit(1))).as("dup_docs"),
+        round((sum(col("cnt")) - count(lit(1))).cast("double") /
+          sum(col("cnt")).cast("double"), 6).as("dup_rate"),
+        sum(when(col("n_sources") >= 2, 1L).otherwise(0L)).as("shared_digests"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_source_dedup_rate" -> sourceDedupRate,
     "a18_source_overlap" -> sourceOverlap,
     "a21_char_entropy" -> charEntropy,
     "a19_source_drift" -> sourceDrift,
@@ -799,6 +840,18 @@ object AnalysisPack extends QueryPack {
     |  FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "a22_source_dedup_rate" -> s"""
+      |WITH aug AS (SELECT doc_id, source, text FROM documents
+      |  UNION ALL SELECT doc_id + 200000, source, text FROM documents WHERE doc_id < 60
+      |  UNION ALL SELECT doc_id + 300000, 'mirror', text FROM documents WHERE doc_id < 30),
+      |bd AS (SELECT source, md5(text) AS dig, count(*) AS cnt FROM aug GROUP BY 1, 2),
+      |ns AS (SELECT dig, count(*) AS n_sources FROM bd GROUP BY dig)
+      |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+      |  count(*) AS n_distinct,
+      |  CAST(sum(cnt) - count(*) AS BIGINT) AS dup_docs,
+      |  round(CAST(sum(cnt) - count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_rate,
+      |  CAST(sum(CASE WHEN n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_digests
+      |FROM bd JOIN ns USING (dig) GROUP BY source ORDER BY source""".stripMargin,
     "a21_char_entropy" -> s"""
       |WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\s\\S]')) AS ch
       |  FROM documents),

@@ -250,5 +250,9 @@ class LlmSpec extends AnyFunSuite {
     val again = LlmPack.mmrRerank(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(rows.toSeq == again.toSeq)
+    // the one-shuffle cogroup greedy equals the declarative staged twin
+    val staged = LlmPack.mmrRerankStaged(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toSeq == staged.toSeq)
   }
 }

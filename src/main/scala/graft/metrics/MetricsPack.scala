@@ -268,7 +268,52 @@ object MetricsPack extends QueryPack {
           .otherwise(lit(0.0)).as("kappa"))
   }
 
+  /** m14: exact ROC-AUC of the calibrated top-1 confidence against
+    * top-1 correctness, via the Mann–Whitney rank statistic with
+    * tie-averaged ranks — AUC = (Σ rank⁺ − n₁(n₁+1)/2) / (n₁n₀),
+    * identical to sklearn's `roc_auc_score`. Every step up to the
+    * final division is INTEGER arithmetic (2×avg-rank per tied score
+    * group = 2·(cum−n)+n+1 stays integral), carried through
+    * DECIMAL(38,0) on both engines (the t09 lesson: the product
+    * np·2N overflows a 64-bit long once row counts pass ~2³¹), so
+    * the one double division at the end is the same IEEE op on the
+    * same exact integers — bit-equal in DuckDB.
+    *
+    * Scale shape: scores are 6-dp-rounded probabilities in [0,1], so
+    * the groupBy collapses the corpus to ≤ 1,000,001 rows BEFORE the
+    * rank window — the cumulative sum runs over a bounded relation
+    * regardless of corpus size (the x04 histogram exemption), and the
+    * heavy pass is one map-side-combining aggregate. */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val ci = calibInput(spark, dir)
+      .select(col("prob").cast("decimal(18,6)").as("p"), col("y"))
+    val g = ci.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val wc = Window.orderBy(col("p"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.withColumn("cum", sum(col("n")).over(wc))
+    val d38 = "decimal(38,0)"
+    val t = c.select(
+        (col("np").cast(d38) *
+          (lit(2L) * (col("cum") - col("n")) + col("n") + lit(1L)).cast(d38))
+          .as("s2"),
+        col("np"), col("n"))
+      .agg(sum(col("s2")).as("s2"), sum(col("np")).as("n1"),
+        sum(col("n")).as("ntot"))
+    val n0 = col("ntot") - col("n1")
+    val num = (col("s2").cast(d38) -
+      col("n1").cast(d38) * (col("n1") + lit(1L)).cast(d38)).cast("double")
+    val den = (lit(2L).cast(d38) * col("n1").cast(d38) * n0.cast(d38))
+      .cast("double")
+    t.select(
+      col("n1").as("n_pos"), n0.as("n_neg"),
+      when(col("n1") > 0 && n0 > 0, num / den).as("auc"),
+      when(col("n1") > 0 && n0 > 0, lit(2.0) * (num / den) - lit(1.0))
+        .as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_roc_auc" -> rocAuc,
     "m13_paired_compare" -> pairedCompare,
     "m12_bootstrap_ci" -> bootstrapCi,
     "m01_confusion" -> confusion,
@@ -358,6 +403,35 @@ object MetricsPack extends QueryPack {
       " WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
   val oracles: Map[String, String] = Map(
+    "m14_roc_auc" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT CAST(round((1.0 + sim) / 2.0, 6) AS DECIMAL(18,6)) AS pp,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |g AS (SELECT pp, count(*) AS n, sum(y) AS np FROM ci GROUP BY pp),
+      |c AS (SELECT n, np,
+      |        sum(n) OVER (ORDER BY pp ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM g),
+      |agg AS (SELECT
+      |    sum(CAST(np AS DECIMAL(38,0)) *
+      |        CAST(2 * (cum - n) + n + 1 AS DECIMAL(38,0))) AS s2,
+      |    CAST(sum(np) AS BIGINT) AS n1, CAST(sum(n) AS BIGINT) AS ntot
+      |  FROM c)
+      |SELECT n1 AS n_pos, ntot - n1 AS n_neg,
+      |  CASE WHEN n1 > 0 AND ntot - n1 > 0 THEN
+      |    CAST(CAST(s2 AS DECIMAL(38,0))
+      |         - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0))
+      |      AS DOUBLE)
+      |    / CAST(CAST(2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))
+      |           * CAST(ntot - n1 AS DECIMAL(38,0)) AS DOUBLE)
+      |  END AS auc,
+      |  CASE WHEN n1 > 0 AND ntot - n1 > 0 THEN
+      |    2.0 * (CAST(CAST(s2 AS DECIMAL(38,0))
+      |         - CAST(n1 AS DECIMAL(38,0)) * CAST(n1 + 1 AS DECIMAL(38,0))
+      |      AS DOUBLE)
+      |    / CAST(CAST(2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0))
+      |           * CAST(ntot - n1 AS DECIMAL(38,0)) AS DOUBLE)) - 1.0
+      |  END AS gini
+      |FROM agg""".stripMargin,
     "m13_paired_compare" -> s"""
       |WITH $predsCte,
       |wide AS (SELECT qid,

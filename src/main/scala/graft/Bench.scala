@@ -187,9 +187,16 @@ object Bench {
             val norm = if (prevCanary > 0) canaryPre / prevCanary else 1.0
             val prevQ = root.path("queries")
             results.collect {
+              // prev == 0.00 means the prior committed line ROUNDED a
+              // sub-5ms query to zero (2-decimal stdout format) — a
+              // regression from there to just under the 3 s outlier
+              // bar would otherwise never retry; treat any >= 0.4 s
+              // first pass over a 0.00 prior as a mover too
               case (n, s)
-                  if s >= 0.4 && prevQ.path(shortName(n)).asDouble(-1) > 0 &&
-                    s > 1.5 * prevQ.path(shortName(n)).asDouble(-1) * norm =>
+                  if s >= 0.4 && {
+                    val prev = prevQ.path(shortName(n)).asDouble(-1)
+                    prev == 0.0 || (prev > 0 && s > 1.5 * prev * norm)
+                  } =>
                 n
             }
           }

@@ -30,7 +30,9 @@ object ExplainAudit {
         "a21_char_entropy", "v22_cluster_report", "d19_incremental_minhash",
         "n18_unicode_clean", "t13_packing_efficiency", "m12_bootstrap_ci",
         "l11_mmr_rerank", "m13_paired_compare", "r19_cube_orders",
-        "a22_source_dedup_rate", "l12_token_f1")
+        "a22_source_dedup_rate", "l12_token_f1",
+        "t12_bpe_fertility", "m14_roc_auc",
+        "m15_pr_auc", "d20_pair_band_counts", "s09_dedup_gate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -65,13 +65,22 @@ object Artifacts {
     memoMap.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     scopeOf.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val k = (spark, key)
+    // race-safe insert: under parallel suites two threads can both
+    // evaluate `build`; putIfAbsent elects ONE winner, the loser's
+    // frame is discarded UN-persisted (build returns a lazy plan —
+    // persistence happens below, only on the elected frame), and the
+    // scope label is recorded only for the winning insert so retry
+    // scope-drops can't misattribute a loser to the wrong query
     val df = memoMap.get(k) match {
       case Some(d) => d
       case None =>
-        val d = build
-        memoMap.put(k, d)
-        if (currentScope.nonEmpty) scopeOf.put(k, currentScope)
-        d
+        val built = build
+        memoMap.putIfAbsent(k, built) match {
+          case Some(existing) => existing
+          case None =>
+            if (currentScope.nonEmpty) scopeOf.put(k, currentScope)
+            built
+        }
     }
     // a builder may have routed the frame through Caches.transient
     // (e.g. the IVF centroid chain caches itself for within-query

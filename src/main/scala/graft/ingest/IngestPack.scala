@@ -198,8 +198,11 @@ object IngestPack extends QueryPack {
     // per-application fixture path: two JVMs benching the same data
     // dir would otherwise race on the overwrite-then-read-back (Spark
     // overwrite deletes first) and corrupt each other's round-trip
-    val frag = s"target/fixtures_frag_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    // exit-time cleanup: the per-app path is never reused by later JVMs
+    val frag = graft.core.TempDirs.cleanupOnExit(
+      s"target/fixtures_frag_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}")
+    graft.core.TempDirs.cleanupOnExit(frag + "_compacted")
     Tables(spark, dir).documents
       .filter(col("doc_id") < FmtDocs)
       .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))

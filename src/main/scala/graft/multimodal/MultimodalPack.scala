@@ -87,8 +87,11 @@ object MultimodalPack extends QueryPack {
     * Per-application path, same race discipline as i08. */
   private[graft] def shardedWriteDir(spark: SparkSession, dir: String,
                                      shardBytes: Long = ShardBytes): String = {
-    val out = s"target/mm_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
-      s"_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}"
+    // per-application paths are never reused by a later JVM — register
+    // for exit-time cleanup so rounds don't accumulate shard trees
+    val out = graft.core.TempDirs.cleanupOnExit(
+      s"target/mm_shards_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}")
     val docs = Tables(spark, dir).documents
       .select(col("doc_id").as("media_id"), col("text"))
     val m = docs.select(col("media_id"),

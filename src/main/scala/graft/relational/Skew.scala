@@ -26,6 +26,7 @@ object Skew {
     * rows are ALSO byte-identical (then dedup first). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
+    requireDistinctColumns(fact, "saltedJoin fact")
     val salted = fact.withColumn("_salt",
       pmod(hash(fact.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = dim.withColumn("_salt",
@@ -33,18 +34,36 @@ object Skew {
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** The content-hash salt resolves columns BY NAME — a frame with
+    * duplicate column names (e.g. fresh off a join) would throw an
+    * ambiguity error deep inside the hash; fail at the entry point
+    * with the actionable message instead. */
+  private def requireDistinctColumns(df: DataFrame, who: String): Unit = {
+    val dups = df.columns.groupBy(identity).collect {
+      case (n, occ) if occ.length > 1 => n
+    }
+    require(dups.isEmpty,
+      s"$who requires distinct column names (content-hash salt resolves " +
+        s"by name); duplicates: ${dups.mkString(", ")} — rename or drop first")
+  }
+
   /** Two-phase skew-safe aggregation: partial-aggregate on
     * (key, salt), then final-aggregate on key. For algebraic
     * aggregates (sum/count/min/max) the result equals the direct
     * groupBy; a hot key's partials spread over `saltFactor` tasks.
-    * Deterministic row-content salt — see [[saltedJoin]]. */
+    * Deterministic row-content salt — see [[saltedJoin]]; as there,
+    * byte-identical duplicate rows of a hot key share one salt and do
+    * NOT spread — dedup (or add a distinguishing column) first when
+    * the hot key's rows are also identical. */
   def saltedSum(df: DataFrame, key: Column, value: Column,
-                saltFactor: Int): DataFrame =
+                saltFactor: Int): DataFrame = {
+    requireDistinctColumns(df, "saltedSum")
     df.select(key.as("k"),
         pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).as("_salt"),
         value.as("v"))
       .groupBy(col("k"), col("_salt")).agg(sum(col("v")).as("pv"))
       .groupBy(col("k")).agg(sum(col("pv")).as("sum_v"))
+  }
 
   /** Partition-layout writer: the channel/ingest-date layout the
     * reference's corpus wants (SURVEY §4) — predicates on the

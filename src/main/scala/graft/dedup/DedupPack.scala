@@ -241,6 +241,61 @@ object DedupPack extends QueryPack {
         k = 3, threshold = 0.5, maxShingleDocFreq = 20)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** d20: the BOUNDED-OUTPUT datasheet twin of the d02 pair report —
+    * per-similarity-band TRUE pair counts (bands of width 0.1 from
+    * the 0.5 threshold up, J = 1.0 its own band), zero-filled (a13's
+    * absent-cell discipline). d02's cost IS its quadratic output
+    * (every true pair, 8.4× at 10×) — honest for the report, unusable
+    * at 100 TB, where the curator's question is "how MUCH near-
+    * duplication, at what similarity?" — six numbers, not the pairs.
+    *
+    * Shape: the d18 exact-collapse front bounds mining by the
+    * DISTINCT corpus — identical texts share shingle sets, so (a)
+    * every intra-class pair has J = 1.0 and counts CLOSED-FORM as
+    * m(m−1)/2 per class, no enumeration, and (b) a cross-class member
+    * pair's Jaccard equals its representative pair's, so each rep
+    * pair contributes m_a·m_b pairs to its band. Duplicate-heavy
+    * corpora (where true pairs grow quadratically in cluster size)
+    * cost one digest groupBy + rep-only mining; the output is ≤ 6
+    * rows regardless of corpus. The DuckDB oracle enumerates ALL
+    * pairs over the full corpus directly — the independent check of
+    * the collapse argument. Zero-shingle classes (texts under k
+    * words) produce no pairs on either side: the intra count guards
+    * on the class having shingles. */
+  def pairBandCounts(spark: SparkSession, dir: String): DataFrame =
+    pairBandCountsOf(spark, augmented(spark, dir))
+
+  private[graft] def pairBandCountsOf(spark: SparkSession,
+                                      corpus: DataFrame): DataFrame = {
+    val classes = graft.core.Caches.transient(
+      corpus.select(col("doc_id"), md5(col("text")).as("h"),
+        (size(Dedup.shingles(col("text"), 3)) > 0).as("has_sh")))
+    val reps = graft.core.Caches.transient(
+      classes.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("m"),
+          max(col("has_sh")).as("has_sh")))
+    val repCorpus = corpus
+      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
+    val cross = Dedup.jaccardPairs(repCorpus, col("doc_id"), col("text"),
+        k = 3, threshold = 0.5)
+      .join(reps.select(col("rep_id").as("a_id"), col("m").as("ma")), Seq("a_id"))
+      .join(reps.select(col("rep_id").as("b_id"), col("m").as("mb")), Seq("b_id"))
+      .select(floor(col("jaccard") * 10).cast("long").as("b10"),
+        (col("ma") * col("mb")).as("w"))
+    // m(m−1) is even, so the double division is exact (and long-cast
+    // safe) for any class size below 2^26 — far past any real class
+    val intra = reps.filter(col("m") > 1 && col("has_sh"))
+      .select(lit(10L).as("b10"),
+        ((col("m") * (col("m") - lit(1L))) / lit(2L)).cast("long").as("w"))
+    val counts = cross.unionByName(intra)
+      .groupBy(col("b10")).agg(sum(col("w")).as("n"))
+    spark.range(5, 11).select(col("id").as("b10"))
+      .join(counts, Seq("b10"), "left")
+      .select((col("b10").cast("double") / lit(10.0)).as("band"),
+        coalesce(col("n"), lit(0L)).as("n_pairs"))
+      .orderBy(col("band"))
+  }
+
   /** d11: intra-corpus substring-overlap audit (the measurement that
     * motivates Lee et al. 2022's substring dedup — "Deduplicating
     * Training Data Makes Language Models Better" finds long repeated
@@ -587,6 +642,7 @@ object DedupPack extends QueryPack {
     "d16_incremental_dedup" -> incrementalDedup,
     "d19_incremental_minhash" -> incrementalMinhash,
     "d02_jaccard_pairs" -> jaccard,
+    "d20_pair_band_counts" -> pairBandCounts,
     "d03_minhash_candidates" -> minhash,
     "d04_simhash_values" -> simhashValues,
     "d05_simhash_pairs" -> simhashNearDups,
@@ -766,6 +822,23 @@ object DedupPack extends QueryPack {
       |  CASE WHEN substr(md5('42' || CAST(keeper_id AS VARCHAR)), 1, 4) < 'cccd'
       |    THEN 'train' ELSE 'test' END AS split
       |FROM k ORDER BY doc_id""".stripMargin,
+    "d20_pair_band_counts" -> s"""
+      |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
+      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+      |prs AS (SELECT a.id AS a_id, b.id AS b_id, count(*) AS inter
+      |  FROM hsh a JOIN hsh b USING (sh) WHERE a.id < b.id GROUP BY 1, 2),
+      |jb AS (SELECT CAST(floor(round(
+      |      CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE),
+      |      6) * 10) AS BIGINT) AS b10
+      |  FROM prs p JOIN sizes sa ON sa.id = p.a_id
+      |  JOIN sizes sb ON sb.id = p.b_id
+      |  WHERE CAST(p.inter AS DOUBLE)
+      |      / CAST(sa.n + sb.n - p.inter AS DOUBLE) >= 0.5),
+      |cnt AS (SELECT b10, count(*) AS n FROM jb GROUP BY b10)
+      |SELECT CAST(g.b10 AS DOUBLE) / 10.0 AS band,
+      |  CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_pairs
+      |FROM generate_series(5, 10) g(b10) LEFT JOIN cnt ON cnt.b10 = g.b10
+      |ORDER BY band""".stripMargin,
     "d07_jaccard_stopshingle" -> s"""
       |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
       |rare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM hsh GROUP BY sh)

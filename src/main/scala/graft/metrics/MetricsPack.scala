@@ -312,7 +312,55 @@ object MetricsPack extends QueryPack {
         .as("gini"))
   }
 
+  /** m15: average precision (PR-AUC) of the calibrated top-1
+    * confidence against top-1 correctness — the threshold-free eval
+    * companion to m14 for imbalanced outcomes (ROC-AUC reads
+    * optimistic when negatives dominate; the PR curve does not —
+    * Davis & Goadrich 2006). Computed as sklearn's
+    * `average_precision_score`: AP = Σ_i (R_i − R_{i−1}) · P_i over
+    * distinct thresholds descending, which over the score-collapsed
+    * relation is Σ np_t · (ctp_t / cn_t) / n₁ with ctp/cn the
+    * cumulative positive/total counts at score ≥ t.
+    *
+    * Determinism: every precision is ONE IEEE division of exact
+    * integers (same op in DuckDB), each term np·P is rounded to 9
+    * decimals and decimal-summed (the a08 discipline) so threshold
+    * order can't move the double sum, and the final /n₁ is again one
+    * shared division. `baseline` = n₁/n (the random-classifier AP).
+    *
+    * Scale shape: identical to m14 — the 6-dp probability collapse
+    * bounds the relation to ≤ 1,000,001 rows BEFORE the cumulative
+    * window (the x04 histogram exemption), and the heavy pass is one
+    * map-side-combining aggregate. */
+  def prAuc(spark: SparkSession, dir: String): DataFrame = {
+    val ci = calibInput(spark, dir)
+      .select(col("prob").cast("decimal(18,6)").as("p"), col("y"))
+    val g = ci.groupBy(col("p"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("np"))
+    val wc = Window.orderBy(col("p").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g
+      .withColumn("ctp", sum(col("np")).over(wc))
+      .withColumn("cn", sum(col("n")).over(wc))
+    val t = c.select(
+        round(col("np").cast("double") *
+          (col("ctp").cast("double") / col("cn").cast("double")), 9)
+          .cast("decimal(28,9)").as("term"),
+        col("np"), col("n"))
+      .agg(sum(col("term")).as("s"), sum(col("np")).as("n1"),
+        sum(col("n")).as("ntot"))
+    t.select(
+      col("n1").as("n_pos"), (col("ntot") - col("n1")).as("n_neg"),
+      when(col("n1") > 0,
+        col("s").cast("double") / col("n1").cast("double"))
+        .as("average_precision"),
+      when(col("ntot") > 0,
+        round(col("n1").cast("double") / col("ntot").cast("double"), 9))
+        .as("baseline"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_pr_auc" -> prAuc,
     "m14_roc_auc" -> rocAuc,
     "m13_paired_compare" -> pairedCompare,
     "m12_bootstrap_ci" -> bootstrapCi,
@@ -403,6 +451,27 @@ object MetricsPack extends QueryPack {
       " WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
   val oracles: Map[String, String] = Map(
+    "m15_pr_auc" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT CAST(round((1.0 + sim) / 2.0, 6) AS DECIMAL(18,6)) AS pp,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |g AS (SELECT pp, count(*) AS n, sum(y) AS np FROM ci GROUP BY pp),
+      |c AS (SELECT n, np,
+      |        sum(np) OVER (ORDER BY pp DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+      |        sum(n) OVER (ORDER BY pp DESC ROWS UNBOUNDED PRECEDING) AS cn
+      |      FROM g),
+      |agg AS (SELECT
+      |    sum(CAST(round(CAST(np AS DOUBLE)
+      |        * (CAST(ctp AS DOUBLE) / CAST(cn AS DOUBLE)), 9)
+      |      AS DECIMAL(28,9))) AS s,
+      |    CAST(sum(np) AS BIGINT) AS n1, CAST(sum(n) AS BIGINT) AS ntot
+      |  FROM c)
+      |SELECT n1 AS n_pos, ntot - n1 AS n_neg,
+      |  CASE WHEN n1 > 0
+      |    THEN CAST(s AS DOUBLE) / CAST(n1 AS DOUBLE) END AS average_precision,
+      |  CASE WHEN ntot > 0
+      |    THEN round(CAST(n1 AS DOUBLE) / CAST(ntot AS DOUBLE), 9) END AS baseline
+      |FROM agg""".stripMargin,
     "m14_roc_auc" -> s"""
       |WITH $predsCte,
       |ci AS (SELECT CAST(round((1.0 + sim) / 2.0, 6) AS DECIMAL(18,6)) AS pp,

@@ -229,6 +229,40 @@ class DedupSpec extends AnyFunSuite {
     assert(collapsed(rep3) == direct(rep3))
   }
 
+  test("d20 band counts equal direct full-pair banding, incl. on a " +
+      "replicated corpus") {
+    import org.apache.spark.sql.functions.{coalesce, col, count, floor, lit}
+    // the independent twin: enumerate EVERY true pair and band it
+    def direct(c: org.apache.spark.sql.DataFrame): Map[Double, Long] = {
+      val banded = Dedup.jaccardPairs(c, col("doc_id"), col("text"),
+          k = 3, threshold = 0.5)
+        .groupBy(floor(col("jaccard") * 10).cast("long").as("b10"))
+        .agg(count(lit(1)).as("n"))
+      spark.range(5, 11).select(col("id").as("b10"))
+        .join(banded, Seq("b10"), "left")
+        .select((col("b10").cast("double") / lit(10.0)).as("band"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    }
+    def collapsed(c: org.apache.spark.sql.DataFrame): Map[Double, Long] =
+      DedupPack.pairBandCountsOf(spark, c)
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val aug = DedupPack.augmented(spark, sf, spread = false)
+    val base = collapsed(aug)
+    assert(base == direct(aug))
+    assert(base.values.sum > 0, "planted dups must produce banded pairs")
+    // replicate 3x with distinct ids: true pairs grow ~9x but the
+    // collapse front still mines only the distinct corpus — counts
+    // must track the full enumeration exactly
+    val rep3 = (0 until 3).map { k =>
+      aug.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _)
+    val r3 = collapsed(rep3)
+    assert(r3 == direct(rep3))
+    assert(r3.values.sum > base.values.sum * 8,
+      "replication must grow true-pair mass ~9x")
+  }
+
   test("d09 decontamination flags only train docs, with sane fractions") {
     val rows = DedupPack.decontamination(spark, sf).collect()
     assert(rows.nonEmpty, "word-soup vocabulary overlap should exist")

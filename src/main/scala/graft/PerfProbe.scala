@@ -182,26 +182,26 @@ object PerfProbe {
       println(f"BPESCALE histogram+collect: ${(System.nanoTime() - t0) / 1e9}%.2f s" +
         s" (distinct types collected=${counts.size})")
       // the synthetic corpus has a ~31-word vocabulary — pad to a
-      // REALISTIC natural-language type table with deterministic
-      // syllable-composed words under a Zipf count law, so the loop
-      // sees production-shaped work (word length 4-24 chars, long tail
-      // of count-1 types)
-      val syl = Array("ka", "to", "ri", "mu", "en", "sha", "lo", "ve",
-        "qu", "zi", "na", "ber", "ten", "gra", "pol", "dis")
-      def synWord(i: Int): String = {
-        val h = i * 0x9e3779b9
-        (0 until (2 + math.floorMod(h, 5))).map(j =>
-          syl(math.floorMod(h >> (j * 4 + 3), 16))).mkString
-      }
-      val syn = (0 until 65536).map(i =>
-        (synWord(i) + i, math.max(1L, 3000000L / (i + 1)))) // suffix dedups
+      // REALISTIC natural-language type table (Bpe.syntheticZipfTypes:
+      // deterministic syllable-composed words under a Zipf count law,
+      // word length 4-24 chars, long tail of count-1 types)
+      val syn = Bpe.syntheticZipfTypes(65536)
       for ((nm, mt) <- Seq((16, 4096), (256, 16384), (256, 65536),
                            (1024, 65536))) {
         val types = syn.take(mt)
         val t1 = System.nanoTime()
-        val ms = Bpe.trainOnTypes(types, nm)
-        println(f"BPESCALE merges=$nm types=${types.size}: " +
+        val ms = Bpe.trainOnTypesIncremental(types, nm)
+        println(f"BPESCALE incremental merges=$nm types=${types.size}: " +
           f"${(System.nanoTime() - t1) / 1e9}%.2f s (learned=${ms.size})")
+        // the naive contrast only where it stays tractable; pass
+        // "naiveall" to force the full grid for the PERF.md table
+        if (args.contains("naiveall") || nm * types.size <= 16L * 1024 * 1024) {
+          val t2 = System.nanoTime()
+          val msN = Bpe.trainOnTypes(types, nm)
+          println(f"BPESCALE naive       merges=$nm types=${types.size}: " +
+            f"${(System.nanoTime() - t2) / 1e9}%.2f s (learned=${msN.size}, " +
+            s"equal=${msN == ms})")
+        }
       }
       spark.stop()
       return

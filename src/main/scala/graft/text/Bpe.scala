@@ -118,6 +118,107 @@ object Bpe {
     out.result()
   }
 
+  /** INCREMENTAL pair statistics — Sennrich's `learn_bpe` indexing
+    * (the public reference implementation of 2016's subword-nmt):
+    * maintain the pair→count table and a pair→containing-words index
+    * across merges, so each iteration touches only the words that
+    * actually contain the merged pair instead of re-scanning every
+    * symbol of every type. The naive loop ([[trainOnTypes]]) costs
+    * O(merges × total-symbols) — measured ~265 s at a realistic
+    * (1,024 merges, 65,536 types); here a merge pays one argmax scan
+    * over the live pair table plus a subtract-old/add-new pass over
+    * the touched words only.
+    *
+    * Exactly equal to the naive loop by construction (spec-pinned on
+    * the suite corpus and a synthetic Zipf vocabulary): the naive
+    * stats are Σ over words of count × pair-multiset, which is
+    * precisely the invariant this table maintains (subtract the whole
+    * old multiset, add the whole new one — no delta arithmetic to get
+    * overlapping runs like `a a a` wrong), grouping identical words
+    * never changes the sum, zero-count entries are evicted so the
+    * argmax candidate set matches, and ties break by the same
+    * (count desc, UTF-8 "lhs rhs" asc) order. */
+  private[graft] def trainOnTypesIncremental(types: Seq[(String, Long)],
+                                             nMerges: Int = NMerges): Seq[Merge] = {
+    val words = types.map { case (w, _) => codePoints(w) }.toArray
+    val cnts = types.map(_._2).toArray
+    val stats = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable
+      .HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val c = stats.getOrElse(p, 0L) + sign * cnts(i)
+        if (c == 0L) stats.remove(p) else stats.update(p, c)
+        if (sign > 0)
+          where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+        else
+          where.get(p).foreach { s => s -= i; if (s.isEmpty) where.remove(p) }
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+    val out = Seq.newBuilder[Merge]
+    var it = 0
+    while (it < nMerges && stats.nonEmpty) {
+      // argmax under the shared (count desc, "l r" u8 asc) order; the
+      // byte compare runs only on count ties
+      var bl: String = null; var br: String = null; var bc = Long.MinValue
+      stats.foreach { case ((l, r), c) =>
+        if (c > bc || (c == bc &&
+            u8Compare(l + " " + r, bl + " " + br) < 0)) {
+          bl = l; br = r; bc = c
+        }
+      }
+      out += Merge(bl, br, bc)
+      val touched = where.getOrElse((bl, br),
+        scala.collection.mutable.Set.empty[Int]).toArray
+      java.util.Arrays.sort(touched)
+      var t = 0
+      while (t < touched.length) {
+        val w = touched(t)
+        addWord(w, -1L)
+        words(w) = mergeOnceArr(words(w), bl, br)
+        addWord(w, 1L)
+        t += 1
+      }
+      it += 1
+    }
+    out.result()
+  }
+
+  /** Array twin of [[mergeOnce]] (leftmost non-overlapping). */
+  private def mergeOnceArr(syms: Array[String], l: String,
+                           r: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Deterministic syllable-composed Zipf vocabulary — production-
+    * shaped type tables (word length 4–24 chars, long count-1 tail)
+    * for the incremental-vs-naive spec and the PerfProbe bpescale
+    * grid; the suite corpus itself has a ~31-word vocabulary. */
+  private[graft] def syntheticZipfTypes(n: Int): Seq[(String, Long)] = {
+    val syl = Array("ka", "to", "ri", "mu", "en", "sha", "lo", "ve",
+      "qu", "zi", "na", "ber", "ten", "gra", "pol", "dis")
+    def synWord(i: Int): String = {
+      val h = i * 0x9e3779b9
+      (0 until (2 + math.floorMod(h, 5))).map(j =>
+        syl(math.floorMod(h >> (j * 4 + 3), 16))).mkString
+    }
+    (0 until n).map(i =>
+      (synWord(i) + i, math.max(1L, 3000000L / (i + 1))))
+  }
+
   /** Leftmost non-overlapping single-merge application — the array
     * twin of one literal `replace` pass (spec-pinned equal). */
   private[graft] def mergeOnce(syms: List[String], l: String, r: String): List[String] = {
@@ -151,7 +252,9 @@ object Bpe {
       val types = wordCounts(spark, dir)
         .orderBy(col("cnt").desc, col("wd")).limit(MaxTypes)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      trainOnTypes(types)
+      // production default: the incremental trainer (spec-equal to
+      // the naive loop, ~2 orders faster at realistic vocab sizes)
+      trainOnTypesIncremental(types)
     })
   }
 

@@ -76,6 +76,28 @@ class BpeSpec extends AnyFunSuite {
     assert(viaChain == viaDriver)
   }
 
+  test("incremental trainer equals the naive loop on the suite corpus " +
+      "and a synthetic Zipf vocabulary") {
+    // the tricky shapes first: overlapping runs and exhaustion
+    assert(Bpe.trainOnTypesIncremental(Seq(("aaaa", 1L)), 16)
+      == Bpe.trainOnTypes(Seq(("aaaa", 1L)), 16))
+    assert(Bpe.trainOnTypesIncremental(Seq(("ab", 2L), ("ab", 3L)), 16)
+      == Bpe.trainOnTypes(Seq(("ab", 2L), ("ab", 3L)), 16),
+      "duplicate type entries must group-sum identically")
+    // the suite corpus types at the suite merge count
+    val types = graft.core.Tables(spark, sf).documents
+      .select(explode(TextOps.words(col("text"))).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("wd")).limit(Bpe.MaxTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(Bpe.trainOnTypesIncremental(types) == Bpe.trainOnTypes(types))
+    // a production-shaped vocabulary, deep merge sequence (ties, long
+    // count-1 tail, multi-char code-point-composed symbols)
+    val zipf = Bpe.syntheticZipfTypes(4096)
+    assert(Bpe.trainOnTypesIncremental(zipf, 256)
+      == Bpe.trainOnTypes(zipf, 256))
+  }
+
   test("training is deterministic and memoized per (session, dir)") {
     val a = Bpe.merges(spark, sf)
     assert(Bpe.merges(spark, sf) eq a)

@@ -132,43 +132,50 @@ object Lifecycles {
     * engine exists for, composed end-to-end from its own operators:
     *
     *   raw (crawl with planted dups) → quality/repetition filter →
-    *   exact dedup → near-dup group resolution → benchmark
-    *   decontamination → α-weighted mixture sampling
+    *   language balance cap → exact dedup → near-dup group resolution
+    *   → benchmark decontamination → α-weighted mixture sampling
     *
     * Returns the per-stage survivor counts (the funnel audit table).
     * Every stage is the already-oracle-checked operator: quality
-    * score (a02) + dup-word fraction (a04), content-digest keepers
-    * (d01), Jaccard pairs → connected components (d02/d08), shingle
-    * overlap vs the held-out split (d09), per-source hash-threshold
-    * rates (a06). Thresholds (0.45 / 0.7 / 0.3) are data-derived
-    * percentile cuts — see PipelinePack for the measured basis. */
+    * score (a02) + dup-word fraction (a04), per-language quality cap
+    * in the a20 threshold-prefilter shape (see [[langBalanceCap]]),
+    * content-digest keepers (d01), Jaccard pairs → connected
+    * components (d02/d08), shingle overlap vs the held-out split
+    * (d09), per-source hash-threshold rates (a06). Thresholds
+    * (0.45 / 0.7 / 0.3) are data-derived percentile cuts — see
+    * PipelinePack for the measured basis. */
   def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
     import graft.dedup.Dedup
     import graft.text.{TextAnalysis, TextOps => T}
     val docs = Tables(spark, dir).documents
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
     val near = docs.filter(col("doc_id") < 100)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
         regexp_replace(col("text"), "^\\S+\\s*", "").as("text"), col("source"))
     val exactCp = docs.filter(col("doc_id") < 50)
-      .select((col("doc_id") + 200000).as("doc_id"), col("text"), col("source"))
+      .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
+        col("text"), col("source"))
     val aug = docs.unionByName(near).unionByName(exactCp).persist()
 
     // stage 1: quality + repetition cut (staged arrays — see a04)
     val qual = aug
-      .select(col("doc_id"), col("text"), col("source"),
+      .select(col("doc_id"), col("lang"), col("text"), col("source"),
         T.words(col("text")).as("ws"))
-      .select(col("doc_id"), col("text"), col("source"),
+      .select(col("doc_id"), col("lang"), col("text"), col("source"),
         size(col("ws")).as("n"), size(array_distinct(col("ws"))).as("d"))
       .filter(TextAnalysis.qualityScore(col("text")) >= 0.45 &&
         (lit(1.0) - col("d").cast("double") / col("n").cast("double")) <= 0.7)
-      .select(col("doc_id"), col("text"), col("source"))
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
       .persist()
 
-    // stage 2: exact dedup — content-digest keepers only
-    val exKeepers = qual.groupBy(md5(col("text")).as("h"))
+    // stage 2: language balance cap — the a16/a20 operator as the
+    // funnel's default, in the skew-safe a20 shape
+    val capped = langBalanceCap(qual).persist()
+
+    // stage 3: exact dedup — content-digest keepers only
+    val exKeepers = capped.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"))
-    val ex = qual.join(exKeepers.select(col("doc_id")), Seq("doc_id"),
+    val ex = capped.join(exKeepers.select(col("doc_id")), Seq("doc_id"),
       "left_semi").persist()
 
     // ONE shingle pass serves stages 3 AND 4: at scale the shingle
@@ -244,12 +251,40 @@ object Lifecycles {
     val counts = Seq(
       (0L, "raw", aug.count()),
       (1L, "quality", qual.count()),
-      (2L, "exact_dedup", ex.count()),
-      (3L, "near_dedup", nr.count()),
-      (4L, "decontam", dec.count()),
-      (5L, "mixture", sampled.count()))
-    Seq(aug, qual, ex, exSh, nr, trSh, dec).foreach(_.unpersist(false))
+      (2L, "lang_cap", capped.count()),
+      (3L, "exact_dedup", ex.count()),
+      (4L, "near_dedup", nr.count()),
+      (5L, "decontam", dec.count()),
+      (6L, "mixture", sampled.count()))
+    Seq(aug, qual, capped, ex, exSh, nr, trSh, dec).foreach(_.unpersist(false))
     counts.toDF("stage_idx", "stage", "n_docs").orderBy(col("stage_idx"))
+  }
+
+  /** LANGUAGE BALANCE CAP — the funnel's routing of the quality-cap
+    * operator (a16's semantics, a20's shape): no language may keep
+    * more documents than the corpus's MEDIAN language count (lower
+    * median under (count, lang) order — a data-derived budget, so the
+    * stage binds proportionally at every corpus size instead of going
+    * inert or absolute); over-budget languages keep their TOP-quality
+    * documents, ranked by (round(quality, 6) desc, doc_id).
+    *
+    * Routing decision (the v19-vs-v13 pattern): this entry point goes
+    * through [[graft.text.AnalysisPack.capCorpusByQuality]] — the
+    * TopNThreshold bounded aggregate + broadcast threshold prefilter +
+    * rank-over-survivors composition — NEVER the plain a16 window,
+    * which at 100 TB funnels a dominant language (en is ~42% of even
+    * this synthetic mix) through one rank partition. The spec
+    * plan-asserts the NthLargest aggregate is present and pins
+    * per-lang output ≤ cap; the count collect is |langs| rows. */
+  private[graft] def langBalanceCap(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(counts.nonEmpty, "langBalanceCap on an empty corpus")
+    val sorted = counts.sortBy { case (l, c) => (c, l) }
+    val cap = sorted((sorted.length + 1) / 2 - 1)._2
+    require(cap > 0 && cap <= Int.MaxValue,
+      s"degenerate language-count median: $cap")
+    graft.text.AnalysisPack.capCorpusByQuality(docs, cap.toInt)
   }
 
   /** p03: the corpus DATASHEET (Gebru et al. 2021, "Datasheets for

@@ -64,35 +64,57 @@ object PipelinePack extends QueryPack {
     |$hsh AS (SELECT DISTINCT id, ${graft.dedup.DedupPack.hv60("sh")} AS sh FROM $sh)""".stripMargin
 
   /** p02: the whole corpus-prep funnel replayed in SQL — quality cut,
+    * median-budget per-language quality cap (the a20 stage: the
+    * oracle replays it as the FULL rank window, the engine takes the
+    * threshold-prefilter shape — the a16≡a20 equality argument),
     * digest keepers, stop-shingle-capped (df ≤ 20, the d07 guard)
     * Jaccard pairs → recursive components, split +
     * shingle-overlap decontamination, α-weighted mixture rates.
     * Thresholds are data-derived percentile cuts (measured at sf0.01:
     * quality p05 ≈ 0.487 → cut 0.45; dup-word-frac p95 ≈ 0.688 → cut
-    * 0.7; contam-frac p90 ≈ 0.297 → cut 0.3). */
+    * 0.7; contam-frac p90 ≈ 0.297 → cut 0.3); the language budget is
+    * the lower-median per-language survivor count. q1/qc are
+    * MATERIALIZED: without the hint DuckDB re-inlines the windowed
+    * cap chain into the recursive reachability CTE and the oracle
+    * runs minutes-to-never (measured: >14 min inlined, ~54 s
+    * materialized) — a pure oracle-side planner note, no semantics. */
   private val corpusPrepSql = s"""
     |WITH RECURSIVE
     |aug AS (
-    |  SELECT doc_id, text, source FROM documents
-    |  UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s*', ''), source
+    |  SELECT doc_id, lang, text, source FROM documents
+    |  UNION ALL SELECT doc_id + 100000, lang, regexp_replace(text, '^\\S+\\s*', ''), source
     |    FROM documents WHERE doc_id < 100
-    |  UNION ALL SELECT doc_id + 200000, text, source FROM documents WHERE doc_id < 50),
-    |aw AS (SELECT doc_id, text, source, CASE WHEN length(trim(text)) = 0 THEN []
+    |  UNION ALL SELECT doc_id + 200000, lang, text, source FROM documents WHERE doc_id < 50),
+    |aw AS (SELECT doc_id, lang, text, source, CASE WHEN length(trim(text)) = 0 THEN []
     |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
-    |qm AS (SELECT doc_id, text, source, len(words) AS n,
+    |qm AS (SELECT doc_id, lang, text, source, len(words) AS n,
     |  len(list_distinct(words)) AS d,
     |  len(list_filter(words, x -> x IN ($stopList))) AS stop_n,
     |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
     | FROM aw),
-    |q1 AS (SELECT doc_id, text, source FROM qm
+    |q1 AS MATERIALIZED (SELECT doc_id, lang, text, source,
+    |   round(0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
+    |      + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+    |          THEN CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+    |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0), 6) AS q
+    | FROM qm
     | WHERE (0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
     |      + 0.3 * (1.0 - (CASE WHEN length(text) > 0
     |          THEN CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
     |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)) >= 0.45
     |   AND (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) <= 0.7),
-    |exk AS (SELECT md5(text) AS h, min(doc_id) AS k FROM q1 GROUP BY md5(text)),
-    |ex AS (SELECT q1.doc_id, q1.text, q1.source FROM q1
-    |  JOIN exk ON md5(q1.text) = exk.h AND q1.doc_id = exk.k),
+    |lc AS (SELECT lang, count(*) AS cnt FROM q1 GROUP BY lang),
+    |med AS (SELECT cnt AS cap FROM
+    |  (SELECT cnt, row_number() OVER (ORDER BY cnt, lang) AS rn FROM lc) t,
+    |  (SELECT count(*) AS nl FROM lc) c
+    |  WHERE t.rn = (c.nl + 1) // 2),
+    |qr AS (SELECT doc_id, lang, text, source,
+    |    row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rk
+    |  FROM q1),
+    |qc AS MATERIALIZED (SELECT doc_id, text, source FROM qr, med WHERE rk <= med.cap),
+    |exk AS (SELECT md5(text) AS h, min(doc_id) AS k FROM qc GROUP BY md5(text)),
+    |ex AS (SELECT qc.doc_id, qc.text, qc.source FROM qc
+    |  JOIN exk ON md5(qc.text) = exk.h AND qc.doc_id = exk.k),
     |${shingleOver("ex", "ew", "esh", "ehsh")},
     |erare AS (SELECT sh AS rsh FROM (SELECT sh, count(*) AS df_ FROM ehsh GROUP BY sh)
     |  WHERE df_ <= 20),
@@ -150,10 +172,11 @@ object PipelinePack extends QueryPack {
     |FROM (VALUES
     |  (0, 'raw', (SELECT count(*) FROM aug)),
     |  (1, 'quality', (SELECT count(*) FROM q1)),
-    |  (2, 'exact_dedup', (SELECT count(*) FROM ex)),
-    |  (3, 'near_dedup', (SELECT count(*) FROM nr)),
-    |  (4, 'decontam', (SELECT count(*) FROM dc)),
-    |  (5, 'mixture', (SELECT c FROM smp))) AS t(stage_idx, stage, n_docs)
+    |  (2, 'lang_cap', (SELECT count(*) FROM qc)),
+    |  (3, 'exact_dedup', (SELECT count(*) FROM ex)),
+    |  (4, 'near_dedup', (SELECT count(*) FROM nr)),
+    |  (5, 'decontam', (SELECT count(*) FROM dc)),
+    |  (6, 'mixture', (SELECT c FROM smp))) AS t(stage_idx, stage, n_docs)
     |ORDER BY stage_idx""".stripMargin
 
   /** p03: the datasheet rollup — one scan, one ROLLUP aggregate; the

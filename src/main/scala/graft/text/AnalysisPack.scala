@@ -562,6 +562,30 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("lang"), col("rk"))
   }
 
+  /** The a20 shape as a reusable PIPELINE STAGE: cap each `lang` group
+    * of any (doc_id, lang, text, …) frame at its top `n` rows by
+    * (round(quality, 6) desc, doc_id), preserving every input column.
+    * This is the form lifecycle entry points route through — the
+    * [[TopNThreshold]] prefilter means a dominant language never
+    * funnels its whole corpus through one rank partition; the plain
+    * full-window a16 stays the declared contrast surface. Identical
+    * membership to the full window by the a20 equality argument. */
+  private[graft] def capCorpusByQuality(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "cap must be positive")
+    val scored = graft.core.Caches.transient(
+      docs.withColumn("_q", round(TextAnalysis.qualityScore(col("text")), 6)))
+    val thr = scored.groupBy(col("lang"))
+      .agg(TopNThreshold.nth(n)(col("_q")).as("_q_nth"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("_q").desc, col("doc_id"))
+    scored.join(broadcast(thr), Seq("lang"))
+      .filter(col("_q") >= col("_q_nth"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_q", "_q_nth", "_rk")
+  }
+
   /** a18: cross-source n-gram overlap matrix — the datasheet table
     * every multi-source corpus publishes (e.g. the component-overlap
     * audits in Pile/Dolma-style datasheets): for each source pair,

@@ -94,15 +94,54 @@ class PipelineSpec extends AnyFunSuite {
   test("corpus-prep funnel is monotone and every stage does real work") {
     val rows = graft.pipeline.Lifecycles.corpusPrep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-    assert(rows.map(_._2).toSeq == Seq("raw", "quality", "exact_dedup",
-      "near_dedup", "decontam", "mixture"))
+    assert(rows.map(_._2).toSeq == Seq("raw", "quality", "lang_cap",
+      "exact_dedup", "near_dedup", "decontam", "mixture"))
     val counts = rows.map(_._3)
     assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
       s"funnel not monotone: ${counts.toSeq}")
     assert(counts.head == 650, "raw = documents + planted dups")
     assert(counts.last > 0)
-    // dedup stages must actually remove the planted duplicates
-    assert(counts(2) < counts(1) && counts(3) < counts(2))
+    // the cap must BIND (en is ~42% of the synthetic mix) and the
+    // dedup stages must still remove planted duplicates
+    assert(counts(2) < counts(1), "language cap did not bind")
+    assert(counts(3) < counts(2) && counts(4) < counts(3))
+  }
+
+  test("lang cap routes through the a20 threshold-prefilter shape and " +
+      "respects the median budget per language") {
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id"), col("lang"), col("text"), col("source"))
+    val capped = graft.pipeline.Lifecycles.langBalanceCap(docs)
+    // plan assertion: the bounded NthLargest aggregate (a20's
+    // TopNThreshold) must be in the plan — the funnel's default is
+    // the skew-safe shape, never the bare full window
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("nthlargest") || plan.contains("NthLargest"),
+      s"lang cap is not routed through TopNThreshold:\n$plan")
+    // budget: lower-median per-lang count of the input
+    val inCounts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy { case (l, c) => (c, l) }
+    val cap = inCounts((inCounts.length + 1) / 2 - 1)._2
+    val outCounts = capped.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    inCounts.foreach { case (lang, n) =>
+      assert(outCounts(lang) == math.min(n, cap),
+        s"lang $lang: expected min($n, $cap), got ${outCounts(lang)}")
+    }
+    // membership equality with the full-window form (a16's shape) on
+    // the same frame — the a20 equality argument, exercised here on a
+    // frame that carries extra columns through the stage
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("_q").desc, col("doc_id"))
+    val direct = docs
+      .withColumn("_q",
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_q", "_rk")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(capped.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      == direct)
   }
 
   test("corpus report: rollup is consistent and dup rate reflects planted copies") {

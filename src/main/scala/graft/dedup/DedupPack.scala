@@ -113,29 +113,48 @@ object DedupPack extends QueryPack {
       aug.filter(col("doc_id") >= 100000))
   }
 
+  /** Per-band minhash signatures of a (doc_id, text) relation — the
+    * PERSISTED-RELATION unit of the continuous-ingest story: the
+    * streaming gate ([[graft.streaming.Streams.dedupIngestGate]])
+    * appends each admitted batch's signatures to a parquet history
+    * table and never recomputes them. */
+  private[graft] def bandSigsOf(df: DataFrame, idName: String): DataFrame =
+    Dedup.minhashRows(
+        df.select(col("doc_id").as("id"),
+          explode(Dedup.shingles(col("text"), 3)).as("sh")), 12)
+      .withColumn("band", (col("seed") / 3).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("bandsig"))
+      .select(col("id").as(idName), col("band"), col("bandsig"))
+
   /** d19 core over explicit (history, batch) relations of
-    * (doc_id, text) — the seam a production ingest would call with
-    * its persisted history signature table upstream. */
+    * (doc_id, text) — derives the history state in-line, then runs
+    * [[incrementalMinhashAgainst]]. */
   private[graft] def incrementalMinhashOf(hist: DataFrame,
-                                          batch: DataFrame): DataFrame = {
-    def bandSigs(df: DataFrame, idName: String): DataFrame =
-      Dedup.minhashRows(
-          df.select(col("doc_id").as("id"),
-            explode(Dedup.shingles(col("text"), 3)).as("sh")), 12)
-        .withColumn("band", (col("seed") / 3).cast("int"))
-        .groupBy(col("id"), col("band"))
-        .agg(concat_ws(",",
-          transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-            s => s.getField("mh").cast("string"))).as("bandsig"))
-        .select(col("id").as(idName), col("band"), col("bandsig"))
+                                          batch: DataFrame): DataFrame =
+    incrementalMinhashAgainst(
+      bandSigsOf(hist, "hist_id"),
+      Dedup.hashedShingleRows(hist, col("doc_id"), col("text"), 3),
+      batch)
+
+  /** d19 over PREBUILT history state — `histSigs` (hist_id, band,
+    * bandsig) and `histShingles` (id, sh) are the persisted relations
+    * a production ingest maintains; only the batch's own signatures
+    * and shingles are computed here. Nothing rescans history text. */
+  private[graft] def incrementalMinhashAgainst(histSigs: DataFrame,
+                                               histShingles: DataFrame,
+                                               batch: DataFrame): DataFrame = {
     val cand = graft.core.Caches.transient(
-      bandSigs(batch, "doc_id")
-        .join(bandSigs(hist, "hist_id"), Seq("band", "bandsig"))
+      bandSigsOf(batch, "doc_id")
+        .join(histSigs.select(col("hist_id"), col("band"), col("bandsig")),
+          Seq("band", "bandsig"))
         .select(col("doc_id"), col("hist_id")).distinct())
     val bsh = graft.core.Caches.transient(
       Dedup.hashedShingleRows(batch, col("doc_id"), col("text"), 3))
     val hsh = graft.core.Caches.transient(
-      Dedup.hashedShingleRows(hist, col("doc_id"), col("text"), 3))
+      histShingles.select(col("id"), col("sh")))
     val inter = cand
       .join(bsh.select(col("id").as("doc_id"), col("sh")), Seq("doc_id"))
       .join(hsh.select(col("id").as("hist_id"), col("sh")), Seq("hist_id", "sh"))
@@ -167,6 +186,64 @@ object DedupPack extends QueryPack {
           .otherwise("new").as("status"))
       .orderBy(col("doc_id"))
   }
+
+  /** The composed continuous-ingest DEDUP GATE (s09's relation, the
+    * per-micro-batch body of the streaming gate): d16's exact digest
+    * screen first — 'dup_of_history' (digest already in the corpus),
+    * 'dup_in_batch' (an earlier batch doc owns the digest) — then
+    * d19's MinHash-LSH screen for the digest-new remainder —
+    * 'near_dup_of_history' at d02's 0.5 Jaccard, else 'new' (admit).
+    * Exact screens before fuzzy for the same reason d18 collapses
+    * before mining: a byte-identical copy must never reach signature
+    * computation. History arrives as its PERSISTED derived relations
+    * (digest set, band signatures, hashed shingles) — per batch,
+    * history text is never rescanned and history signatures never
+    * recomputed. */
+  private[graft] def dedupGateAgainst(histDigests: DataFrame,
+                                      histSigs: DataFrame,
+                                      histShingles: DataFrame,
+                                      batch: DataFrame): DataFrame = {
+    val b = graft.core.Caches.transient(
+      batch.select(col("doc_id"), col("text"), md5(col("text")).as("h")))
+    val firstInBatch = b.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    val hd = histDigests.select(col("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val ex = graft.core.Caches.transient(
+      b.join(hd, Seq("h"), "left")
+        .join(firstInBatch, Seq("h"))
+        .select(col("doc_id"), col("text"),
+          when(coalesce(col("in_hist"), lit(false)), "dup_of_history")
+            .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
+            .otherwise("exact_new").as("ex_status")))
+    val fz = incrementalMinhashAgainst(histSigs, histShingles,
+      ex.filter(col("ex_status") === "exact_new")
+        .select(col("doc_id"), col("text")))
+    ex.select(col("doc_id"), col("ex_status"))
+      .join(fz.select(col("doc_id"), col("best_hist_id"),
+        col("best_jaccard"), col("status").as("fz_status")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("ex_status") =!= "exact_new", col("ex_status"))
+          .otherwise(col("fz_status")).as("status"),
+        when(col("ex_status") =!= "exact_new", lit(-1L))
+          .otherwise(coalesce(col("best_hist_id"), lit(-1L)))
+          .as("best_hist_id"),
+        when(col("ex_status") =!= "exact_new", lit(0.0))
+          .otherwise(coalesce(col("best_jaccard"), lit(0.0)))
+          .as("best_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dedupGateAgainst]] with history state derived in-line from a
+    * (doc_id, text) history relation — the batch twin's entry. */
+  private[graft] def dedupGateOf(hist: DataFrame,
+                                 batch: DataFrame): DataFrame =
+    dedupGateAgainst(
+      hist.select(md5(col("text")).as("h")),
+      bandSigsOf(hist, "hist_id"),
+      Dedup.hashedShingleRows(hist, col("doc_id"), col("text"), 3),
+      batch)
 
   /** Session-scoped Jaccard-pair artifact: d02 reports the pairs, d08
     * resolves them into groups — one mining pass serves both (the
@@ -655,7 +732,7 @@ object DedupPack extends QueryPack {
       "aug_ivf_assign" -> ((s, d) => augIvfArtifacts(s, d)._2))
 
   /** Shared SQL: distinct 3-gram shingle rows over `aug`. */
-  private val shingleSql = """
+  private[graft] val shingleSql = """
     |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
     |    ELSE regexp_split_to_array(trim(text), '\s+') END AS words FROM aug),
     |sh AS (SELECT DISTINCT doc_id AS id, s AS sh
@@ -680,7 +757,7 @@ object DedupPack extends QueryPack {
 
   /** Distinct (id, hashed shingle) — the join-key relation both
     * Jaccard oracles read. */
-  private val hashedShingleSql =
+  private[graft] val hashedShingleSql =
     s"""hsh AS (SELECT DISTINCT id, ${hv60("sh")} AS sh FROM sh)"""
 
   /** The minhash band-signature chain (32-bit base hash → 12-seed
@@ -688,7 +765,7 @@ object DedupPack extends QueryPack {
     * oracles so the LSH family cannot fork. Assumes the `sh` shingle
     * CTE in scope; interpolated into strings that stripMargin AFTER
     * interpolation, so no content line starts with a margin char. */
-  private val minhashBandsSql = s"""hb AS (SELECT id,
+  private[graft] val minhashBandsSql = s"""hb AS (SELECT id,
     |  CAST((strpos('0123456789abcdef', substr(md5(sh), 1, 1)) - 1) AS BIGINT) * 268435456
     |  + (strpos('0123456789abcdef', substr(md5(sh), 2, 1)) - 1) * 16777216
     |  + (strpos('0123456789abcdef', substr(md5(sh), 3, 1)) - 1) * 1048576

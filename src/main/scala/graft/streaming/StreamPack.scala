@@ -67,7 +67,26 @@ object StreamPack extends QueryPack {
     Streams.rateLimitBatch(Tables(spark, dir).events, 5)
       .orderBy(col("user_id"), col("admit_seq"))
 
+  /** s09: the continuous-ingest DEDUP GATE's batch twin
+    * ([[graft.dedup.DedupPack.dedupGateOf]] — d16's exact digest
+    * screen composed with d19's MinHash screen): history = augmented
+    * ids < 300, the arriving batch = everything else, so all the
+    * interesting verdicts carry real rows — the planted exact copies
+    * read 'dup_of_history', the planted near copies
+    * 'near_dup_of_history', the remaining base documents 'new'. The
+    * streaming form ([[Streams.dedupIngestGate]]) runs the identical
+    * relation per micro-batch against the persisted history tables;
+    * the StreamingSpec pins stream ≡ batch across micro-batch
+    * boundaries and across a checkpoint restart. */
+  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.dedup.DedupPack.augmented(spark, dir)
+    graft.dedup.DedupPack.dedupGateOf(
+      aug.filter(col("doc_id") < 300),
+      aug.filter(col("doc_id") >= 300))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s09_dedup_gate" -> dedupGate,
     "s08_rate_limit" -> rateLimit,
     "s07_ingest_gate" -> ingestGate,
     "s01_tumbling_counts" -> tumbling,
@@ -81,6 +100,47 @@ object StreamPack extends QueryPack {
   private val stopAll = graft.text.TextAnalysis.defaultProfiles.flatMap(_._2)
 
   val oracles: Map[String, String] = Map(
+    "s09_dedup_gate" -> s"""
+      |WITH ${graft.dedup.DedupPack.augmentedSql},
+      |${graft.dedup.DedupPack.shingleSql},
+      |${graft.dedup.DedupPack.hashedShingleSql},
+      |${graft.dedup.DedupPack.minhashBandsSql},
+      |hd AS (SELECT DISTINCT md5(text) AS h FROM aug WHERE doc_id < 300),
+      |b AS (SELECT doc_id, md5(text) AS h FROM aug WHERE doc_id >= 300),
+      |fb AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
+      |ex AS (SELECT b.doc_id,
+      |    CASE WHEN hd.h IS NOT NULL THEN 'dup_of_history'
+      |         WHEN b.doc_id <> fb.first_id THEN 'dup_in_batch'
+      |         ELSE 'exact_new' END AS ex_status
+      |  FROM b JOIN fb ON fb.h = b.h LEFT JOIN hd ON hd.h = b.h),
+      |sv AS (SELECT doc_id FROM ex WHERE ex_status = 'exact_new'),
+      |cand AS (SELECT DISTINCT bb.id AS doc_id, hh.id AS hist_id
+      |  FROM bands bb JOIN bands hh ON bb.band = hh.band AND bb.bandsig = hh.bandsig
+      |  JOIN sv ON sv.doc_id = bb.id
+      |  WHERE hh.id < 300),
+      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+      |iv AS (SELECT c.doc_id, c.hist_id, count(*) AS inter
+      |  FROM cand c JOIN hsh a ON a.id = c.doc_id
+      |  JOIN hsh h2 ON h2.id = c.hist_id AND h2.sh = a.sh
+      |  GROUP BY 1, 2),
+      |jc AS (SELECT c.doc_id, c.hist_id,
+      |    CAST(coalesce(iv.inter, 0) AS DOUBLE)
+      |      / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE) AS jac
+      |  FROM cand c LEFT JOIN iv ON iv.doc_id = c.doc_id AND iv.hist_id = c.hist_id
+      |  JOIN sizes sa ON sa.id = c.doc_id JOIN sizes sb ON sb.id = c.hist_id),
+      |bst AS (SELECT doc_id, hist_id, jac,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, hist_id) AS rn
+      |  FROM jc)
+      |SELECT ex.doc_id,
+      |  CASE WHEN ex.ex_status <> 'exact_new' THEN ex.ex_status
+      |       WHEN coalesce(b2.jac, 0.0) >= 0.5 THEN 'near_dup_of_history'
+      |       ELSE 'new' END AS status,
+      |  CAST(CASE WHEN ex.ex_status <> 'exact_new' THEN -1
+      |       ELSE coalesce(b2.hist_id, -1) END AS BIGINT) AS best_hist_id,
+      |  CASE WHEN ex.ex_status <> 'exact_new' THEN 0.0
+      |       ELSE round(coalesce(b2.jac, 0.0), 6) END AS best_jaccard
+      |FROM ex LEFT JOIN bst b2 ON b2.doc_id = ex.doc_id AND b2.rn = 1
+      |ORDER BY ex.doc_id""".stripMargin,
     "s07_ingest_gate" -> s"""
       |WITH ${graft.dedup.DedupPack.augmentedSql},
       |w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []

@@ -160,6 +160,114 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spark.table("gate_out").count() > 0)
   }
 
+  test("dedup ingest gate: per-micro-batch d16+d19 screens equal the batch twin") {
+    import org.apache.spark.sql.types._
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    val watchDir = Files.createTempDirectory("graft_dgate_in").toString
+    val outDir = Files.createTempDirectory("graft_dgate_out").toString + "/decisions"
+    val histDir = Files.createTempDirectory("graft_dgate_hist").toString + "/hist"
+    // history first, then the batch side split over TWO further files —
+    // maxFilesPerTrigger=1 makes three micro-batches, so the fuzzy
+    // screen's history state really crosses batch boundaries
+    aug.filter(col("doc_id") < 300).coalesce(1)
+      .write.mode("overwrite").parquet(watchDir)
+    aug.filter(col("doc_id") >= 300 && col("doc_id") < 100000).coalesce(1)
+      .write.mode("append").parquet(watchDir)
+    aug.filter(col("doc_id") >= 100000).coalesce(1)
+      .write.mode("append").parquet(watchDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = Streams.dedupIngestGate(spark, watchDir, schema, outDir, histDir,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val dec = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+    // batch 0 = the history file against EMPTY state: all distinct
+    // base docs admit as new
+    assert(dec.filter(col("doc_id") < 300 && col("status") === "new").count() == 300)
+    // the batch side's decisions equal the one-shot batch twin (s09)
+    val streamed = dec.filter(col("doc_id") >= 300)
+      .select(col("doc_id"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.streaming.StreamPack.dedupGate(spark, sf)
+      .select(col("doc_id"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    // the history tables carry exactly the admitted documents
+    val admitted = dec.filter(col("status") === "new")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val sigIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(histDir + "/sigs")
+      .select(col("hist_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(sigIds == admitted,
+      s"signature table ${sigIds.size} ids vs ${admitted.size} admitted")
+  }
+
+  test("dedup ingest gate: checkpoint recovery carries decision AND " +
+      "signature-table state exactly-once") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    def txt(seed: String): String = (1 to 20).map(i => seed + i).mkString(" ")
+    def nearOf(seed: String): String =
+      ((1 to 19).map(i => seed + i) :+ "zzz").mkString(" ")
+    val watchDir = Files.createTempDirectory("graft_dgater_in").toString
+    val outDir = Files.createTempDirectory("graft_dgater_out").toString + "/decisions"
+    val histDir = Files.createTempDirectory("graft_dgater_hist").toString + "/hist"
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def drop(rows: Seq[(Long, String)], name: String): Unit = {
+      val tmp = Files.createTempDirectory("graft_dgater_b").toString
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.list(java.nio.file.Paths.get(tmp)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(watchDir, name + p.getFileName)))
+    }
+    def run(): Unit = {
+      val q = Streams.dedupIngestGate(spark, watchDir, schema, outDir,
+        histDir, maxFilesPerTrigger = 1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // run 1: two fresh history docs admit
+    drop(Seq(1L -> txt("alpha"), 2L -> txt("beta")), "a_")
+    run()
+    // mid-feed arrival + RESTART on the same checkpoint: an exact copy
+    // of doc 1, a fresh doc, its same-batch twin, a near copy of doc 2
+    drop(Seq(10L -> txt("alpha"), 11L -> txt("gamma"),
+      12L -> txt("gamma"), 13L -> nearOf("beta")), "b_")
+    run()
+    // second restart: screens against state ADMITTED BY THE PREVIOUS
+    // RUN'S batch — exact copy of 11, near copy of 11, copy of the
+    // rejected 12 (whose content is 11's, admitted)
+    drop(Seq(20L -> txt("gamma"), 21L -> nearOf("gamma"),
+      22L -> txt("gamma")), "c_")
+    run()
+    val dec = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .select(col("doc_id"), col("status"), col("best_hist_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // exactly-once across two restarts: 9 decisions, no doc twice
+    assert(dec.length == 9 && dec.map(_._1).distinct.length == 9,
+      s"expected 9 exactly-once decisions, got ${dec.toSeq}")
+    val status = dec.map(d => d._1 -> d._2).toMap
+    assert(status == Map(1L -> "new", 2L -> "new",
+      10L -> "dup_of_history", 11L -> "new", 12L -> "dup_in_batch",
+      13L -> "near_dup_of_history",
+      20L -> "dup_of_history", 21L -> "near_dup_of_history",
+      22L -> "dup_of_history"), s"got $status")
+    // the fuzzy matches point at the right history docs — doc 13 at
+    // run-1 state, doc 21 at state admitted AFTER the first restart
+    val best = dec.map(d => d._1 -> d._3).toMap
+    assert(best(13L) == 2L && best(21L) == 11L)
+    // signature/digest tables hold exactly the admitted docs' state
+    val sigIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(histDir + "/sigs")
+      .select(col("hist_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(1L, 2L, 11L))
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(histDir + "/digests").distinct().count() == 3)
+  }
+
   test("rate-limit gate: flatMapGroupsWithState carries per-user counts across batches") {
     val dir = Files.createTempDirectory("graft_ratestream").toString
     val ev = Tables(spark, sf).events

@@ -37,17 +37,24 @@ object Ingest {
   /** S1-S3 + P10/P11: scan the per-channel csv glob (headerless, one
     * text column per page) into the standard page table.
     *
-    * `lineOrder` note: CSV files carry no intrinsic row order column, so
-    * page order within a file is the file's physical line order; we use
-    * a per-file window over a monotonic id, which preserves scan order
-    * per file because each small CSV is read by a single task.
-    */
+    * `lineOrder` note: CSV files carry no intrinsic row order column,
+    * so page order within a file is the file's physical line order.
+    * The read sets `multiLine=true`, which makes the CSV reader
+    * NON-SPLITTABLE — every file is one split read start-to-finish by
+    * one task at ANY file size, so the per-file monotonic-id window
+    * below is line order by construction. Without it a file larger
+    * than `spark.sql.files.maxPartitionBytes` splits into several
+    * partitions whose ids are assigned in size-packed (not offset)
+    * order, silently scrambling `PE_num`. The cost is intra-file
+    * parallelism on huge single files — the page corpus is
+    * many-small-files, where parallelism comes from file count. */
   def readPages(spark: SparkSession, root: String,
                 channels: Seq[String] = Seq("EML", "FAX", "WIN", "SCN")): DataFrame = {
     val paths = channels.map(c => s"$root/$c/*.csv")
     val raw = spark.read
       .schema("text STRING")
       .option("pathGlobFilter", "*.csv")
+      .option("multiLine", true)
       .csv(paths: _*)
       .select(
         col("text"),

@@ -207,6 +207,30 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe mmshards` — the mm05 shard-budget
+    // sweep: the committed claim is that the test-scale 4 KB budget's
+    // directory fan-out (~450 dirs at 1x, ~4,500 at 10x) collapses at
+    // production budgets; measure write + read-back wall and the
+    // directory count across budgets instead of arguing it. Run with
+    // SPARK_GRAFT_SF_DIR at 1x and at the 10x corpus for PERF.md.
+    if (args.contains("mmshards")) {
+      import graft.multimodal.MultimodalPack
+      for (budget <- Seq(4096L, 65536L, 1048576L)) {
+        val t0 = System.nanoTime()
+        val out = MultimodalPack.shardedWriteDir(spark, sfDir, budget)
+        val wrote = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val n = spark.read.parquet(out).count()
+        val readS = (System.nanoTime() - t1) / 1e9
+        val dirs = Option(new java.io.File(out).listFiles()).fold(0)(
+          _.count(f => f.isDirectory && f.getName.startsWith("shard_id=")))
+        println(f"MMSHARDS budget=$budget dirs=$dirs rows=$n " +
+          f"write=$wrote%.2f s readback=$readS%.2f s")
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe crossover` — the d10/d05 band-width
     // crossover measurement: banded vs all-pairs wall time on 1× and
     // a 10×-unioned corpus (distinct ids, duplicated text — realistic

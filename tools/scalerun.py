@@ -36,6 +36,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
+# per-leg scratch (line/detail per tag, subset-probe scale artifacts)
+# lives under legs/ so the repo ROOT keeps only the committed surface:
+# BENCH_FULL + BENCH_r* + SCALE_r* + CORRECTNESS_r*
+LEGS = os.path.join(REPO, "legs")
 
 
 def sbt_run(main, env_extra):
@@ -51,8 +55,9 @@ def sbt_run(main, env_extra):
 
 
 def bench(sf_dir, tag, reuse=False, only=None):
-    line_path = os.path.join(REPO, f"BENCH_LINE_{tag}.json")
-    detail_path = os.path.join(REPO, f"BENCH_DETAIL_{tag}.json")
+    os.makedirs(LEGS, exist_ok=True)
+    line_path = os.path.join(LEGS, f"BENCH_LINE_{tag}.json")
+    detail_path = os.path.join(LEGS, f"BENCH_DETAIL_{tag}.json")
     if reuse:
         # --reuse-bench: re-aggregate from a prior run's saved leg
         # files (e.g. after fixing the aggregation) without paying
@@ -212,7 +217,7 @@ def main():
         # the raw-line format (pre-round-8 json.dump reformatting) —
         # restoring such a leg would break BENCH_FULL's byte-format
         # contract, so validate the format and skip loudly instead.
-        leg_path = os.path.join(REPO, f"BENCH_LINE_{leg1}.json")
+        leg_path = os.path.join(LEGS, f"BENCH_LINE_{leg1}.json")
         with open(leg_path, "rb") as f:
             raw_leg = f.read()
         if (raw_leg.startswith(b'{"metric"') and raw_leg.endswith(b"}\n")
@@ -229,7 +234,10 @@ def main():
     suffix = "" if args.factor == 10 else f"_{args.factor}x"
     if args.only and not suffix:
         suffix = "_only"
-    path = os.path.join(REPO, f"SCALE_r{args.round:02d}{suffix}.json")
+    # subset probes are scratch — keep them out of the committed root
+    root = LEGS if args.only else REPO
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"SCALE_r{args.round:02d}{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")

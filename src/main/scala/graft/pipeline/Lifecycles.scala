@@ -269,22 +269,25 @@ object Lifecycles {
     * documents, ranked by (round(quality, 6) desc, doc_id).
     *
     * Routing decision (the v19-vs-v13 pattern): this entry point goes
-    * through [[graft.text.AnalysisPack.capCorpusByQuality]] — the
-    * TopNThreshold bounded aggregate + broadcast threshold prefilter +
+    * through [[graft.text.AnalysisPack.capCorpusByQualityCollapsed]]
+    * — the collapsed-count threshold + broadcast prefilter +
     * rank-over-survivors composition — NEVER the plain a16 window,
     * which at 100 TB funnels a dominant language (en is ~42% of even
-    * this synthetic mix) through one rank partition. The spec
-    * plan-asserts the NthLargest aggregate is present and pins
-    * per-lang output ≤ cap; the count collect is |langs| rows. */
+    * this synthetic mix) through one rank partition; and NOT the
+    * TopNThreshold buffer either, whose O(budget) state is right for
+    * a20's constant cap but degrades when the budget grows with the
+    * corpus (measured: the 30× funnel at 9.4× through TopNThreshold,
+    * 22k-element buffers). The spec plan-asserts the threshold
+    * prefilter join and pins per-lang output ≤ cap; the count collect
+    * is |langs| rows. */
   private[graft] def langBalanceCap(docs: DataFrame): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(counts.nonEmpty, "langBalanceCap on an empty corpus")
     val sorted = counts.sortBy { case (l, c) => (c, l) }
     val cap = sorted((sorted.length + 1) / 2 - 1)._2
-    require(cap > 0 && cap <= Int.MaxValue,
-      s"degenerate language-count median: $cap")
-    graft.text.AnalysisPack.capCorpusByQuality(docs, cap.toInt)
+    require(cap > 0, s"degenerate language-count median: $cap")
+    graft.text.AnalysisPack.capCorpusByQualityCollapsed(docs, cap)
   }
 
   /** p03: the corpus DATASHEET (Gebru et al. 2021, "Datasheets for

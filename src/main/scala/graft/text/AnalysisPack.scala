@@ -586,6 +586,48 @@ object AnalysisPack extends QueryPack {
       .drop("_q", "_q_nth", "_rk")
   }
 
+  /** [[capCorpusByQuality]] for DATA-DERIVED, corpus-proportional
+    * budgets — same result, different bounded aggregate. The
+    * [[TopNThreshold]] order statistic carries an n-sized buffer and
+    * pays O(n) per accepted row, which is exactly right for a
+    * constant cap (a20's 50) and exactly wrong when the budget GROWS
+    * with the corpus (the funnel's median-count budget: ~22k per
+    * language at the 30× leg, millions at 100 TB — the round-10 30×
+    * run measured the funnel at 9.4× before this form). Here the
+    * n-th quality comes from the 6-dp-COLLAPSED per-(lang, quality)
+    * counts: one map-side-combining groupBy to ≤ 1,000,001 rows per
+    * language (the m14/x04 collapse discipline), a cumulative window
+    * over that bounded relation, threshold = the largest quality
+    * whose descending cumulative count reaches n — identically the
+    * n-th largest value counting duplicates, so the prefilter,
+    * tie-keeping, and rank-over-survivors semantics match
+    * [[capCorpusByQuality]] exactly (spec-pinned). State is bounded
+    * by the VALUE DOMAIN, not the budget. */
+  private[graft] def capCorpusByQualityCollapsed(docs: DataFrame,
+                                                 n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "cap must be positive")
+    val scored = graft.core.Caches.transient(
+      docs.withColumn("_q", round(TextAnalysis.qualityScore(col("text")), 6)))
+    val qcounts = scored.groupBy(col("lang"), col("_q"))
+      .agg(count(lit(1)).as("_c"))
+    val wq = Window.partitionBy(col("lang")).orderBy(col("_q").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = qcounts.withColumn("_cum", sum(col("_c")).over(wq))
+      .filter(col("_cum") >= n)
+      .groupBy(col("lang")).agg(max(col("_q")).as("_q_nth"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("_q").desc, col("doc_id"))
+    // an under-full language has no quality reaching cumulative n —
+    // absent from thr — and keeps everything (the -Infinity contract)
+    scored.join(broadcast(thr), Seq("lang"), "left")
+      .filter(col("_q") >=
+        coalesce(col("_q_nth"), lit(Double.NegativeInfinity)))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_q", "_q_nth", "_rk")
+  }
+
   /** a18: cross-source n-gram overlap matrix — the datasheet table
     * every multi-source corpus publishes (e.g. the component-overlap
     * audits in Pile/Dolma-style datasheets): for each source pair,

@@ -112,12 +112,13 @@ class PipelineSpec extends AnyFunSuite {
     val docs = graft.core.Tables(spark, sf).documents
       .select(col("doc_id"), col("lang"), col("text"), col("source"))
     val capped = graft.pipeline.Lifecycles.langBalanceCap(docs)
-    // plan assertion: the bounded NthLargest aggregate (a20's
-    // TopNThreshold) must be in the plan — the funnel's default is
-    // the skew-safe shape, never the bare full window
+    // plan assertion: the threshold-prefilter composition must be in
+    // the plan — the broadcast _q_nth join feeding the quality filter
+    // — so the funnel's default is the skew-safe shape, never the
+    // bare full window over the raw corpus
     val plan = capped.queryExecution.executedPlan.toString
-    assert(plan.contains("nthlargest") || plan.contains("NthLargest"),
-      s"lang cap is not routed through TopNThreshold:\n$plan")
+    assert(plan.contains("_q_nth"),
+      s"lang cap is not routed through the threshold prefilter:\n$plan")
     // budget: lower-median per-lang count of the input
     val inCounts = docs.groupBy(col("lang")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy { case (l, c) => (c, l) }
@@ -142,6 +143,13 @@ class PipelineSpec extends AnyFunSuite {
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
     assert(capped.select(col("doc_id")).collect().map(_.getLong(0)).toSet
       == direct)
+    // the collapsed-count threshold and the TopNThreshold buffer are
+    // the same order statistic — pin the two cap forms equal here so
+    // neither can drift from the other
+    val viaBuffer = graft.text.AnalysisPack
+      .capCorpusByQuality(docs, cap.toInt)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaBuffer == direct)
   }
 
   test("corpus report: rollup is consistent and dup rate reflects planted copies") {

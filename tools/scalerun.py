@@ -234,8 +234,10 @@ def main():
     suffix = "" if args.factor == 10 else f"_{args.factor}x"
     if args.only and not suffix:
         suffix = "_only"
-    # subset probes are scratch — keep them out of the committed root
-    root = LEGS if args.only else REPO
+    # default-factor subset probes are scratch — keep them out of the
+    # committed root; a non-default factor (the 30x production-defaults
+    # leg) is a committed per-round artifact even though it runs --only
+    root = LEGS if (args.only and args.factor == 10) else REPO
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"SCALE_r{args.round:02d}{suffix}.json")
     with open(path, "w") as f:

@@ -32,7 +32,8 @@ object ExplainAudit {
         "l11_mmr_rerank", "m13_paired_compare", "r19_cube_orders",
         "a22_source_dedup_rate", "l12_token_f1",
         "t12_bpe_fertility", "m14_roc_auc",
-        "m15_pr_auc", "d20_pair_band_counts", "s09_dedup_gate")
+        "m15_pr_auc", "d20_pair_band_counts", "s09_dedup_gate",
+        "m16_risk_coverage")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -359,7 +359,44 @@ object MetricsPack extends QueryPack {
         .as("baseline"))
   }
 
+  /** Auto-processing thresholds for the m16 risk–coverage table.
+    * Built as i/100.0 so the DuckDB grid (CAST(i AS DOUBLE)/100.0)
+    * lands on bit-identical doubles — i·0.05 would not. */
+  private val RiskThresholdCents: Seq[Int] = 50 to 95 by 5
+
+  /** m16: RISK–COVERAGE table — the reference's STP/HITL routing
+    * made quantitative (`validation_confirmation_feedback.py:125-134`
+    * routes on a confirmation decision; production gates route on
+    * CALIBRATED CONFIDENCE): at each threshold t, documents with
+    * top-1 confidence ≥ t auto-process (STP) and the rest go to human
+    * review — the selective-prediction coverage/selective-accuracy
+    * tradeoff (Geifman & El-Yaniv 2017). One pass: a broadcast
+    * 10-row threshold grid crossJoin, map-side-combining conditional
+    * sums to ≤ |grid| rows per partition; every reported ratio is a
+    * single IEEE division of exact integers (bit-equal in DuckDB). */
+  def riskCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ci = calibInput(spark, dir)
+    val grid = RiskThresholdCents.map(_ / 100.0).toDF("threshold")
+    ci.crossJoin(broadcast(grid))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("prob") >= col("threshold"), 1L).otherwise(0L))
+          .as("n_auto"),
+        sum(when(col("prob") >= col("threshold"), col("y")).otherwise(0L))
+          .as("correct_auto"))
+      .select(col("threshold"),
+        col("n_auto"), (col("n") - col("n_auto")).as("n_hitl"),
+        round(col("n_auto").cast("double") / col("n").cast("double"), 9)
+          .as("coverage"),
+        when(col("n_auto") > 0,
+          round(col("correct_auto").cast("double") /
+            col("n_auto").cast("double"), 9)).as("acc_auto"))
+      .orderBy(col("threshold"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_risk_coverage" -> riskCoverage,
     "m15_pr_auc" -> prAuc,
     "m14_roc_auc" -> rocAuc,
     "m13_paired_compare" -> pairedCompare,
@@ -451,6 +488,23 @@ object MetricsPack extends QueryPack {
       " WHEN u < 0.999916758850712 THEN 6 ELSE 7 END"
 
   val oracles: Map[String, String] = Map(
+    "m16_risk_coverage" -> s"""
+      |WITH $predsCte,
+      |ci AS (SELECT round((1.0 + sim) / 2.0, 6) AS prob,
+      |         CASE WHEN t = p THEN 1 ELSE 0 END AS y FROM p1),
+      |g AS (SELECT CAST(i AS DOUBLE) / 100.0 AS threshold
+      |      FROM generate_series(50, 95, 5) s(i)),
+      |agg AS (SELECT threshold, count(*) AS n,
+      |    sum(CASE WHEN prob >= threshold THEN 1 ELSE 0 END) AS n_auto,
+      |    sum(CASE WHEN prob >= threshold THEN y ELSE 0 END) AS correct_auto
+      |  FROM ci, g GROUP BY threshold)
+      |SELECT threshold, CAST(n_auto AS BIGINT) AS n_auto,
+      |  CAST(n - n_auto AS BIGINT) AS n_hitl,
+      |  round(CAST(n_auto AS DOUBLE) / CAST(n AS DOUBLE), 9) AS coverage,
+      |  CASE WHEN n_auto > 0 THEN
+      |    round(CAST(correct_auto AS DOUBLE) / CAST(n_auto AS DOUBLE), 9)
+      |  END AS acc_auto
+      |FROM agg ORDER BY threshold""".stripMargin,
     "m15_pr_auc" -> s"""
       |WITH $predsCte,
       |ci AS (SELECT CAST(round((1.0 + sim) / 2.0, 6) AS DECIMAL(18,6)) AS pp,

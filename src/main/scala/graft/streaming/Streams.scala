@@ -312,7 +312,11 @@ object Streams {
                     .toOption.exists(_ < batchId)
               }
             if (dirs.isEmpty) empty
-            else spark.read.parquet(dirs.map(_.toString): _*)
+            // explicit schema: a batch that admitted ZERO docs leaves
+            // a part-file-less directory, and schema inference over
+            // only such dirs would fail — the state schema is known
+            else spark.read.schema(empty.schema)
+              .parquet(dirs.map(_.toString): _*)
           }
         }
         val digests = priorState("digests",

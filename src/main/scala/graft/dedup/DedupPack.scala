@@ -142,17 +142,24 @@ object DedupPack extends QueryPack {
   /** d19 over PREBUILT history state — `histSigs` (hist_id, band,
     * bandsig) and `histShingles` (id, sh) are the persisted relations
     * a production ingest maintains; only the batch's own signatures
-    * and shingles are computed here. Nothing rescans history text. */
+    * and shingles are computed here (or passed in prebuilt, when the
+    * caller also needs them — the streaming gate computes ONE
+    * signature pass and shares it between the screen and the
+    * history append). Nothing rescans history text. */
   private[graft] def incrementalMinhashAgainst(histSigs: DataFrame,
                                                histShingles: DataFrame,
-                                               batch: DataFrame): DataFrame = {
+                                               batch: DataFrame,
+                                               batchSigs: Option[DataFrame] = None,
+                                               batchShingles: Option[DataFrame] = None)
+      : DataFrame = {
     val cand = graft.core.Caches.transient(
-      bandSigsOf(batch, "doc_id")
+      batchSigs.getOrElse(bandSigsOf(batch, "doc_id"))
         .join(histSigs.select(col("hist_id"), col("band"), col("bandsig")),
           Seq("band", "bandsig"))
         .select(col("doc_id"), col("hist_id")).distinct())
     val bsh = graft.core.Caches.transient(
-      Dedup.hashedShingleRows(batch, col("doc_id"), col("text"), 3))
+      batchShingles.getOrElse(
+        Dedup.hashedShingleRows(batch, col("doc_id"), col("text"), 3)))
     val hsh = graft.core.Caches.transient(
       histShingles.select(col("id"), col("sh")))
     val inter = cand
@@ -202,9 +209,28 @@ object DedupPack extends QueryPack {
   private[graft] def dedupGateAgainst(histDigests: DataFrame,
                                       histSigs: DataFrame,
                                       histShingles: DataFrame,
-                                      batch: DataFrame): DataFrame = {
+                                      batch: DataFrame): DataFrame =
+    dedupGateWithState(histDigests, histSigs, histShingles, batch)._1
+
+  /** [[dedupGateAgainst]] plus the ADMITTED documents' derived state
+    * relations — (decisions, new digests (h), new band signatures
+    * (hist_id, band, bandsig), new hashed shingles (id, sh)) — so a
+    * streaming caller appends history state WITHOUT a second
+    * signature/shingle pass: the screen's own per-survivor relations
+    * are computed once (transient-cached) and filtered to the
+    * admitted ids for the append. A null text digests as the empty
+    * string (null ≡ "" for dedup identity — the digest join must
+    * never DROP a document the way a null join key silently would).
+    * Decisions are unordered — the s09 entry point adds its own
+    * orderBy; per-micro-batch consumers must not pay a global sort. */
+  private[graft] def dedupGateWithState(histDigests: DataFrame,
+                                        histSigs: DataFrame,
+                                        histShingles: DataFrame,
+                                        batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b = graft.core.Caches.transient(
-      batch.select(col("doc_id"), col("text"), md5(col("text")).as("h")))
+      batch.select(col("doc_id"), col("text"),
+        md5(coalesce(col("text"), lit(""))).as("h")))
     val firstInBatch = b.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_id"))
     val hd = histDigests.select(col("h")).distinct()
@@ -216,10 +242,16 @@ object DedupPack extends QueryPack {
           when(coalesce(col("in_hist"), lit(false)), "dup_of_history")
             .when(col("doc_id") =!= col("first_id"), "dup_in_batch")
             .otherwise("exact_new").as("ex_status")))
-    val fz = incrementalMinhashAgainst(histSigs, histShingles,
-      ex.filter(col("ex_status") === "exact_new")
-        .select(col("doc_id"), col("text")))
-    ex.select(col("doc_id"), col("ex_status"))
+    val survivors = ex.filter(col("ex_status") === "exact_new")
+      .select(col("doc_id"), col("text"))
+    // ONE signature/shingle pass over the digest-new docs, shared by
+    // the fuzzy screen and (filtered to admitted) the history append
+    val sSigs = graft.core.Caches.transient(bandSigsOf(survivors, "doc_id"))
+    val sSh = graft.core.Caches.transient(
+      Dedup.hashedShingleRows(survivors, col("doc_id"), col("text"), 3))
+    val fz = incrementalMinhashAgainst(histSigs, histShingles, survivors,
+      Some(sSigs), Some(sSh))
+    val decisions = ex.select(col("doc_id"), col("ex_status"))
       .join(fz.select(col("doc_id"), col("best_hist_id"),
         col("best_jaccard"), col("status").as("fz_status")),
         Seq("doc_id"), "left")
@@ -232,7 +264,15 @@ object DedupPack extends QueryPack {
         when(col("ex_status") =!= "exact_new", lit(0.0))
           .otherwise(coalesce(col("best_jaccard"), lit(0.0)))
           .as("best_jaccard"))
-      .orderBy(col("doc_id"))
+    val newIds = decisions.filter(col("status") === "new")
+      .select(col("doc_id"))
+    val newDigests = b.join(newIds, Seq("doc_id")).select(col("h"))
+    val newSigs = sSigs.join(newIds, Seq("doc_id"))
+      .select(col("doc_id").as("hist_id"), col("band"), col("bandsig"))
+    val newShingles = sSh
+      .join(newIds.select(col("doc_id").as("id")), Seq("id"))
+      .select(col("id"), col("sh"))
+    (decisions, newDigests, newSigs, newShingles)
   }
 
   /** [[dedupGateAgainst]] with history state derived in-line from a
@@ -240,7 +280,7 @@ object DedupPack extends QueryPack {
   private[graft] def dedupGateOf(hist: DataFrame,
                                  batch: DataFrame): DataFrame =
     dedupGateAgainst(
-      hist.select(md5(col("text")).as("h")),
+      hist.select(md5(coalesce(col("text"), lit(""))).as("h")),
       bandSigsOf(hist, "hist_id"),
       Dedup.hashedShingleRows(hist, col("doc_id"), col("text"), 3),
       batch)

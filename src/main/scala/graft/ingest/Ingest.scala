@@ -47,7 +47,17 @@ object Ingest {
     * partitions whose ids are assigned in size-packed (not offset)
     * order, silently scrambling `PE_num`. The cost is intra-file
     * parallelism on huge single files — the page corpus is
-    * many-small-files, where parallelism comes from file count. */
+    * many-small-files, where parallelism comes from file count.
+    *
+    * The files are RAW TEXT LINES, not quoted/delimited CSV (the
+    * reference's per-page files are one OCR'd page per line), so
+    * quoting and field splitting are disabled: under multiLine a
+    * page starting with an unbalanced double-quote would otherwise
+    * swallow every following line of the file into one record, and a
+    * comma in page text would split the single `text` column. quote
+    * = U+0000 and sep = U+0001 make the reader a faithful
+    * one-line-one-row scan (a page containing U+0001 itself is out
+    * of contract for OCR text). */
   def readPages(spark: SparkSession, root: String,
                 channels: Seq[String] = Seq("EML", "FAX", "WIN", "SCN")): DataFrame = {
     val paths = channels.map(c => s"$root/$c/*.csv")
@@ -55,6 +65,8 @@ object Ingest {
       .schema("text STRING")
       .option("pathGlobFilter", "*.csv")
       .option("multiLine", true)
+      .option("quote", "\u0000")
+      .option("sep", "\u0001")
       .csv(paths: _*)
       .select(
         col("text"),

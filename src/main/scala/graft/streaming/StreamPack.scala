@@ -80,9 +80,13 @@ object StreamPack extends QueryPack {
     * boundaries and across a checkpoint restart. */
   def dedupGate(spark: SparkSession, dir: String): DataFrame = {
     val aug = graft.dedup.DedupPack.augmented(spark, dir)
+    // the ordering is this oracle query's own concern — the shared
+    // gate relation stays unsorted so streaming micro-batches never
+    // pay a global sort
     graft.dedup.DedupPack.dedupGateOf(
-      aug.filter(col("doc_id") < 300),
-      aug.filter(col("doc_id") >= 300))
+        aug.filter(col("doc_id") < 300),
+        aug.filter(col("doc_id") >= 300))
+      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -293,7 +293,7 @@ object Streams {
     watchedFolder(spark, watchDir, schema, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import graft.dedup.{Dedup, DedupPack}
+        import graft.dedup.DedupPack
         val docs = batch.select(col("doc_id"), col("text")).persist()
         val conf = spark.sessionState.newHadoopConf()
         // state written by batches < batchId only (see scaladoc)
@@ -326,20 +326,20 @@ object Streams {
             lit(0).cast("int").as("band"), lit("").as("bandsig")))
         val shingles = priorState("shingles",
           spark.range(0).select(col("id"), col("id").as("sh")))
-        val decisions = DedupPack
-          .dedupGateAgainst(digests, sigs, shingles, docs).persist()
+        // the gate returns the admitted docs' derived state relations
+        // from ITS OWN signature pass — the append below re-reads
+        // cached frames, never recomputes minhashes or shingles
+        val (decisionsRaw, newDigests, newSigs, newShingles) = DedupPack
+          .dedupGateWithState(digests, sigs, shingles, docs)
+        val decisions = decisionsRaw.persist()
         decisions.write.mode("overwrite")
           .parquet(s"$outDir/batch=$batchId")
-        val admitted = docs.join(
-          decisions.filter(col("status") === "new").select(col("doc_id")),
-          Seq("doc_id")).persist()
-        admitted.select(md5(col("text")).as("h"))
+        newDigests
           .write.mode("overwrite").parquet(s"$histDir/digests/batch=$batchId")
-        DedupPack.bandSigsOf(admitted, "hist_id")
+        newSigs
           .write.mode("overwrite").parquet(s"$histDir/sigs/batch=$batchId")
-        Dedup.hashedShingleRows(admitted, col("doc_id"), col("text"), 3)
+        newShingles
           .write.mode("overwrite").parquet(s"$histDir/shingles/batch=$batchId")
-        admitted.unpersist()
         decisions.unpersist()
         docs.unpersist()
         graft.core.Caches.releaseTransients()

@@ -263,6 +263,23 @@ class DedupSpec extends AnyFunSuite {
       "replication must grow true-pair mass ~9x")
   }
 
+  test("dedup gate never drops a null-text document (null digests as empty)") {
+    import spark.implicits._
+    // md5(null) is null and a null join key silently vanishes from an
+    // inner join — the gate must digest null as "" so EVERY batch doc
+    // gets a decision
+    val hist = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batch = Seq((10L, null.asInstanceOf[String]), (11L, ""),
+      (12L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = DedupPack.dedupGateOf(hist, batch).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(10L, 11L, 12L), s"docs dropped: $out")
+    assert(out(12L) == "dup_of_history")
+    // null ≡ "" for dedup identity: the min-id arrival of the empty
+    // class admits, its twin is an in-batch duplicate
+    assert(out(10L) == "new" && out(11L) == "dup_in_batch", s"$out")
+  }
+
   test("d09 decontamination flags only train docs, with sane fractions") {
     val rows = DedupPack.decontamination(spark, sf).collect()
     assert(rows.nonEmpty, "word-soup vocabulary overlap should exist")

@@ -112,7 +112,15 @@ class HelperSpec extends AnyFunSuite {
     val dir = java.nio.file.Paths.get(root, "EML")
     java.nio.file.Files.createDirectories(dir)
     val n = 20000
-    val lines = (1 to n).map(i => s"line_$i")
+    // raw OCR-ish lines INCLUDING hostile content: an unbalanced
+    // leading double-quote (under default CSV quoting + multiLine it
+    // would swallow every following line into one record) and commas
+    // (default delimiter would split the single text column)
+    val lines = (1 to n).map {
+      case i if i % 7 == 0 => s""""line_$i unbalanced"""
+      case i if i % 3 == 0 => s"line_$i, with, commas"
+      case i => s"line_$i"
+    }
     java.nio.file.Files.write(dir.resolve("big.csv"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
@@ -124,7 +132,8 @@ class HelperSpec extends AnyFunSuite {
         .collect().map(r => r.getInt(0) -> r.getString(1))
       assert(pages.length == n)
       pages.foreach { case (pe, text) =>
-        assert(text == s"line_$pe", s"PE_num $pe carries '$text' — scrambled")
+        assert(text == lines(pe - 1),
+          s"PE_num $pe carries '$text', expected '${lines(pe - 1)}'")
       }
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }

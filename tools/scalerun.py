@@ -54,17 +54,28 @@ def sbt_run(main, env_extra):
     return proc.stdout
 
 
+def leg_file(name):
+    """Resolve a saved leg file: legs/ first, repo root as the legacy
+    fallback (legs written by pre-round-10 tooling live at the root —
+    --reuse-bench and the BENCH_FULL restore must keep working on
+    them)."""
+    p = os.path.join(LEGS, name)
+    legacy = os.path.join(REPO, name)
+    return p if os.path.exists(p) or not os.path.exists(legacy) else legacy
+
+
 def bench(sf_dir, tag, reuse=False, only=None):
     os.makedirs(LEGS, exist_ok=True)
+    # fresh legs always WRITE under legs/; only reads fall back
     line_path = os.path.join(LEGS, f"BENCH_LINE_{tag}.json")
     detail_path = os.path.join(LEGS, f"BENCH_DETAIL_{tag}.json")
     if reuse:
         # --reuse-bench: re-aggregate from a prior run's saved leg
         # files (e.g. after fixing the aggregation) without paying
         # two more full benches
-        with open(line_path) as f:
+        with open(leg_file(f"BENCH_LINE_{tag}.json")) as f:
             line = json.load(f)
-        with open(detail_path) as f:
+        with open(leg_file(f"BENCH_DETAIL_{tag}.json")) as f:
             detail = json.load(f)
         return line, detail
     if os.path.exists(DETAIL):
@@ -217,7 +228,7 @@ def main():
         # the raw-line format (pre-round-8 json.dump reformatting) —
         # restoring such a leg would break BENCH_FULL's byte-format
         # contract, so validate the format and skip loudly instead.
-        leg_path = os.path.join(LEGS, f"BENCH_LINE_{leg1}.json")
+        leg_path = leg_file(f"BENCH_LINE_{leg1}.json")
         with open(leg_path, "rb") as f:
             raw_leg = f.read()
         if (raw_leg.startswith(b'{"metric"') and raw_leg.endswith(b"}\n")

@@ -33,7 +33,7 @@ object ExplainAudit {
         "a22_source_dedup_rate", "l12_token_f1",
         "t12_bpe_fertility", "m14_roc_auc",
         "m15_pr_auc", "d20_pair_band_counts", "s09_dedup_gate",
-        "m16_risk_coverage")
+        "m16_risk_coverage", "d21_minhash_fidelity")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

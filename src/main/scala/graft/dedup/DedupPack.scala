@@ -413,6 +413,114 @@ object DedupPack extends QueryPack {
       .orderBy(col("band"))
   }
 
+  /** d21: MinHash ESTIMATOR-FIDELITY audit — the banding-tuning
+    * instrument for the whole LSH family: for every d03 candidate
+    * pair, the 12-seed match fraction is the unbiased Jaccard
+    * estimator (Broder 1997), and this report rolls up, per match
+    * count m ∈ 0..12 (zero-filled, the a13 absent-cell discipline),
+    * the TRUE pair count, the weighted mean exact Jaccard, and the
+    * weighted mean |m/12 − J| — the table a curator reads to decide
+    * whether 12 seeds × 4 bands screens tightly enough before
+    * raising either.
+    *
+    * Scale shape: the d20 exact-collapse front. Identical texts have
+    * identical signatures AND identical shingle sets, so (a) a
+    * member-pair candidate exists iff its representative pair is a
+    * candidate, with the same (m, J) — cross-class rows weight by
+    * m_a·m_b; (b) every intra-class pair is a candidate (all bands
+    * equal) at exactly m = 12, J = 1.0, error 0 — counted closed-form
+    * as c(c−1)/2 per class, no enumeration. Candidate mining and the
+    * exact verify run over the DISTINCT corpus only; output is ≤ 13
+    * rows at any scale. Weighted means go through 9-dp-rounded
+    * decimal sums (the a08 discipline). The DuckDB oracle enumerates
+    * ALL candidate pairs over the full corpus directly — the
+    * independent check of the collapse argument. */
+  def minhashFidelity(spark: SparkSession, dir: String): DataFrame =
+    minhashFidelityOf(spark, augmented(spark, dir))
+
+  private[graft] def minhashFidelityOf(spark: SparkSession,
+                                       corpus: DataFrame): DataFrame = {
+    val classes = graft.core.Caches.transient(
+      corpus.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+        (size(Dedup.shingles(col("text"), 3)) > 0).as("has_sh")))
+    val reps = graft.core.Caches.transient(
+      classes.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("cm"),
+          max(col("has_sh")).as("has_sh")))
+    val repCorpus = corpus
+      .join(reps.select(col("rep_id").as("doc_id")), Seq("doc_id"))
+    // one signature pass over the distinct corpus: per-seed mins feed
+    // both the band candidates and the per-pair match counts
+    val mh = graft.core.Caches.transient(
+      Dedup.minhashRows(repCorpus.select(col("doc_id").as("id"),
+        explode(Dedup.shingles(col("text"), 3)).as("sh")), 12))
+    val sigs = mh.withColumn("band", (col("seed") / 3).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("bandsig"))
+    val cand = graft.core.Caches.transient(
+      sigs.select(col("id").as("a_id"), col("band"), col("bandsig"))
+        .join(sigs.select(col("id").as("b_id"), col("band"), col("bandsig")),
+          Seq("band", "bandsig"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct())
+    val matches = cand
+      .join(mh.select(col("id").as("a_id"), col("seed"), col("mh").as("ma")),
+        Seq("a_id"))
+      .join(mh.select(col("id").as("b_id"), col("seed"), col("mh").as("mb")),
+        Seq("b_id", "seed"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("m"))
+    val shRows = graft.core.Caches.transient(
+      Dedup.hashedShingleRows(repCorpus, col("doc_id"), col("text"), 3))
+    val sizes = shRows.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(shRows.select(col("id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(shRows.select(col("id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val perPair = cand
+      .join(matches, Seq("a_id", "b_id"))
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.select(col("id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .join(reps.select(col("rep_id").as("a_id"), col("cm").as("wa")), Seq("a_id"))
+      .join(reps.select(col("rep_id").as("b_id"), col("cm").as("wb")), Seq("b_id"))
+      .select(col("m"), (col("wa") * col("wb")).as("w"),
+        round(d(coalesce(col("inter"), lit(0L))) /
+          d(col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 9)
+          .as("jac"))
+    val cross = perPair.select(col("m"), col("w"),
+      (col("w").cast("decimal(28,9)") * col("jac").cast("decimal(28,9)"))
+        .cast("decimal(38,9)").as("wj"),
+      (col("w").cast("decimal(28,9)") *
+        round(abs(col("m").cast("double") / lit(12.0) - col("jac")), 9)
+          .cast("decimal(28,9)")).cast("decimal(38,9)").as("we"))
+    // intra-class pairs: all bands equal -> m = 12, J = 1, error = 0
+    val intra = reps.filter(col("cm") > 1 && col("has_sh"))
+      .select(lit(12L).as("m"),
+        ((col("cm") * (col("cm") - lit(1L))) / lit(2L)).cast("long").as("w"),
+        ((col("cm") * (col("cm") - lit(1L))) / lit(2L))
+          .cast("decimal(38,9)").as("wj"),
+        lit(0L).cast("decimal(38,9)").as("we"))
+    val agg = cross.unionByName(intra)
+      .groupBy(col("m"))
+      .agg(sum(col("w")).as("n_pairs"), sum(col("wj")).as("sj"),
+        sum(col("we")).as("se"))
+    spark.range(0, 13).select(col("id").as("m"))
+      .join(agg, Seq("m"), "left")
+      .select(col("m"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        when(coalesce(col("n_pairs"), lit(0L)) > 0,
+          round(col("sj").cast("double") / d(col("n_pairs")), 6))
+          .as("mean_jaccard"),
+        when(coalesce(col("n_pairs"), lit(0L)) > 0,
+          round(col("se").cast("double") / d(col("n_pairs")), 6))
+          .as("mean_abs_err"))
+      .orderBy(col("m"))
+  }
+
   /** d11: intra-corpus substring-overlap audit (the measurement that
     * motivates Lee et al. 2022's substring dedup — "Deduplicating
     * Training Data Makes Language Models Better" finds long repeated
@@ -760,6 +868,7 @@ object DedupPack extends QueryPack {
     "d19_incremental_minhash" -> incrementalMinhash,
     "d02_jaccard_pairs" -> jaccard,
     "d20_pair_band_counts" -> pairBandCounts,
+    "d21_minhash_fidelity" -> minhashFidelity,
     "d03_minhash_candidates" -> minhash,
     "d04_simhash_values" -> simhashValues,
     "d05_simhash_pairs" -> simhashNearDups,
@@ -939,6 +1048,44 @@ object DedupPack extends QueryPack {
       |  CASE WHEN substr(md5('42' || CAST(keeper_id AS VARCHAR)), 1, 4) < 'cccd'
       |    THEN 'train' ELSE 'test' END AS split
       |FROM k ORDER BY doc_id""".stripMargin,
+    "d21_minhash_fidelity" -> s"""
+      |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
+      |$minhashBandsSql,
+      |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig
+      |  WHERE a.id < b.id),
+      |mm AS (SELECT c.a_id, c.b_id,
+      |    sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS m
+      |  FROM cand c JOIN mh x ON x.id = c.a_id
+      |  JOIN mh y ON y.id = c.b_id AND y.seed = x.seed
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+      |iv AS (SELECT c.a_id, c.b_id, count(*) AS inter
+      |  FROM cand c JOIN hsh a2 ON a2.id = c.a_id
+      |  JOIN hsh b2 ON b2.id = c.b_id AND b2.sh = a2.sh
+      |  GROUP BY 1, 2),
+      |pp AS (SELECT mm.m,
+      |    round(CAST(coalesce(iv.inter, 0) AS DOUBLE)
+      |      / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE), 9) AS jac
+      |  FROM cand c
+      |  JOIN mm ON mm.a_id = c.a_id AND mm.b_id = c.b_id
+      |  LEFT JOIN iv ON iv.a_id = c.a_id AND iv.b_id = c.b_id
+      |  JOIN sizes sa ON sa.id = c.a_id JOIN sizes sb ON sb.id = c.b_id),
+      |ag AS (SELECT m, count(*) AS n_pairs,
+      |    sum(CAST(jac AS DECIMAL(28,9))) AS sj,
+      |    sum(CAST(round(abs(CAST(m AS DOUBLE) / 12.0 - jac), 9)
+      |      AS DECIMAL(28,9))) AS se
+      |  FROM pp GROUP BY m)
+      |SELECT CAST(g.m AS BIGINT) AS m,
+      |  CAST(coalesce(ag.n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CASE WHEN coalesce(ag.n_pairs, 0) > 0
+      |    THEN round(CAST(sj AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+      |  END AS mean_jaccard,
+      |  CASE WHEN coalesce(ag.n_pairs, 0) > 0
+      |    THEN round(CAST(se AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+      |  END AS mean_abs_err
+      |FROM generate_series(0, 12) g(m) LEFT JOIN ag ON ag.m = g.m
+      |ORDER BY m""".stripMargin,
     "d20_pair_band_counts" -> s"""
       |WITH $augmentedSql, $shingleSql, $hashedShingleSql,
       |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),

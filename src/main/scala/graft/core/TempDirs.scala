@@ -38,10 +38,14 @@ object TempDirs {
   }
 
   /** Register `path` for deletion at JVM exit; returns it unchanged so
-    * call sites stay one expression. */
+    * call sites stay one expression. The REGISTERED form is the
+    * absolute path resolved NOW — the shutdown hook runs against the
+    * JVM's exit-time working directory, so a relative registration
+    * ('target/...') from a consumer that changes cwd mid-process would
+    * leak the intended tree or delete an unrelated one. */
   def cleanupOnExit(path: String): String = {
     hook
-    paths.add(path)
+    paths.add(new java.io.File(path).getAbsolutePath)
     path
   }
 }

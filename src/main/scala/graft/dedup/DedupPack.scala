@@ -222,7 +222,17 @@ object DedupPack extends QueryPack {
     * string (null ≡ "" for dedup identity — the digest join must
     * never DROP a document the way a null join key silently would).
     * Decisions are unordered — the s09 entry point adds its own
-    * orderBy; per-micro-batch consumers must not pay a global sort. */
+    * orderBy; per-micro-batch consumers must not pay a global sort.
+    *
+    * Intra-batch near-dup scope (defined semantics, matched by the
+    * s09 oracle): the MinHash screen runs against HISTORY only — two
+    * non-identical near-duplicates arriving in the SAME batch both
+    * admit as 'new' and both enter the history tables, so near-dup
+    * leakage grows with micro-batch size (exact duplicates never
+    * leak; the digest screen is within-batch). A caller needing
+    * intra-batch fuzzy dedup composes the batch-side d03/d08
+    * operators over the admitted set before the append — the screens
+    * stay single-purpose rather than hiding a second LSH pass here. */
   private[graft] def dedupGateWithState(histDigests: DataFrame,
                                         histSigs: DataFrame,
                                         histShingles: DataFrame,

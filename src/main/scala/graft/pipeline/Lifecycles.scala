@@ -279,9 +279,14 @@ object Lifecycles {
     * corpus (measured: the 30× funnel at 9.4× through TopNThreshold,
     * 22k-element buffers). The spec plan-asserts the threshold
     * prefilter join and pins per-lang output ≤ cap; the count collect
-    * is |langs| rows. */
+    * is |langs| rows. A null lang counts toward the "" language for
+    * the budget median (the dedup tier's null ≡ "" discipline — and a
+    * null key must never NPE the driver-side sort); rows keep their
+    * original lang value. */
   private[graft] def langBalanceCap(docs: DataFrame): DataFrame = {
-    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val counts = docs
+      .groupBy(coalesce(col("lang"), lit("")).as("lang"))
+      .agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     require(counts.nonEmpty, "langBalanceCap on an empty corpus")
     val sorted = counts.sortBy { case (l, c) => (c, l) }

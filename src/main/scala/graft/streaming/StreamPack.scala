@@ -77,7 +77,18 @@ object StreamPack extends QueryPack {
     * streaming form ([[Streams.dedupIngestGate]]) runs the identical
     * relation per micro-batch against the persisted history tables;
     * the StreamingSpec pins stream ≡ batch across micro-batch
-    * boundaries and across a checkpoint restart. */
+    * boundaries and across a checkpoint restart.
+    *
+    * Equivalence scope: the stream matches this twin's LABELS AND
+    * KEEPERS for splits that do not straddle a duplicate class (the
+    * spec's fixture — each exact/near-dup class arrives within one
+    * micro-batch, after its history). Under arbitrary splits the
+    * streaming gate's contract is ARRIVAL-ORDER first-wins: an exact
+    * class split across batches reads 'dup_of_history' where the
+    * one-shot twin says 'dup_in_batch', the admitted keeper is the
+    * first arrival rather than min(doc_id), and a near-dup pair split
+    * across batches reads 'near_dup_of_history' where the twin says
+    * 'new' — decision-equivalent policies, not label-equivalent. */
   def dedupGate(spark: SparkSession, dir: String): DataFrame = {
     val aug = graft.dedup.DedupPack.augmented(spark, dir)
     // the ordering is this oracle query's own concern — the shared

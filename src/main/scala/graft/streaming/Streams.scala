@@ -285,7 +285,14 @@ object Streams {
     * pre-crash history, reproduces its decisions bit-for-bit, and
     * overwrites its own partial leftovers. The checkpoint-recovery
     * spec kills the stream mid-feed and asserts decisions AND
-    * signature-table state across the restart. */
+    * signature-table state across the restart.
+    *
+    * Label semantics are ARRIVAL-ORDER first-wins: the gate equals
+    * the s09 batch twin's labels and keepers only for feeds where no
+    * duplicate class straddles a micro-batch boundary (the spec
+    * fixture); under arbitrary splits the policies are
+    * decision-equivalent, not label-equivalent — see the scope note
+    * on [[graft.streaming.StreamPack.dedupGate]]. */
   def dedupIngestGate(spark: SparkSession, watchDir: String,
                       schema: StructType, outDir: String, histDir: String,
                       maxFilesPerTrigger: Int = 10)

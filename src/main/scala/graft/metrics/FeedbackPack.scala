@@ -35,6 +35,63 @@ object FeedbackPack extends QueryPack {
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("example_doc"))
       .orderBy(col("field"), col("status"))
 
+  /** f07: the SUGGEST stage — the middle box of the reference's
+    * feedback agent (`feebback agent_8_29.py:44-49`: Capture →
+    * Compare → Cluster → SUGGEST → Approve → Apply) that f01/f02/f06
+    * left unbuilt: for each error cluster (field, status), the
+    * suggested correction is the cluster's MODAL ground-truth value
+    * (null-ish truths — NULL / '' / the literal 'NULL' the extraction
+    * frame uses — normalize to the 'NULL' sentinel, so a
+    * FALSE_POSITIVE cluster suggests "clear the field"), with its
+    * support (cluster size), agreement count, and confidence =
+    * n_agree / support for the reviewer's approval gate.
+    *
+    * Scale shape: the mode is computed on the VALUE-COLLAPSED
+    * relation — groupBy (field, status, value) first (map-side
+    * combining, bounded by the value domain), then a row_number over
+    * the collapsed counts — the d18/m14 discipline; no window ever
+    * sees per-document rows. */
+  def suggestCorrections(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gtn = when(col("ground_truth").isNull ||
+        trim(col("ground_truth")) === "" || col("ground_truth") === "NULL",
+      lit("NULL")).otherwise(trim(col("ground_truth")))
+    val byVal = fieldDiffs(spark, dir)
+      .select(col("field"), col("status"), gtn.as("suggested_value"))
+      .groupBy(col("field"), col("status"), col("suggested_value"))
+      .agg(count(lit(1)).as("n_agree"))
+    val tot = byVal.groupBy(col("field"), col("status"))
+      .agg(sum(col("n_agree")).as("support"))
+    val w = Window.partitionBy(col("field"), col("status"))
+      .orderBy(col("n_agree").desc, col("suggested_value"))
+    byVal.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(tot, Seq("field", "status"))
+      .select(col("field"), col("status"), col("suggested_value"),
+        col("support"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("support").cast("double"),
+          6).as("confidence"))
+      .orderBy(col("field"), col("status"))
+  }
+
+  /** Suggestions → the approved-corrections relation [[applyCorrections]]
+    * consumes: every diff row in a cluster whose suggestion clears the
+    * confidence gate (and is a real value, not the 'NULL' clear-field
+    * sentinel) gets the cluster's suggested value as its correction.
+    * This is the automated tail of the approval gate — a reviewer
+    * accepting a CLUSTER rather than a row; the FeedbackSpec wires
+    * f02 clusters → [[suggestCorrections]] → this → [[applyCorrections]]
+    * end-to-end. */
+  def correctionsFromSuggestions(diffs: DataFrame, suggestions: DataFrame,
+                                 minConfidence: Double): DataFrame =
+    diffs.join(
+        suggestions
+          .filter(col("confidence") >= minConfidence &&
+            col("suggested_value") =!= "NULL")
+          .select(col("field"), col("status"), col("suggested_value")),
+        Seq("field", "status"))
+      .select(col("doc_id"), col("field"),
+        col("suggested_value").as("corrected_value"))
+
   /** The Approve→Apply tail of the feedback loop (`feebback
     * agent_8_29.py:44-71` ends Suggest → Approve → Apply): an
     * approved-corrections table (doc_id, field, corrected_value —
@@ -128,7 +185,8 @@ object FeedbackPack extends QueryPack {
     "f03_accuracy_trend" -> accuracyTrend,
     "f04_composite_eval" -> ((s, d) => compositeEval(s, d)),
     "f05_positional_attach" -> positionalAttach,
-    "f06_apply_corrections" -> applyApproved)
+    "f06_apply_corrections" -> applyApproved,
+    "f07_suggest_corrections" -> suggestCorrections)
 
   private val diffsCte = LlmPack.oracles("l01_extract_long")
     .replaceAll("(?s)SELECT doc_id, field.*$", "").stripTrailing() + s""",
@@ -197,5 +255,26 @@ object FeedbackPack extends QueryPack {
       |    = trim(l.ground_truth) THEN 1 ELSE 0 END AS BIGINT) AS accuracy,
       |  c.corrected_value IS NOT NULL AS corrected
       |FROM longf l LEFT JOIN corr c ON c.doc_id = l.doc_id AND c.field = l.field
-      |ORDER BY l.doc_id, l.field""".stripMargin)
+      |ORDER BY l.doc_id, l.field""".stripMargin,
+    "f07_suggest_corrections" -> s"""
+      |$diffsCte,
+      |g AS (SELECT field, status,
+      |    CASE WHEN ground_truth IS NULL OR trim(ground_truth) = ''
+      |           OR ground_truth = 'NULL'
+      |      THEN 'NULL' ELSE trim(ground_truth) END AS suggested_value
+      |  FROM diffs),
+      |bv AS (SELECT field, status, suggested_value, count(*) AS n_agree
+      |  FROM g GROUP BY 1, 2, 3),
+      |tot AS (SELECT field, status, CAST(sum(n_agree) AS BIGINT) AS support
+      |  FROM bv GROUP BY 1, 2),
+      |rk AS (SELECT field, status, suggested_value, n_agree,
+      |    row_number() OVER (PARTITION BY field, status
+      |      ORDER BY n_agree DESC, suggested_value) AS rn
+      |  FROM bv)
+      |SELECT rk.field, rk.status, rk.suggested_value, tot.support,
+      |  CAST(rk.n_agree AS BIGINT) AS n_agree,
+      |  round(CAST(rk.n_agree AS DOUBLE) / CAST(tot.support AS DOUBLE), 6)
+      |    AS confidence
+      |FROM rk JOIN tot ON tot.field = rk.field AND tot.status = rk.status
+      |WHERE rk.rn = 1 ORDER BY rk.field, rk.status""".stripMargin)
 }

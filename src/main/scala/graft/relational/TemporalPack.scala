@@ -83,38 +83,15 @@ object TemporalPack extends QueryPack {
     * is plain IEEE arithmetic on identical inputs, so the estimate
     * replays bit-for-bit in DuckDB — the r14-KMV story, for
     * quantiles. The cumulative window runs over ≤1000 sketch rows
-    * (bounded — the d08/t07 exemption to the no-global-sort rule). */
-  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame = {
-    val B = 1000
-    val li = Tables(spark, dir).lineitem
-      .select(col("l_extendedprice").cast("double").as("x"))
-    val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
-      count(lit(1)).as("n"))
-    // hi == lo (constant column) guards to bin 0 — without it the bin
-    // expression is 0/0 = NaN; the interpolation below already
-    // degrades correctly there ((hi−lo)/B = 0 ⇒ est = lo)
-    val h = li.crossJoin(broadcast(bounds))
-      .select(when(col("hi") > col("lo"),
-        least(floor((col("x") - col("lo")) / (col("hi") - col("lo")) * B),
-          lit((B - 1).toLong))).otherwise(0L).cast("int").as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-    val wc = Window.orderBy(col("bin"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = h.withColumn("cum", sum(col("cnt")).over(wc))
-      .withColumn("cum_before", col("cum") - col("cnt"))
-    val qf = bounds.select(
-      explode(array(Seq(0.25, 0.5, 0.75, 0.9, 0.99).map(lit): _*)).as("q"),
-      col("lo"), col("hi"), col("n"))
-    val target = col("q") * col("n").cast("double")
-    qf.join(c, col("cum_before").cast("double") < target &&
-        target <= col("cum").cast("double"))
-      .select(col("q"),
-        (col("lo") + (col("bin").cast("double") +
-          (target - col("cum_before").cast("double")) /
-            col("cnt").cast("double")) *
-          ((col("hi") - col("lo")) / lit(B.toDouble))).as("est"))
-      .orderBy(col("q"))
-  }
+    * (bounded — the d08/t07 exemption to the no-global-sort rule).
+    * The computation lives in [[graft.core.Sketches]] (round 11) so
+    * the other audit surfaces that need corpus-scale quantiles (the
+    * s10 ingest run summary, the a08-family threshold seam) share
+    * this proven-replayable implementation. */
+  def histogramQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Sketches.histogramQuantiles(
+      Tables(spark, dir).lineitem, col("l_extendedprice"),
+      bins = 1000, probs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_asof_join" -> asofClickView,

@@ -322,6 +322,34 @@ object AnalysisPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** The THIRD threshold path for the a08-family buckets: tercile
+    * cuts from the x04 histogram sketch ([[graft.core.Sketches]])
+    * instead of the exact `percentile` aggregate. a08's exact
+    * per-value map is fine while distinct mean_nll values fit one
+    * aggregation buffer and keeps the oracle role; a11 trades the
+    * full column for a hash sample; THIS path is the one whose state
+    * is constant (≤1000 bins) in BOTH corpus size and value-domain
+    * size — the form the p02/p03 audit tier would run at 100 TB when
+    * it derives its percentile cuts (the funnel's 0.45/0.7/0.3
+    * constants were measured this way at small SF; re-deriving them
+    * on the production corpus takes this seam). Error is bounded by
+    * one bin width of the value range; the spec pins the thresholds
+    * within that bound of a08's exact percentiles and plan-asserts
+    * that no window/sort touches the input relation (the only Window
+    * runs over the ≤1000-row sketch). Returns one row:
+    * (q1, q2, bin_width). */
+  private[graft] def tercileThresholdsSketch(base: DataFrame): DataFrame = {
+    val est = graft.core.Sketches.histogramQuantiles(
+      base, col("mean_nll"), bins = 1000, probs = Seq(1.0 / 3, 2.0 / 3))
+    val bounds = base.agg(
+      ((max(col("mean_nll")) - min(col("mean_nll"))) / 1000.0)
+        .as("bin_width"))
+    est.agg(
+        max(when(col("q") < 0.5, col("est"))).as("q1"),
+        max(when(col("q") > 0.5, col("est"))).as("q2"))
+      .crossJoin(broadcast(bounds))
+  }
+
   /** a10: DSIR importance resampling — select 50 raw-pool docs whose
     * hashed-bigram distribution matches the `src0` target domain
     * (Gumbel-top-k over smoothed log importance ratios; see

@@ -91,6 +91,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(applied.filter(col("corrected")).count() > 0)
   }
 
+  test("feedback Suggest: modal GT per f02 cluster, wired end-to-end " +
+      "clusters -> suggestions -> apply") {
+    val sfd = SparkTestSession.sf
+    val pack = graft.metrics.FeedbackPack
+    val sugg = pack.suggestCorrections(spark, sfd)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // exactly one suggestion per f02 error cluster, support = cluster n
+    val clusters = pack.errorClusters(spark, sfd)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(sugg.keySet == clusters.keySet)
+    clusters.foreach { case (k, n) => assert(sugg(k)._2 == n) }
+    // the suggestion really is the modal normalized ground truth
+    val diffs = pack.fieldDiffs(spark, sfd).collect()
+      .map(r => (r.getString(1), r.getString(4),
+        Option(r.getString(3)).map(_.trim).filter(s => s.nonEmpty && s != "NULL")
+          .getOrElse("NULL")))
+    diffs.groupBy(d => (d._1, d._2)).foreach { case (k, rows) =>
+      val modal = rows.groupBy(_._3).view.mapValues(_.size).toSeq
+        .sortBy { case (v, c) => (-c, v) }.head
+      assert(sugg(k)._1 == modal._1, s"cluster $k suggestion")
+      assert(sugg(k)._3 == modal._2.toLong, s"cluster $k n_agree")
+      assert(sugg(k)._4 > 0.0 && sugg(k)._4 <= 1.0)
+    }
+    // end-to-end: Capture/Compare -> Cluster -> Suggest -> Approve
+    // (accept every real-valued suggestion) -> Apply
+    val extract = graft.llm.LlmPack.extractLong(spark, sfd)
+    val approved = pack.correctionsFromSuggestions(
+      pack.fieldDiffs(spark, sfd), pack.suggestCorrections(spark, sfd), 0.0)
+    val applied = pack.applyCorrections(extract, approved)
+    val before = extract.agg(sum(col("accuracy"))).collect()(0).getLong(0)
+    val after = applied.agg(sum(col("accuracy"))).collect()(0).getLong(0)
+    // a modal-value fix can only add accuracy: corrected rows were all
+    // wrong, and rows whose own truth matches the cluster mode flip to 1
+    assert(after > before, s"suggest-apply did not lift accuracy " +
+      s"($before -> $after)")
+    assert(applied.filter(col("corrected") &&
+      trim(col("final_value")) === trim(col("ground_truth")) &&
+      col("accuracy") =!= 1L).count() == 0)
+    assert(applied.filter(col("corrected")).count() > 0)
+  }
+
   test("corpus-prep funnel is monotone and every stage does real work") {
     val rows = graft.pipeline.Lifecycles.corpusPrep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -487,4 +487,42 @@ class TextNormalizeSpec extends AnyFunSuite {
     // all three buckets are populated under the sampled thresholds
     assert(sampled.values.toSet == Set("head", "middle", "tail"))
   }
+
+  test("sketch tercile thresholds sit within one bin width of exact and " +
+      "never window the input relation") {
+    val sf = SparkTestSession.sf
+    val base = graft.text.AnalysisPack.unigramLogprob(spark, sf)
+      .select(col("mean_nll")).cache()
+    try {
+      val thr = graft.text.AnalysisPack.tercileThresholdsSketch(base)
+      val row = thr.collect()(0)
+      val (q1s, q2s, bw) =
+        (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      assert(bw > 0, "degenerate value range")
+      // the sketch's own contract: within one bin width of the value
+      // at its target rank ceil(q*n)
+      val sorted = base.collect().map(_.getDouble(0)).sorted
+      val n = sorted.length
+      def atRank(q: Double): Double = sorted(math.ceil(q * n).toInt - 1)
+      assert(math.abs(q1s - atRank(1.0 / 3)) <= bw + 1e-12,
+        s"q1 sketch $q1s vs rank value ${atRank(1.0 / 3)} (bin $bw)")
+      assert(math.abs(q2s - atRank(2.0 / 3)) <= bw + 1e-12,
+        s"q2 sketch $q2s vs rank value ${atRank(2.0 / 3)} (bin $bw)")
+      // and against a08's exact percentile aggregate on this corpus
+      val ex = base.agg(
+        percentile(col("mean_nll"), lit(1.0 / 3)).as("q1"),
+        percentile(col("mean_nll"), lit(2.0 / 3)).as("q2")).collect()(0)
+      assert(math.abs(q1s - ex.getDouble(0)) <= bw + 1e-12)
+      assert(math.abs(q2s - ex.getDouble(1)) <= bw + 1e-12)
+      // plan assertion: the only Window runs over the bounded
+      // (bin, cnt) sketch relation — the input column is never
+      // sorted or windowed, so nothing single-partitions the corpus
+      val plan = thr.queryExecution.optimizedPlan.toString
+      val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty && windows.forall(_.contains("bin")),
+        s"expected the one Window over the bin sketch, got:\n$plan")
+      assert(!plan.contains("Sort [mean_nll"),
+        s"input relation must not be globally sorted:\n$plan")
+    } finally { base.unpersist(); () }
+  }
 }

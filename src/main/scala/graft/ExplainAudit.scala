@@ -33,7 +33,8 @@ object ExplainAudit {
         "a22_source_dedup_rate", "l12_token_f1",
         "t12_bpe_fertility", "m14_roc_auc",
         "m15_pr_auc", "d20_pair_band_counts", "s09_dedup_gate",
-        "m16_risk_coverage", "d21_minhash_fidelity")
+        "m16_risk_coverage", "d21_minhash_fidelity",
+        "s10_run_summary", "f07_suggest_corrections")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -231,6 +231,52 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe gatestate` — the s09 state-lifecycle
+    // instrument (r10 verdict #1): drive the continuous-ingest gate's
+    // per-batch body over 24 direct micro-batches of 200 docs, with
+    // the lifecycle OFF (baseline: every batch=* dir listed and
+    // unioned per trigger — listing + scan cost grows with batch
+    // count) vs ON (generation compaction every 6 + the d13 bloom
+    // front). Prints per-batch wall seconds plus the state dir/file
+    // counts; the flat-vs-growing curve goes to PERF.md. Decisions
+    // are spec-pinned identical (StreamingSpec), so this measures
+    // cost only.
+    if (args.contains("gatestate")) {
+      import graft.streaming.Streams
+      val docs = graft.core.Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("text"))
+      val nBatches = 24
+      val per = 200L
+      for ((tag, opts) <- Seq(
+          "baseline" -> Streams.GateOptions(compactEvery = 0,
+            bloomScreen = false),
+          "lifecycle" -> Streams.GateOptions(compactEvery = 6,
+            bloomScreen = true))) {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_gatestate_$tag").toString
+        val outDir = root + "/decisions"
+        val histDir = root + "/hist"
+        for (i <- 0 until nBatches) {
+          val b = docs.filter(col("doc_id") >= i * per &&
+            col("doc_id") < (i + 1) * per)
+          val t0 = System.nanoTime()
+          Streams.dedupGateBatch(spark, b, i.toLong, outDir, histDir, opts)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val dirs = Option(new java.io.File(histDir + "/digests")
+            .listFiles()).fold(0)(_.count(_.isDirectory))
+          val files = {
+            val s = java.nio.file.Files.walk(java.nio.file.Paths.get(histDir))
+            try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+            finally s.close()
+          }
+          println(f"GATESTATE $tag batch=$i%02d wall=$wall%.2f s " +
+            f"digest_dirs=$dirs state_files=$files")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe crossover` — the d10/d05 band-width
     // crossover measurement: banded vs all-pairs wall time on 1× and
     // a 10×-unioned corpus (distinct ids, duplicated text — realistic

@@ -100,7 +100,27 @@ object StreamPack extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
+  /** s10: the per-batch ingest RUN SUMMARY's batch twin — the s09
+    * gate run as ONE batch (the whole arriving side against the
+    * <300 history), summarized by [[Streams.runSummaryOf]]: docs
+    * seen, the verdict split, and quality quartiles via the x04
+    * histogram sketch (constant ≤1000-bin state, fully SQL-replayed —
+    * the sketch path's second hash-checked oracle exposure after
+    * x04). The streaming gate writes the identical relation per
+    * micro-batch beside its decisions; the StreamingSpec pins
+    * single-batch stream ≡ this twin and multi-batch count columns
+    * summing to it. */
+  def runSummary(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.dedup.DedupPack.augmented(spark, dir)
+    val batch = aug.filter(col("doc_id") >= 300)
+    Streams.runSummaryOf(
+      graft.dedup.DedupPack.dedupGateOf(aug.filter(col("doc_id") < 300),
+        batch),
+      batch, batchId = 0L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_run_summary" -> runSummary,
     "s09_dedup_gate" -> dedupGate,
     "s08_rate_limit" -> rateLimit,
     "s07_ingest_gate" -> ingestGate,
@@ -114,61 +134,100 @@ object StreamPack extends QueryPack {
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
   private val stopAll = graft.text.TextAnalysis.defaultProfiles.flatMap(_._2)
 
+  /** The s09 gate's decision relation as a CTE chain ending in
+    * `dec(doc_id, status, best_hist_id, best_jaccard)` — shared by
+    * the s09 oracle (selects it) and the s10 run-summary oracle
+    * (aggregates it). */
+  private val gateDecisionCtes: String = s"""
+    |${graft.dedup.DedupPack.augmentedSql},
+    |${graft.dedup.DedupPack.shingleSql},
+    |${graft.dedup.DedupPack.hashedShingleSql},
+    |${graft.dedup.DedupPack.minhashBandsSql},
+    |hd AS (SELECT DISTINCT md5(text) AS h FROM aug WHERE doc_id < 300),
+    |b AS (SELECT doc_id, md5(text) AS h FROM aug WHERE doc_id >= 300),
+    |fb AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
+    |ex AS (SELECT b.doc_id,
+    |    CASE WHEN hd.h IS NOT NULL THEN 'dup_of_history'
+    |         WHEN b.doc_id <> fb.first_id THEN 'dup_in_batch'
+    |         ELSE 'exact_new' END AS ex_status
+    |  FROM b JOIN fb ON fb.h = b.h LEFT JOIN hd ON hd.h = b.h),
+    |sv AS (SELECT doc_id FROM ex WHERE ex_status = 'exact_new'),
+    |cand AS (SELECT DISTINCT bb.id AS doc_id, hh.id AS hist_id
+    |  FROM bands bb JOIN bands hh ON bb.band = hh.band AND bb.bandsig = hh.bandsig
+    |  JOIN sv ON sv.doc_id = bb.id
+    |  WHERE hh.id < 300),
+    |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
+    |iv AS (SELECT c.doc_id, c.hist_id, count(*) AS inter
+    |  FROM cand c JOIN hsh a ON a.id = c.doc_id
+    |  JOIN hsh h2 ON h2.id = c.hist_id AND h2.sh = a.sh
+    |  GROUP BY 1, 2),
+    |jc AS (SELECT c.doc_id, c.hist_id,
+    |    CAST(coalesce(iv.inter, 0) AS DOUBLE)
+    |      / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE) AS jac
+    |  FROM cand c LEFT JOIN iv ON iv.doc_id = c.doc_id AND iv.hist_id = c.hist_id
+    |  JOIN sizes sa ON sa.id = c.doc_id JOIN sizes sb ON sb.id = c.hist_id),
+    |bst AS (SELECT doc_id, hist_id, jac,
+    |    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, hist_id) AS rn
+    |  FROM jc),
+    |dec AS (SELECT ex.doc_id,
+    |  CASE WHEN ex.ex_status <> 'exact_new' THEN ex.ex_status
+    |       WHEN coalesce(b2.jac, 0.0) >= 0.5 THEN 'near_dup_of_history'
+    |       ELSE 'new' END AS status,
+    |  CAST(CASE WHEN ex.ex_status <> 'exact_new' THEN -1
+    |       ELSE coalesce(b2.hist_id, -1) END AS BIGINT) AS best_hist_id,
+    |  CASE WHEN ex.ex_status <> 'exact_new' THEN 0.0
+    |       ELSE round(coalesce(b2.jac, 0.0), 6) END AS best_jaccard
+    |FROM ex LEFT JOIN bst b2 ON b2.doc_id = ex.doc_id AND b2.rn = 1)"""
+    .stripMargin
+
+  /** The s07 per-doc quality relation `q(doc_id, content_hash,
+    * quality)` over `aug` — shared by the s07 oracle and the s10
+    * summary's quality quartiles. */
+  private val qualityCtes: String = s"""
+    |qw AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+    |q AS (SELECT doc_id, md5(text) AS content_hash,
+    |  round(0.4 * (CASE WHEN len(words) > 0
+    |      THEN CAST(len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS DOUBLE)
+    |        / CAST(len(words) AS DOUBLE) ELSE 0.0 END)
+    |    + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+    |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+    |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+    |    + 0.3 * least(1.0, CAST(len(words) AS DOUBLE) / 100.0), 6) AS quality
+    |  FROM qw)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s09_dedup_gate" -> s"""
-      |WITH ${graft.dedup.DedupPack.augmentedSql},
-      |${graft.dedup.DedupPack.shingleSql},
-      |${graft.dedup.DedupPack.hashedShingleSql},
-      |${graft.dedup.DedupPack.minhashBandsSql},
-      |hd AS (SELECT DISTINCT md5(text) AS h FROM aug WHERE doc_id < 300),
-      |b AS (SELECT doc_id, md5(text) AS h FROM aug WHERE doc_id >= 300),
-      |fb AS (SELECT h, min(doc_id) AS first_id FROM b GROUP BY h),
-      |ex AS (SELECT b.doc_id,
-      |    CASE WHEN hd.h IS NOT NULL THEN 'dup_of_history'
-      |         WHEN b.doc_id <> fb.first_id THEN 'dup_in_batch'
-      |         ELSE 'exact_new' END AS ex_status
-      |  FROM b JOIN fb ON fb.h = b.h LEFT JOIN hd ON hd.h = b.h),
-      |sv AS (SELECT doc_id FROM ex WHERE ex_status = 'exact_new'),
-      |cand AS (SELECT DISTINCT bb.id AS doc_id, hh.id AS hist_id
-      |  FROM bands bb JOIN bands hh ON bb.band = hh.band AND bb.bandsig = hh.bandsig
-      |  JOIN sv ON sv.doc_id = bb.id
-      |  WHERE hh.id < 300),
-      |sizes AS (SELECT id, count(*) AS n FROM hsh GROUP BY id),
-      |iv AS (SELECT c.doc_id, c.hist_id, count(*) AS inter
-      |  FROM cand c JOIN hsh a ON a.id = c.doc_id
-      |  JOIN hsh h2 ON h2.id = c.hist_id AND h2.sh = a.sh
-      |  GROUP BY 1, 2),
-      |jc AS (SELECT c.doc_id, c.hist_id,
-      |    CAST(coalesce(iv.inter, 0) AS DOUBLE)
-      |      / CAST(sa.n + sb.n - coalesce(iv.inter, 0) AS DOUBLE) AS jac
-      |  FROM cand c LEFT JOIN iv ON iv.doc_id = c.doc_id AND iv.hist_id = c.hist_id
-      |  JOIN sizes sa ON sa.id = c.doc_id JOIN sizes sb ON sb.id = c.hist_id),
-      |bst AS (SELECT doc_id, hist_id, jac,
-      |    row_number() OVER (PARTITION BY doc_id ORDER BY jac DESC, hist_id) AS rn
-      |  FROM jc)
-      |SELECT ex.doc_id,
-      |  CASE WHEN ex.ex_status <> 'exact_new' THEN ex.ex_status
-      |       WHEN coalesce(b2.jac, 0.0) >= 0.5 THEN 'near_dup_of_history'
-      |       ELSE 'new' END AS status,
-      |  CAST(CASE WHEN ex.ex_status <> 'exact_new' THEN -1
-      |       ELSE coalesce(b2.hist_id, -1) END AS BIGINT) AS best_hist_id,
-      |  CASE WHEN ex.ex_status <> 'exact_new' THEN 0.0
-      |       ELSE round(coalesce(b2.jac, 0.0), 6) END AS best_jaccard
-      |FROM ex LEFT JOIN bst b2 ON b2.doc_id = ex.doc_id AND b2.rn = 1
-      |ORDER BY ex.doc_id""".stripMargin,
+      |WITH $gateDecisionCtes
+      |SELECT doc_id, status, best_hist_id, best_jaccard
+      |FROM dec ORDER BY doc_id""".stripMargin,
+    "s10_run_summary" -> s"""
+      |WITH $gateDecisionCtes,
+      |$qualityCtes,
+      |qv AS (SELECT quality AS x FROM q WHERE doc_id >= 300),
+      |${graft.core.Sketches.histogramQuantilesCtes("qv", 1000,
+           Seq(0.25, 0.5, 0.75))},
+      |cnts AS (SELECT count(*) AS n_seen,
+      |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN status = 'dup_of_history' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dup_of_history,
+      |  CAST(sum(CASE WHEN status = 'dup_in_batch' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_dup_in_batch,
+      |  CAST(sum(CASE WHEN status = 'near_dup_of_history' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_near_dup_of_history
+      |  FROM dec),
+      |qp AS (SELECT max(CASE WHEN q = 0.25 THEN est END) AS q_p25,
+      |  max(CASE WHEN q = 0.5 THEN est END) AS q_p50,
+      |  max(CASE WHEN q = 0.75 THEN est END) AS q_p75
+      |  FROM qs_est)
+      |SELECT CAST(0 AS BIGINT) AS batch_id, n_seen, n_new,
+      |  n_dup_of_history, n_dup_in_batch, n_near_dup_of_history,
+      |  q_p25, q_p50, q_p75
+      |FROM cnts CROSS JOIN qp""".stripMargin,
     "s07_ingest_gate" -> s"""
       |WITH ${graft.dedup.DedupPack.augmentedSql},
-      |w AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
-      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
-      |q AS (SELECT doc_id, md5(text) AS content_hash,
-      |  round(0.4 * (CASE WHEN len(words) > 0
-      |      THEN CAST(len(list_filter(words, x -> x IN (${inList(stopAll)}))) AS DOUBLE)
-      |        / CAST(len(words) AS DOUBLE) ELSE 0.0 END)
-      |    + 0.3 * (1.0 - (CASE WHEN length(text) > 0
-      |      THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-      |        / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
-      |    + 0.3 * least(1.0, CAST(len(words) AS DOUBLE) / 100.0), 6) AS quality
-      |  FROM w),
+      |$qualityCtes,
       |f AS (SELECT * FROM q WHERE quality >= 0.45),
       |k AS (SELECT content_hash, min(doc_id) AS doc_id FROM f GROUP BY 1)
       |SELECT f.doc_id, f.content_hash, f.quality

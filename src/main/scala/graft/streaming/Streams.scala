@@ -269,13 +269,21 @@ object Streams {
     * exact digest first (dup_of_history / dup_in_batch), MinHash-LSH
     * + exact-Jaccard verify for the digest-new remainder
     * (near_dup_of_history / new). Decisions land in
-    * `outDir/batch=<id>` and each batch's ADMITTED documents append
-    * their derived state — content digests, per-band minhash
-    * signatures, hashed shingle rows — to three parquet history
-    * tables under `histDir`, which the next batch joins against.
-    * History text is never rescanned; history signatures are never
-    * recomputed; per-batch cost is the batch's own signature pass
-    * plus candidate-bounded joins (the d19 scale shape).
+    * `outDir/batch=<id>`, the per-batch run summary (the reference's
+    * Dashboard box — see [[runSummaryOf]]) beside them in
+    * `<outDir>_summary/batch=<id>`, and each batch's ADMITTED
+    * documents append their derived state — content digests, per-band
+    * minhash signatures, hashed shingle rows, and the d13 Bloom bit
+    * positions of the digests — to four parquet history tables under
+    * `histDir`, which the next batch joins against. History text is
+    * never rescanned; history signatures are never recomputed;
+    * per-batch cost is the batch's own signature pass plus
+    * candidate-bounded joins (the d19 scale shape). [[GateOptions]]
+    * bounds the STATE lifecycle for long-running streams: generation
+    * compaction keeps per-trigger directory listings O(compactEvery)
+    * in stream age, the Bloom front keeps the exact digest join's
+    * probe side constant-bounded, and the optional retention TTL
+    * bounds state volume by horizon.
     *
     * Exactly-once across restarts: all writes go to per-batchId
     * subdirectories in OVERWRITE mode, and state reads list the
@@ -295,65 +303,278 @@ object Streams {
     * on [[graft.streaming.StreamPack.dedupGate]]. */
   def dedupIngestGate(spark: SparkSession, watchDir: String,
                       schema: StructType, outDir: String, histDir: String,
-                      maxFilesPerTrigger: Int = 10)
+                      maxFilesPerTrigger: Int = 10,
+                      opts: GateOptions = GateOptions())
       : org.apache.spark.sql.streaming.StreamingQuery =
     watchedFolder(spark, watchDir, schema, maxFilesPerTrigger)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import graft.dedup.DedupPack
-        val docs = batch.select(col("doc_id"), col("text")).persist()
-        val conf = spark.sessionState.newHadoopConf()
-        // state written by batches < batchId only (see scaladoc)
-        def priorState(kind: String, empty: DataFrame): DataFrame = {
-          val root = new org.apache.hadoop.fs.Path(s"$histDir/$kind")
-          val fs = root.getFileSystem(conf)
-          if (!fs.exists(root)) empty
-          else {
-            val dirs = fs.listStatus(root).toSeq
-              .filter(_.isDirectory)
-              .map(_.getPath)
-              .filter { p =>
-                val n = p.getName
-                n.startsWith("batch=") &&
-                  scala.util.Try(n.stripPrefix("batch=").toLong)
-                    .toOption.exists(_ < batchId)
-              }
-            if (dirs.isEmpty) empty
-            // explicit schema: a batch that admitted ZERO docs leaves
-            // a part-file-less directory, and schema inference over
-            // only such dirs would fail — the state schema is known
-            else spark.read.schema(empty.schema)
-              .parquet(dirs.map(_.toString): _*)
-          }
-        }
-        val digests = priorState("digests",
-          spark.range(0).select(md5(col("id").cast("string")).as("h")))
-        val sigs = priorState("sigs",
-          spark.range(0).select(col("id").as("hist_id"),
-            lit(0).cast("int").as("band"), lit("").as("bandsig")))
-        val shingles = priorState("shingles",
-          spark.range(0).select(col("id"), col("id").as("sh")))
-        // the gate returns the admitted docs' derived state relations
-        // from ITS OWN signature pass — the append below re-reads
-        // cached frames, never recomputes minhashes or shingles
-        val (decisionsRaw, newDigests, newSigs, newShingles) = DedupPack
-          .dedupGateWithState(digests, sigs, shingles, docs)
-        val decisions = decisionsRaw.persist()
-        decisions.write.mode("overwrite")
-          .parquet(s"$outDir/batch=$batchId")
-        newDigests
-          .write.mode("overwrite").parquet(s"$histDir/digests/batch=$batchId")
-        newSigs
-          .write.mode("overwrite").parquet(s"$histDir/sigs/batch=$batchId")
-        newShingles
-          .write.mode("overwrite").parquet(s"$histDir/shingles/batch=$batchId")
-        decisions.unpersist()
-        docs.unpersist()
-        graft.core.Caches.releaseTransients()
-        ()
+        dedupGateBatch(spark, batch.toDF(), batchId, outDir, histDir, opts)
       }
       .option("checkpointLocation", histDir + "_ckpt")
       .start()
+
+  /** State-lifecycle knobs for [[dedupIngestGate]] (round 11 — the
+    * r10 verdict's top item: the gate listed and unioned EVERY
+    * `batch=*` state subdir on every trigger, so per-trigger listing
+    * and digest-scan cost grew with batch count over a long-running
+    * stream).
+    *
+    *  - `compactEvery` = K > 0: every K batches, fold all COMMITTED
+    *    state (batch ids ≤ current−1) into one `gen=<id>` generation
+    *    directory per state kind and delete the covered subdirs —
+    *    after compaction a trigger lists O(K) directories regardless
+    *    of stream age (the [[graft.relational.Skew.compact]] posture
+    *    applied to gate state; file count per generation derives from
+    *    real bytes / `targetGenBytes`). Replay-safe: the generation
+    *    covers only batches strictly below the running one, writes go
+    *    through Spark's _SUCCESS commit (a partial generation is
+    *    ignored by the resolver and rewritten), and a generation that
+    *    already exists is never re-read-and-overwritten in place.
+    *  - `retentionBatches` = N > 0: the TTL. State written by batch j
+    *    participates in batch B's screens only while B − j ≤ N (the
+    *    `dropDuplicatesWithinWatermark` analogue for the persisted
+    *    tables); compaction physically drops expired rows. An expired
+    *    duplicate re-admits as 'new' BY DESIGN — retention trades
+    *    dedup horizon for bounded state, exactly like a watermark.
+    *    0 (default) keeps history forever.
+    *  - `bloomScreen`: maintain a d13 Bloom bits relation (k=3,
+    *    m=2²⁰ — ≤1M position rows no matter how large history grows)
+    *    alongside the digests, and pre-screen each batch's digests
+    *    against it so only Bloom-POSITIVE digests reach the exact
+    *    history digest join (no false negatives, so decisions are
+    *    bit-identical — spec-pinned; the join's build side shrinks
+    *    from O(batch) to O(true dups + FP·batch)). Bloom state is
+    *    always WRITTEN; the screen self-disables on a history dir
+    *    that predates bloom state (digests present, bloom absent) —
+    *    correctness first. A dir whose bloom state starts mid-history
+    *    cannot be detected cheaply and must not set this flag.
+    */
+  case class GateOptions(
+    compactEvery: Int = 0,
+    retentionBatches: Int = 0,
+    bloomScreen: Boolean = true,
+    targetGenBytes: Long = 128L * 1024 * 1024)
+
+  private val BloomK = 3
+  private val BloomBits = 1 << 20
+
+  /** Empty state-relation schema per kind — every persisted state row
+    * carries `src_batch` (the writing batch id): directory layout
+    * gives exactly-once (read only ids < current), the COLUMN gives
+    * retention (TTL filters survive compaction because provenance is
+    * row-level, not directory-level). */
+  private def emptyState(spark: SparkSession, kind: String): DataFrame = {
+    val z = spark.range(0)
+    val base = kind match {
+      case "digests"  => z.select(md5(col("id").cast("string")).as("h"))
+      case "sigs"     => z.select(col("id").as("hist_id"),
+        lit(0).cast("int").as("band"), lit("").as("bandsig"))
+      case "shingles" => z.select(col("id"), col("id").as("sh"))
+      case "bloom"    => z.select(col("id").as("pos"))
+      case other      => throw new IllegalArgumentException(other)
+    }
+    base.withColumn("src_batch", lit(0L))
+  }
+
+  private def idOf(name: String, pfx: String): Option[Long] =
+    if (name.startsWith(pfx))
+      scala.util.Try(name.stripPrefix(pfx).toLong).toOption
+    else None
+
+  /** The state directories batch `batchId` reads for `kind`: the
+    * newest VALID generation below it (valid = carries Spark's
+    * _SUCCESS commit marker — a crash mid-compaction leaves no marker
+    * and the partial generation is invisible) plus every committed
+    * `batch=` dir it does not cover. Ids ≥ `batchId` are never read —
+    * the exactly-once contract under foreachBatch replay. */
+  private def stateDirs(spark: SparkSession, histDir: String, kind: String,
+                        batchId: Long): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(s"$histDir/$kind")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val subs = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      val gens = subs.flatMap { s =>
+        idOf(s.getPath.getName, "gen=")
+          .filter(id => id < batchId && fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          .map(_ -> s.getPath)
+      }
+      val maxGen = gens.map(_._1).maxOption
+      val live = subs.flatMap { s =>
+        idOf(s.getPath.getName, "batch=")
+          .filter(id => id < batchId && maxGen.forall(id > _))
+          .map(_ => s.getPath)
+      }
+      gens.collect { case (id, p) if maxGen.contains(id) => p } ++ live
+    }
+  }
+
+  /** ONE micro-batch of the continuous-ingest dedup gate — the
+    * foreachBatch body of [[dedupIngestGate]], factored out so specs
+    * and the PerfProbe `gatestate` leg can drive a long batch
+    * sequence directly. Writes decisions, the per-batch run summary
+    * (`<outDir>_summary/batch=<id>` — the reference's per-run
+    * Dashboard box, `ocr_agent_8_29.py:28-33`), and the four state
+    * kinds; then compacts generations per `opts`. */
+  private[graft] def dedupGateBatch(spark: SparkSession, batch: DataFrame,
+                                    batchId: Long, outDir: String,
+                                    histDir: String,
+                                    opts: GateOptions = GateOptions()): Unit = {
+    import graft.dedup.{Dedup, DedupPack}
+    val docs = batch.select(col("doc_id"), col("text")).persist()
+    // state written by batches < batchId only (see scaladoc); the
+    // explicit schema matters: a batch that admitted ZERO docs leaves
+    // a part-file-less directory and inference over only such dirs
+    // would fail
+    def priorState(kind: String): DataFrame = {
+      val empty = emptyState(spark, kind)
+      val dirs = stateDirs(spark, histDir, kind, batchId)
+      val full =
+        if (dirs.isEmpty) empty
+        else spark.read.schema(empty.schema).parquet(dirs.map(_.toString): _*)
+      val kept =
+        if (opts.retentionBatches > 0)
+          full.filter(col("src_batch") >= batchId - opts.retentionBatches)
+        else full
+      kept.drop("src_batch")
+    }
+    val digests = priorState("digests")
+    val sigs = priorState("sigs")
+    val shingles = priorState("shingles")
+    // the d13 Bloom front: the bits relation is bounded (≤2²⁰ position
+    // rows) no matter how large history grows, so the probe join's
+    // build side is CONSTANT in stream age; only bloom-positive
+    // digests reach the exact history digest set. No false negatives
+    // ⇒ identical decisions (spec-pinned).
+    val digestsScreened =
+      if (!opts.bloomScreen ||
+          stateDirs(spark, histDir, "bloom", batchId).isEmpty) digests
+      else {
+        val bits = priorState("bloom").select(col("pos")).distinct()
+        val probe = docs
+          .select(md5(coalesce(col("text"), lit(""))).as("h")).distinct()
+        val positive = Dedup.bloomMembers(
+            probe.select(col("h").as("id"), col("h").as("key")),
+            bits, BloomK, BloomBits)
+          .select(col("key").as("h")).distinct()
+        digests.join(positive, Seq("h"), "left_semi")
+      }
+    // the gate returns the admitted docs' derived state relations
+    // from ITS OWN signature pass — the append below re-reads
+    // cached frames, never recomputes minhashes or shingles
+    val (decisionsRaw, newDigests, newSigs, newShingles) =
+      DedupPack.dedupGateWithState(digestsScreened, sigs, shingles, docs)
+    val decisions = decisionsRaw.persist()
+    decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    runSummaryOf(decisions, docs, batchId)
+      .write.mode("overwrite").parquet(s"${outDir}_summary/batch=$batchId")
+    def writeState(kind: String, df: DataFrame): Unit =
+      df.withColumn("src_batch", lit(batchId))
+        .write.mode("overwrite").parquet(s"$histDir/$kind/batch=$batchId")
+    writeState("digests", newDigests)
+    writeState("sigs", newSigs)
+    writeState("shingles", newShingles)
+    writeState("bloom",
+      Dedup.bloomBits(newDigests.select(col("h").as("key")),
+        BloomK, BloomBits).select(col("pos")))
+    decisions.unpersist()
+    docs.unpersist()
+    if (opts.compactEvery > 0 && batchId > 0 &&
+        batchId % opts.compactEvery == 0)
+      compactState(spark, histDir, batchId, opts)
+    graft.core.Caches.releaseTransients()
+    ()
+  }
+
+  /** Fold all committed state (ids ≤ batchId−1) of every kind into
+    * `gen=<batchId−1>` and delete the covered subdirs. Idempotent
+    * under foreachBatch replay: an already-committed target is never
+    * re-read-and-overwritten in place (read-lazy overwrite of one's
+    * own input corrupts it — the skip also makes replay cheap), a
+    * partial target (no _SUCCESS) is invisible to readers and simply
+    * rewritten, and deletes run only once the target is committed.
+    * Retention-expired rows (relative to the CURRENT batch — the
+    * tightest cut any future reader will apply is tighter still) are
+    * physically dropped here. */
+  private def compactState(spark: SparkSession, histDir: String,
+                           batchId: Long, opts: GateOptions): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val genId = batchId - 1
+    Seq("digests", "sigs", "shingles", "bloom").foreach { kind =>
+      val root = new org.apache.hadoop.fs.Path(s"$histDir/$kind")
+      val fs = root.getFileSystem(conf)
+      if (fs.exists(root)) {
+        val target = new org.apache.hadoop.fs.Path(root, s"gen=$genId")
+        val committed =
+          fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+        // sources resolve exactly like a read at this batch id
+        val sources = stateDirs(spark, histDir, kind, batchId)
+        if (!committed && sources.nonEmpty) {
+          val empty = emptyState(spark, kind)
+          val df = spark.read.schema(empty.schema)
+            .parquet(sources.map(_.toString): _*)
+          val pruned =
+            if (opts.retentionBatches > 0)
+              df.filter(col("src_batch") >= batchId - opts.retentionBatches)
+            else df
+          // file count from real bytes (the Skew.compact discipline:
+          // data files only — .crc/_SUCCESS would tip the ceil)
+          val bytes = sources.map { d =>
+            fs.listStatus(d).iterator.filter(st => st.isFile && {
+              val n = st.getPath.getName
+              !n.startsWith(".") && !n.startsWith("_")
+            }).map(_.getLen).sum
+          }.sum
+          val nFiles = math.max(1L,
+            (bytes + opts.targetGenBytes - 1) / opts.targetGenBytes).toInt
+          pruned.repartition(nFiles)
+            .write.mode("overwrite").parquet(target.toString)
+        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+          fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { s =>
+            val n = s.getPath.getName
+            val covered = idOf(n, "batch=").exists(_ <= genId) ||
+              idOf(n, "gen=").exists(_ < genId)
+            if (covered) { fs.delete(s.getPath, true); () }
+          }
+        }
+      }
+    }
+  }
+
+  /** The per-batch ingest RUN SUMMARY — the reference agent's
+    * run-metrics/Dashboard stage (`ocr_agent_8_29.py:28-33`: per-run
+    * counts + status breakdown) as one row per micro-batch: docs
+    * seen, the verdict split (new / dup_of_history / dup_in_batch /
+    * near_dup_of_history), and quality quartiles of the batch's
+    * documents through the x04 histogram sketch
+    * ([[graft.core.Sketches]] — bounded state, replays in SQL, so the
+    * s10 batch twin is fully hash-checked). Counts aggregate across
+    * batches by addition; quantiles are per-batch by design. */
+  private[graft] def runSummaryOf(decisions: DataFrame, docs: DataFrame,
+                                  batchId: Long): DataFrame = {
+    def n(status: String) = coalesce(
+      sum(when(col("status") === status, 1L).otherwise(0L)), lit(0L))
+    val counts = decisions.agg(
+      count(lit(1)).as("n_seen"),
+      n("new").as("n_new"),
+      n("dup_of_history").as("n_dup_of_history"),
+      n("dup_in_batch").as("n_dup_in_batch"),
+      n("near_dup_of_history").as("n_near_dup_of_history"))
+    val qp = graft.core.Sketches.histogramQuantiles(docs,
+        round(graft.text.TextAnalysis.qualityScore(col("text")), 6),
+        bins = 1000, probs = Seq(0.25, 0.5, 0.75))
+      .agg(max(when(col("q") === 0.25, col("est"))).as("q_p25"),
+        max(when(col("q") === 0.5, col("est"))).as("q_p50"),
+        max(when(col("q") === 0.75, col("est"))).as("q_p75"))
+    counts.crossJoin(qp)
+      .select(lit(batchId).as("batch_id"), col("n_seen"), col("n_new"),
+        col("n_dup_of_history"), col("n_dup_in_batch"),
+        col("n_near_dup_of_history"), col("q_p25"), col("q_p50"),
+        col("q_p75"))
+  }
 
   /** The deterministic batch twin of [[rateLimitStream]]: per-user
     * row_number over (ts, event_id) capped at `maxPerUser` — a plain

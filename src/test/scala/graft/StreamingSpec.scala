@@ -268,6 +268,149 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       .parquet(histDir + "/digests").distinct().count() == 3)
   }
 
+  test("gate state lifecycle: 20+ direct micro-batches — compaction + bloom " +
+      "keep decisions bit-identical with state dirs bounded") {
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val ids = aug.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val chunks = ids.grouped(math.max(1,
+      math.ceil(ids.length / 22.0).toInt)).toSeq
+    assert(chunks.length >= 20, s"need >=20 micro-batches, got ${chunks.length}")
+    def runAll(tag: String, opts: Streams.GateOptions): (String, String) = {
+      val outDir = Files.createTempDirectory(s"graft_gl_${tag}_o").toString +
+        "/decisions"
+      val histDir = Files.createTempDirectory(s"graft_gl_${tag}_h").toString +
+        "/hist"
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        Streams.dedupGateBatch(spark,
+          aug.filter(col("doc_id").isin(chunk: _*)), i.toLong,
+          outDir, histDir, opts)
+      }
+      (outDir, histDir)
+    }
+    val (outA, histA) = runAll("base",
+      Streams.GateOptions(compactEvery = 0, bloomScreen = false))
+    val (outB, histB) = runAll("life",
+      Streams.GateOptions(compactEvery = 5, bloomScreen = true))
+    def decs(out: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(out)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val a = decs(outA)
+    assert(a == decs(outB), "lifecycle options changed gate decisions")
+    assert(a.exists(_._2 != "new"), "fixture produced no duplicate verdicts")
+    // the compacted run's state listing is bounded (1 generation +
+    // at most compactEvery live batch dirs); the baseline keeps one
+    // dir per batch — the growth the lifecycle exists to stop
+    for (kind <- Seq("digests", "sigs", "shingles", "bloom")) {
+      val nB = Option(new java.io.File(s"$histB/$kind").listFiles())
+        .fold(0)(_.count(_.isDirectory))
+      assert(nB <= 6, s"$kind: $nB state dirs under compactEvery=5")
+      val nA = Option(new java.io.File(s"$histA/$kind").listFiles())
+        .fold(0)(_.count(_.isDirectory))
+      assert(nA == chunks.length, s"$kind baseline kept $nA dirs")
+    }
+    // run summaries: one row per batch, counts sum to the decision split
+    val sums = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outB + "_summary")
+    assert(sums.count() == chunks.length)
+    val agg = sums.agg(sum(col("n_seen")), sum(col("n_new")),
+      sum(col("n_dup_of_history")), sum(col("n_dup_in_batch")),
+      sum(col("n_near_dup_of_history"))).collect()(0)
+    assert(agg.getLong(0) == ids.length)
+    val byStatus = a.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(agg.getLong(1) == byStatus.getOrElse("new", 0L))
+    assert(agg.getLong(2) == byStatus.getOrElse("dup_of_history", 0L))
+    assert(agg.getLong(3) == byStatus.getOrElse("dup_in_batch", 0L))
+    assert(agg.getLong(4) == byStatus.getOrElse("near_dup_of_history", 0L))
+  }
+
+  test("gate retention TTL: expired duplicate re-admits, in-window still " +
+      "gates, and the policy composes with compaction") {
+    import spark.implicits._
+    def txt(seed: String): String = (1 to 20).map(i => seed + i).mkString(" ")
+    def nearOf(seed: String): String =
+      ((1 to 19).map(i => seed + i) :+ "zzz").mkString(" ")
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq(1L -> txt("alpha")),
+      Seq(2L -> txt("beta")),
+      Seq(3L -> txt("gamma")),
+      Seq(10L -> txt("alpha"),    // exact copy of batch-0 state
+          11L -> nearOf("alpha"), // near copy of batch-0 state
+          12L -> txt("gamma"),    // exact copy of batch-2 state
+          13L -> nearOf("beta"))) // near copy of batch-1 state
+    def run(opts: Streams.GateOptions): Map[Long, String] = {
+      val outDir = Files.createTempDirectory("graft_ttl_o").toString + "/d"
+      val histDir = Files.createTempDirectory("graft_ttl_h").toString + "/h"
+      batches.zipWithIndex.foreach { case (rows, i) =>
+        Streams.dedupGateBatch(spark, rows.toDF("doc_id", "text"),
+          i.toLong, outDir, histDir, opts)
+      }
+      spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    // retention 2 at batch 3 keeps state written by batches >= 1:
+    // batch-0's alpha expired (10/11 re-admit as new BY DESIGN),
+    // batch-1's beta and batch-2's gamma still gate
+    val expected = Map(1L -> "new", 2L -> "new", 3L -> "new",
+      10L -> "new", 11L -> "new",
+      12L -> "dup_of_history", 13L -> "near_dup_of_history")
+    assert(run(Streams.GateOptions(retentionBatches = 2)) == expected)
+    // compaction physically drops expired rows but never changes the
+    // decisions the TTL defines
+    assert(run(Streams.GateOptions(retentionBatches = 2,
+      compactEvery = 2)) == expected)
+    // and without a TTL the same feed gates the batch-0 copies — the
+    // contrast that proves retention, not batch layout, re-admitted
+    val forever = run(Streams.GateOptions())
+    assert(forever(10L) == "dup_of_history" &&
+      forever(11L) == "near_dup_of_history")
+  }
+
+  test("dedup ingest gate: streaming with compaction + bloom + run summary " +
+      "equals the batch twin") {
+    import org.apache.spark.sql.types._
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    val watchDir = Files.createTempDirectory("graft_glife_in").toString
+    val outDir = Files.createTempDirectory("graft_glife_out").toString + "/decisions"
+    val histDir = Files.createTempDirectory("graft_glife_hist").toString + "/hist"
+    // history file, then the WHOLE batch side as one file: summary
+    // row 1 must equal the s10 one-shot twin
+    aug.filter(col("doc_id") < 300).coalesce(1)
+      .write.mode("overwrite").parquet(watchDir)
+    aug.filter(col("doc_id") >= 300).coalesce(1)
+      .write.mode("append").parquet(watchDir)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val q = Streams.dedupIngestGate(spark, watchDir, schema, outDir, histDir,
+      maxFilesPerTrigger = 1,
+      opts = Streams.GateOptions(compactEvery = 1, bloomScreen = true))
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
+      .filter(col("doc_id") >= 300).select(col("doc_id"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = graft.streaming.StreamPack.dedupGate(spark, sf)
+      .select(col("doc_id"), col("status"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    // compaction ran at batch 1: each state kind is one generation +
+    // the live batch dir
+    for (kind <- Seq("digests", "sigs", "shingles", "bloom")) {
+      val names = Option(new java.io.File(s"$histDir/$kind").listFiles())
+        .fold(Seq.empty[String])(_.filter(_.isDirectory).map(_.getName).toSeq)
+      assert(names.sorted == Seq("batch=1", "gen=0"), s"$kind: $names")
+    }
+    // the batch-1 run summary equals the s10 batch twin (batch_id aside)
+    val twin = graft.streaming.StreamPack.runSummary(spark, sf)
+      .collect()(0).toSeq.drop(1)
+    val row1 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir + "_summary")
+      .filter(col("batch_id") === 1).collect()(0).toSeq.drop(1)
+    assert(row1 == twin, s"summary $row1 vs twin $twin")
+  }
+
   test("rate-limit gate: flatMapGroupsWithState carries per-user counts across batches") {
     val dir = Files.createTempDirectory("graft_ratestream").toString
     val ev = Tables(spark, sf).events

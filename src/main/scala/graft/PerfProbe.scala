@@ -231,6 +231,47 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe ivfsplit` — the v19 cost-split probe
+    // (r10 verdict #5): v19's 13.8x at 30x sits inside the bound but
+    // the growth is all index REBUILD. Split Lloyd (seed sample + 2
+    // refinement iterations) / assignment (vector→list) / probe+
+    // rerank (query cost against the PREBUILT index — the amortized
+    // row: real pipelines build the index once per session and every
+    // downstream query rides it) / the full v19 build+search. No
+    // clearCache between stages — the prebuilt frames must stay
+    // cached or the probe row silently re-times the build. Run with
+    // SPARK_GRAFT_SF_DIR at 1x and the 10x/30x corpora for PERF.md.
+    if (args.contains("ivfsplit")) {
+      import graft.vector.KnnJoin
+      def timeNC(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val e = graft.core.Tables(spark, sfDir).embeddings
+      val n = e.count()
+      val nlist = KnnJoin.resolveNlist(0, e)
+      var cents: org.apache.spark.sql.DataFrame = null
+      timeNC(s"ivfsplit n=$n nlist=$nlist lloyd (sample + 2 iters)") {
+        cents = KnnJoin.ivfCentroids(spark, e, nlist, "42", 2).persist()
+        cents.count(); ()
+      }
+      var assign: org.apache.spark.sql.DataFrame = null
+      timeNC(s"ivfsplit n=$n assignment (vector -> list)") {
+        assign = KnnJoin.nearestCentroids(spark, e, cents, 1).persist()
+        assign.count(); ()
+      }
+      timeNC(s"ivfsplit n=$n probe+rerank (prebuilt index)") {
+        noop(KnnJoin.approxIvf(spark, e, e, 3, nCentroids = nlist,
+          centroidsOpt = Some(cents), assignmentsOpt = Some(assign)))
+      }
+      timeNC(s"ivfsplit n=$n full v19 (build + search)") {
+        noop(KnnJoin.approxIvf(spark, e, e, 3))
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe gatestate` — the s09 state-lifecycle
     // instrument (r10 verdict #1): drive the continuous-ingest gate's
     // per-batch body over 24 direct micro-batches of 200 docs, with

@@ -89,16 +89,23 @@ object StreamPack extends QueryPack {
     * first arrival rather than min(doc_id), and a near-dup pair split
     * across batches reads 'near_dup_of_history' where the twin says
     * 'new' — decision-equivalent policies, not label-equivalent. */
-  def dedupGate(spark: SparkSession, dir: String): DataFrame = {
-    val aug = graft.dedup.DedupPack.augmented(spark, dir)
+  /** Session memo of the one-shot gate DECISIONS (unordered): s09
+    * orders it, s10 aggregates it — one signature pass serves both
+    * (the jaccardPairsArtifact discipline). */
+  private def gateDecisionsArtifact(spark: SparkSession,
+                                    dir: String): DataFrame =
+    graft.core.Artifacts.memo(spark, s"gate_decisions:$dir") {
+      val aug = graft.dedup.DedupPack.augmented(spark, dir)
+      graft.dedup.DedupPack.dedupGateOf(
+        aug.filter(col("doc_id") < 300),
+        aug.filter(col("doc_id") >= 300))
+    }
+
+  def dedupGate(spark: SparkSession, dir: String): DataFrame =
     // the ordering is this oracle query's own concern — the shared
     // gate relation stays unsorted so streaming micro-batches never
     // pay a global sort
-    graft.dedup.DedupPack.dedupGateOf(
-        aug.filter(col("doc_id") < 300),
-        aug.filter(col("doc_id") >= 300))
-      .orderBy(col("doc_id"))
-  }
+    gateDecisionsArtifact(spark, dir).orderBy(col("doc_id"))
 
   /** s10: the per-batch ingest RUN SUMMARY's batch twin — the s09
     * gate run as ONE batch (the whole arriving side against the
@@ -111,12 +118,10 @@ object StreamPack extends QueryPack {
     * single-batch stream ≡ this twin and multi-batch count columns
     * summing to it. */
   def runSummary(spark: SparkSession, dir: String): DataFrame = {
-    val aug = graft.dedup.DedupPack.augmented(spark, dir)
-    val batch = aug.filter(col("doc_id") >= 300)
-    Streams.runSummaryOf(
-      graft.dedup.DedupPack.dedupGateOf(aug.filter(col("doc_id") < 300),
-        batch),
-      batch, batchId = 0L)
+    val batch = graft.dedup.DedupPack.augmented(spark, dir)
+      .filter(col("doc_id") >= 300)
+    Streams.runSummaryOf(gateDecisionsArtifact(spark, dir), batch,
+      batchId = 0L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -468,10 +468,16 @@ object Streams {
       DedupPack.dedupGateWithState(digestsScreened, sigs, shingles, docs)
     val decisions = decisionsRaw.persist()
     decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    runSummaryOf(decisions, docs, batchId)
+    runSummaryOf(decisions, docs, batchId).coalesce(1)
       .write.mode("overwrite").parquet(s"${outDir}_summary/batch=$batchId")
+    // per-batch state is micro-batch-sized: writing it at full session
+    // parallelism fans each tiny frame into ~32 part files per kind
+    // per batch (measured: ~140 files/batch at sf0.1 — the mm05
+    // lesson: file COUNT, not bytes, dominates small-state IO).
+    // coalesce (no shuffle) bounds the fan-out; generations re-derive
+    // their file count from real bytes at compaction time.
     def writeState(kind: String, df: DataFrame): Unit =
-      df.withColumn("src_batch", lit(batchId))
+      df.withColumn("src_batch", lit(batchId)).coalesce(4)
         .write.mode("overwrite").parquet(s"$histDir/$kind/batch=$batchId")
     writeState("digests", newDigests)
     writeState("sigs", newSigs)

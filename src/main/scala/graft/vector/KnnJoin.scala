@@ -505,6 +505,16 @@ object KnnJoin {
     * scan and the probed-list rerank at O(√n) per query). Costs one
     * `count()` of the index, and only on the auto path — prebuilt
     * centroid artifacts and pinned oracle params never reach it. */
+  /** nlist resolution: explicit, or the FAISS ⌈√n⌉ rule (v19's
+    * default). Expected slopes under √n lists, measured by the
+    * PerfProbe `ivfsplit` leg at 1×/10×/30× (PERF.md round-11 table):
+    * the Lloyd build is O(iters·n·nlist) = O(n^1.5) but runs ONCE per
+    * session (index artifact — every downstream query amortizes it;
+    * measured 4.5→7.2 s from 2k to 60k vectors, still
+    * overhead-dominated); per-query probe cost is O(nProbe·n/nlist) =
+    * O(√n), so a SELF-join search is O(n^1.5) asymptotically
+    * (measured 2.1→14.7 s = 7× at 30× data). A fixed nlist instead
+    * makes per-query cost O(n) — the v10/v13 pinned contrast. */
   private[graft] def resolveNlist(nCentroids: Int, index: DataFrame): Int =
     if (nCentroids > 0) nCentroids
     else math.max(1, math.ceil(math.sqrt(index.count().toDouble)).toInt)

@@ -345,10 +345,13 @@ object Streams {
     *    history digest join (no false negatives, so decisions are
     *    bit-identical — spec-pinned; the join's build side shrinks
     *    from O(batch) to O(true dups + FP·batch)). Bloom state is
-    *    always WRITTEN; the screen self-disables on a history dir
-    *    that predates bloom state (digests present, bloom absent) —
-    *    correctness first. A dir whose bloom state starts mid-history
-    *    cannot be detected cheaply and must not set this flag.
+    *    always WRITTEN; the screen self-disables whenever the bloom
+    *    dir set does not exactly cover the digest dir set (a history
+    *    dir that predates bloom state, a deleted bloom tree, a
+    *    mid-crash partial generation) — correctness first — and
+    *    compaction rebuilds the bloom generation FROM the digest
+    *    generation, so a non-covering dir self-heals at its first
+    *    compaction (spec-pinned).
     */
   case class GateOptions(
     compactEvery: Int = 0,
@@ -447,10 +450,23 @@ object Streams {
     // rows) no matter how large history grows, so the probe join's
     // build side is CONSTANT in stream age; only bloom-positive
     // digests reach the exact history digest set. No false negatives
-    // ⇒ identical decisions (spec-pinned).
+    // ⇒ identical decisions (spec-pinned). COVERAGE GUARD: the screen
+    // is sound only if the bloom state covers every digest-state dir —
+    // a history dir whose bloom tree starts mid-stream (pre-lifecycle
+    // layout, or a deleted bloom tree) would otherwise test older
+    // duplicates bloom-NEGATIVE and wrongly admit them. Dir-name-set
+    // equality is the cheap sound check because both kinds are
+    // written together per batch, and compaction REBUILDS the bloom
+    // generation from the digest generation (see [[compactState]]), so
+    // a non-covering dir degrades to the unscreened join and
+    // self-heals at its first compaction.
+    val bloomCovers = {
+      val b = stateDirs(spark, histDir, "bloom", batchId)
+      b.nonEmpty && b.map(_.getName).toSet ==
+        stateDirs(spark, histDir, "digests", batchId).map(_.getName).toSet
+    }
     val digestsScreened =
-      if (!opts.bloomScreen ||
-          stateDirs(spark, histDir, "bloom", batchId).isEmpty) digests
+      if (!opts.bloomScreen || !bloomCovers) digests
       else {
         val bits = priorState("bloom").select(col("pos")).distinct()
         val probe = docs
@@ -508,6 +524,7 @@ object Streams {
                            batchId: Long, opts: GateOptions): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val genId = batchId - 1
+    // digests FIRST: the bloom generation below derives from it
     Seq("digests", "sigs", "shingles", "bloom").foreach { kind =>
       val root = new org.apache.hadoop.fs.Path(s"$histDir/$kind")
       val fs = root.getFileSystem(conf)
@@ -517,7 +534,28 @@ object Streams {
           fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
         // sources resolve exactly like a read at this batch id
         val sources = stateDirs(spark, histDir, kind, batchId)
-        if (!committed && sources.nonEmpty) {
+        if (!committed && kind == "bloom") {
+          // the bloom generation REBUILDS from the digest generation
+          // rather than folding bloom dirs: a bloom tree that starts
+          // mid-history (pre-lifecycle layout) is missing positions
+          // for older digests; deriving from the digests guarantees
+          // the no-false-negative coverage the screen's soundness
+          // check requires, at the cost of re-hashing each retained
+          // digest once per compaction (the compaction already scans
+          // them).
+          val dg = new org.apache.hadoop.fs.Path(
+            s"$histDir/digests/gen=$genId")
+          if (fs.exists(new org.apache.hadoop.fs.Path(dg, "_SUCCESS"))) {
+            spark.read.schema(emptyState(spark, "digests").schema)
+              .parquet(dg.toString)
+              .select(explode(array(graft.dedup.Dedup
+                  .bloomBitPositions(col("h"), BloomK, BloomBits): _*))
+                .as("pos"), col("src_batch"))
+              .distinct()
+              .coalesce(4)
+              .write.mode("overwrite").parquet(target.toString)
+          }
+        } else if (!committed && sources.nonEmpty) {
           val empty = emptyState(spark, kind)
           val df = spark.read.schema(empty.schema)
             .parquet(sources.map(_.toString): _*)

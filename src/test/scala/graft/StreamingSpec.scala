@@ -368,6 +368,45 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       forever(11L) == "near_dup_of_history")
   }
 
+  test("bloom coverage guard: a bloom tree that starts mid-history never " +
+      "drops decisions, and compaction self-heals it from the digests") {
+    import spark.implicits._
+    def txt(seed: String): String = (1 to 20).map(i => seed + i).mkString(" ")
+    val outDir = Files.createTempDirectory("graft_bcov_o").toString + "/d"
+    val histDir = Files.createTempDirectory("graft_bcov_h").toString + "/h"
+    val opts = Streams.GateOptions(compactEvery = 3, bloomScreen = true)
+    def feed(i: Long, rows: Seq[(Long, String)]): Unit =
+      Streams.dedupGateBatch(spark, rows.toDF("doc_id", "text"), i,
+        outDir, histDir, opts)
+    feed(0, Seq(1L -> txt("alpha")))
+    // simulate a pre-lifecycle history dir: the bloom tree vanishes
+    // after batch 0, so batch-1 state is the only bloom coverage
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$histDir/bloom"))
+    feed(1, Seq(2L -> txt("beta")))
+    // batch 2: bloom dirs = {batch=1} but digests = {batch=0, batch=1}
+    // — the guard must fall back to the unscreened join, so the
+    // batch-0 duplicate still gates
+    feed(2, Seq(10L -> txt("alpha")))
+    // batch 3 ran compaction at compactEvery=3? (3 % 3 == 0 fires at
+    // batch 3's END) — feed it, then batch 4 screens against the
+    // REBUILT bloom generation: coverage is healed, and the batch-0
+    // duplicate must still gate through the now-active screen
+    feed(3, Seq(3L -> txt("gamma")))
+    feed(4, Seq(11L -> txt("alpha"), 12L -> txt("delta")))
+    val status = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(status == Map(1L -> "new", 2L -> "new", 10L -> "dup_of_history",
+      3L -> "new", 11L -> "dup_of_history", 12L -> "new"), s"got $status")
+    // the healed bloom generation really covers the digest set
+    val names = Option(new java.io.File(s"$histDir/bloom").listFiles())
+      .fold(Seq.empty[String])(_.filter(_.isDirectory).map(_.getName).toSeq)
+    assert(names.contains("gen=2"), s"bloom dirs: $names")
+  }
+
   test("dedup ingest gate: streaming with compaction + bloom + run summary " +
       "equals the batch twin") {
     import org.apache.spark.sql.types._

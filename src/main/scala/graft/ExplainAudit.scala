@@ -34,7 +34,8 @@ object ExplainAudit {
         "t12_bpe_fertility", "m14_roc_auc",
         "m15_pr_auc", "d20_pair_band_counts", "s09_dedup_gate",
         "m16_risk_coverage", "d21_minhash_fidelity",
-        "s10_run_summary", "f07_suggest_corrections")
+        "s10_run_summary", "f07_suggest_corrections",
+        "v23_prototype_pruning")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -613,7 +613,7 @@ object Streams {
       .agg(max(when(col("q") === 0.25, col("est"))).as("q_p25"),
         max(when(col("q") === 0.5, col("est"))).as("q_p50"),
         max(when(col("q") === 0.75, col("est"))).as("q_p75"))
-    counts.crossJoin(qp)
+    counts.crossJoin(broadcast(qp))
       .select(lit(batchId).as("batch_id"), col("n_seen"), col("n_new"),
         col("n_dup_of_history"), col("n_dup_in_batch"),
         col("n_near_dup_of_history"), col("q_p25"), col("q_p50"),

@@ -403,6 +403,48 @@ object VectorPack extends QueryPack {
       .orderBy(col("centroid_id"))
   }
 
+  /** v23: PROTOTYPICALITY-based data pruning (Sorscher et al. 2022,
+    * "Beyond neural scaling laws: beating power law scaling via data
+    * pruning") — in the abundant-data regime the best examples to
+    * DROP are the easiest, most prototypical ones: the paper's
+    * self-supervised metric is exactly the margin to the k-means
+    * centroid. Per vector: its cluster, the 9-dp dot to the centroid
+    * (the prototypicality score), its within-cluster rank (1 = most
+    * prototypical, ties broken by vec_id), and `pruned` — true for
+    * the top 25% most prototypical of each cluster (the keep-hard
+    * policy; flip the flag for the scarce-data keep-easy regime).
+    * Consumes the SESSION quantizer artifacts (the v22 discipline),
+    * so no re-training and the oracle replays the identical Lloyd
+    * chain. Scale shape: one broadcast join against the 16-row
+    * centroid relation; the rank window partitions by cluster —
+    * with the auto-⌈√n⌉ quantizer (v19) cluster sizes are O(√n), so
+    * no partition grows linearly; for threshold-only use at extreme
+    * scale the per-cluster cut takes the a20 collapsed-count path
+    * (9-dp score domain) instead of materializing ranks. */
+  def prototypePruning(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddingsSpread
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cent = ivfCentroidsArtifact(spark, dir)
+      .select(col("centroid_id"), col("embedding").as("cv"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val joined = graft.core.Caches.transient(
+      ivfAssignmentsArtifact(spark, dir).join(emb, Seq("vec_id"))
+        .join(broadcast(cent), Seq("centroid_id"))
+        .select(col("vec_id"), col("centroid_id"),
+          round(VectorOps.dot(col("v"), col("cv")), 9).as("dot")))
+    val sizes = joined.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("dot").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w))
+      .join(broadcast(sizes), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        round(col("dot"), 6).as("proto_score"),
+        col("rk").cast("long").as("proto_rank"),
+        (col("rk") <= ceil(d(col("n")) * 0.25)).as("pruned"))
+      .orderBy(col("vec_id"))
+  }
+
   /** v14: contrastive triplet mining over the augmented vectors —
     * every planted near-dup pair yields two (anchor, positive, hard
     * negative) training rows; the hard negative is the anchor's most
@@ -438,7 +480,8 @@ object VectorPack extends QueryPack {
     "v19_knn_ivf_auto" -> ivfAuto,
     "v20_knn_sharded" -> knnSharded,
     "v21_index_recall" -> indexRecall,
-    "v22_cluster_report" -> clusterReport)
+    "v22_cluster_report" -> clusterReport,
+    "v23_prototype_pruning" -> prototypePruning)
 
   override val artifacts: Map[String, (SparkSession, String) => DataFrame] =
     Map("knn_self_top3" -> ((s, d) => KnnJoin.exactSelfTop3(s, d)),
@@ -817,8 +860,27 @@ object VectorPack extends QueryPack {
     |FROM g JOIN lt ON lt.cid = g.cid AND lt.rn = 1, t
     |ORDER BY centroid_id""".stripMargin
 
+  /** v23 oracle: the shared IVF Lloyd chain, per-vector centroid dot,
+    * within-cluster prototypicality rank, top-25% prune flag. */
+  private val prototypePruningSql = s"""
+    |WITH $eCte,
+    |$ivfCtes,
+    |j AS (SELECT a.vec_id, a.cid,
+    |    round(list_dot_product(e.v, c.cv), 9) AS dot
+    |  FROM asg a JOIN e ON e.vec_id = a.vec_id JOIN c2 c ON c.cid = a.cid),
+    |rk AS (SELECT vec_id, cid, dot,
+    |    row_number() OVER (PARTITION BY cid ORDER BY dot DESC, vec_id) AS rk,
+    |    count(*) OVER (PARTITION BY cid) AS n
+    |  FROM j)
+    |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id,
+    |  round(dot, 6) AS proto_score,
+    |  CAST(rk AS BIGINT) AS proto_rank,
+    |  rk <= ceil(0.25 * n) AS pruned
+    |FROM rk ORDER BY vec_id""".stripMargin
+
   val oracles: Map[String, String] =
     oracles0 +
+      ("v23_prototype_pruning" -> prototypePruningSql) +
       ("v22_cluster_report" -> clusterReportSql) +
       ("v21_index_recall" -> indexRecallSql) +
       ("v14_contrastive_triplets" -> contrastiveSql) +

@@ -115,6 +115,34 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("prototype pruning: exact 25% per-cluster cut, pruned = the " +
+      "top-score members, covers the corpus") {
+    val out = graft.vector.VectorPack.prototypePruning(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.length == graft.core.Tables(spark, sf).embeddings.count(),
+      "one row per vector")
+    assert(out.map(_._1).distinct.length == out.length)
+    out.groupBy(_._2).foreach { case (cid, rows) =>
+      val n = rows.length
+      val pruned = rows.filter(_._5)
+      assert(pruned.length == math.ceil(0.25 * n).toLong,
+        s"cluster $cid: ${pruned.length} pruned of $n")
+      // the pruned set is exactly the prototypicality-rank prefix;
+      // ranks are dense 1..n and scores non-increasing along them
+      // (ranks order by the 9-dp score, the output rounds to 6 — an
+      // exact re-sort on the rounded column could flake on near-ties)
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq == (1 to n).map(_.toLong),
+        s"cluster $cid ranks not 1..$n")
+      assert(byRank.map(_._3).sliding(2).forall(
+        p => p.length < 2 || p(0) >= p(1)),
+        s"cluster $cid scores not non-increasing along ranks")
+      assert(pruned.map(_._4).max <= rows.filterNot(_._5).map(_._4).min,
+        s"cluster $cid pruned ranks must prefix kept ranks")
+    }
+  }
+
   test("fixed sample is a deterministic 25-doc subset") {
     val a = graft.vector.VectorPack.fixedSample(spark, sf).collect()
       .map(_.getLong(0)).toSeq

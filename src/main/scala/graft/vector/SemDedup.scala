@@ -50,8 +50,13 @@ object SemDedup {
                assignmentsOpt: Option[DataFrame] = None): DataFrame = {
     val v = graft.core.Caches.transient(vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
+    // nClusters <= 0 resolves to the FAISS/v19 auto-⌈√n⌉ rule — the
+    // CORPUS-SCALE default: at fixed k the within-cluster pair space
+    // Σ|c|² is n²/k, at √n clusters it is n^1.5 (the paper's own
+    // design point; the pinned k=16 stays the oracle form)
     val centroids = centroidsOpt.getOrElse(
-      KnnJoin.ivfCentroids(spark, v, nClusters, seed, lloydIters))
+      KnnJoin.ivfCentroids(spark, v,
+        KnnJoin.resolveNlist(nClusters, v), seed, lloydIters))
     val asg = assignmentsOpt.getOrElse(
       KnnJoin.nearestCentroids(spark, v, centroids, 1))
     // cosine to the assigned centroid — the keeper-selection key
@@ -99,9 +104,13 @@ object SemDedup {
                    lloydIters: Int = 2): (DataFrame, DataFrame) = {
     def prep = vectors.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    val cents = graft.core.Artifacts.memo(spark, s"ivf_centroids:$key")(
-      KnnJoin.ivfCentroids(spark, prep, nClusters, seed, lloydIters))
-    val asg = graft.core.Artifacts.memo(spark, s"ivf_assign:$key")(
+    // the cluster-count policy is part of the memo identity: an
+    // auto-⌈√n⌉ request must never be served a pinned-k frame
+    val cents = graft.core.Artifacts.memo(spark,
+        s"ivf_centroids:$key:$nClusters")(
+      KnnJoin.ivfCentroids(spark, prep,
+        KnnJoin.resolveNlist(nClusters, prep), seed, lloydIters))
+    val asg = graft.core.Artifacts.memo(spark, s"ivf_assign:$key:$nClusters")(
       KnnJoin.nearestCentroids(spark, prep, cents, 1))
     (cents, asg)
   }
@@ -122,8 +131,10 @@ object SemDedup {
                           assignmentsOpt: Option[DataFrame] = None): DataFrame = {
     val v = graft.core.Caches.transient(vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")))
+    // nClusters <= 0 → auto-⌈√n⌉, as in [[semDedup]]
     val centroids = centroidsOpt.getOrElse(
-      KnnJoin.ivfCentroids(spark, v, nClusters, seed, lloydIters))
+      KnnJoin.ivfCentroids(spark, v,
+        KnnJoin.resolveNlist(nClusters, v), seed, lloydIters))
     val asg = assignmentsOpt.getOrElse(
       KnnJoin.nearestCentroids(spark, v, centroids, 1))
     val a = asg.select(col("centroid_id"), col("vec_id").as("anchor"))

@@ -418,6 +418,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup auto-sqrt-n clustering preserves the planted-pair " +
+      "resolution (the corpus-scale form)") {
+    // nClusters <= 0 resolves to ceil(sqrt(n)) — the scale default
+    // that keeps the within-cluster pair space at n^1.5 instead of
+    // the pinned-16 form's n^2/16; same keeper semantics, different
+    // partition, so the properties (not the exact rows) are pinned
+    val rows = graft.vector.SemDedup.semDedup(spark,
+        DedupPack.augmentedVectors(spark, sf), 0.98, nClusters = 0)
+      .collect()
+    val kept = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val cluster = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nClusters = cluster.values.toSet.size
+    assert(nClusters > 16, s"auto-k resolved to $nClusters clusters")
+    // planted pairs at cos ≈ 0.995 still overwhelmingly co-cluster
+    // under the finer partition, and each co-clustered pair resolves
+    // to exactly one keeper
+    val sameCluster = (0L until 100L)
+      .filter(i => cluster(i) == cluster(i + 100000))
+    assert(sameCluster.size >= 80,
+      s"only ${sameCluster.size}/100 pairs co-clustered at k=$nClusters")
+    sameCluster.foreach { i =>
+      assert(kept(i) + kept(i + 100000) == 1, s"pair $i not resolved")
+    }
+    // background vectors are never removed
+    rows.filter(_.getLong(3) == 0).map(_.getLong(0)).foreach { id =>
+      assert(id < 100 || id >= 100000, s"background vector $id removed")
+    }
+  }
+
   test("semdedup kept set has no same-cluster pair above the threshold") {
     val rows = DedupPack.semdedup(spark, sf).collect()
     val kept = rows.filter(_.getLong(3) == 1).map(_.getLong(0)).toSet

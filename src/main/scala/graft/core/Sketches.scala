@@ -29,13 +29,29 @@ object Sketches {
 
   /** Quantile estimates for expression `x` over `values`: one row per
     * probability in `probs`, columns (q, est), ordered by q. Empty
-    * input yields zero rows (no bin is hit). Expressions are
+    * input yields zero rows (no bin is hit). NULL inputs are excluded
+    * up front — they would otherwise inflate the rank targets while
+    * landing in a NULL bin the two engines ORDER differently (Spark
+    * NULLS FIRST, DuckDB NULLS LAST), silently skewing estimates AND
+    * breaking the bit-for-bit replay. Expressions are otherwise
     * IDENTICAL to the x04 query so the proven DuckDB replay covers
     * every caller. */
   def histogramQuantiles(values: DataFrame, x: Column, bins: Int,
-                         probs: Seq[Double]): DataFrame = {
+                         probs: Seq[Double]): DataFrame =
+    quantileFrame(values, x, bins, probs).select(col("q"), col("est"))
+
+  /** [[histogramQuantiles]] plus the sketch's own `bin_width` column
+    * ((hi−lo)/bins — the error bound) so callers that publish the
+    * bound never re-scan the input or hard-code the bin count. */
+  def histogramQuantilesWithWidth(values: DataFrame, x: Column, bins: Int,
+                                  probs: Seq[Double]): DataFrame =
+    quantileFrame(values, x, bins, probs)
+
+  private def quantileFrame(values: DataFrame, x: Column, bins: Int,
+                            probs: Seq[Double]): DataFrame = {
     require(bins > 0 && probs.nonEmpty, "bins and probs must be non-empty")
     val v = values.select(x.cast("double").as("x"))
+      .filter(col("x").isNotNull)
     val bounds = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
       count(lit(1)).as("n"))
     // hi == lo (constant column) guards to bin 0 — without it the bin
@@ -60,7 +76,8 @@ object Sketches {
         (col("lo") + (col("bin").cast("double") +
           (target - col("cum_before").cast("double")) /
             col("cnt").cast("double")) *
-          ((col("hi") - col("lo")) / lit(bins.toDouble))).as("est"))
+          ((col("hi") - col("lo")) / lit(bins.toDouble))).as("est"),
+        ((col("hi") - col("lo")) / lit(bins.toDouble)).as("bin_width"))
       .orderBy(col("q"))
   }
 
@@ -75,13 +92,14 @@ object Sketches {
                              probs: Seq[Double],
                              prefix: String = "qs_"): String = {
     val plist = probs.mkString(", ")
-    s"""${prefix}b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n
-      |      FROM $cteName),
+    s"""${prefix}v AS (SELECT x FROM $cteName WHERE x IS NOT NULL),
+      |${prefix}b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n
+      |      FROM ${prefix}v),
       |${prefix}h AS (SELECT CAST(CASE WHEN hi > lo
       |          THEN least(floor((x - lo) / (hi - lo) * $bins), ${bins - 1})
       |          ELSE 0 END AS INT) AS bin,
       |        count(*) AS cnt
-      |      FROM $cteName CROSS JOIN ${prefix}b GROUP BY 1),
+      |      FROM ${prefix}v CROSS JOIN ${prefix}b GROUP BY 1),
       |${prefix}c AS (SELECT bin, cnt,
       |        sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
       |      FROM ${prefix}h),

@@ -89,6 +89,12 @@ object StreamPack extends QueryPack {
     * first arrival rather than min(doc_id), and a near-dup pair split
     * across batches reads 'near_dup_of_history' where the twin says
     * 'new' — decision-equivalent policies, not label-equivalent. */
+  def dedupGate(spark: SparkSession, dir: String): DataFrame =
+    // the ordering is this oracle query's own concern — the shared
+    // gate relation stays unsorted so streaming micro-batches never
+    // pay a global sort
+    gateDecisionsArtifact(spark, dir).orderBy(col("doc_id"))
+
   /** Session memo of the one-shot gate DECISIONS (unordered): s09
     * orders it, s10 aggregates it — one signature pass serves both
     * (the jaccardPairsArtifact discipline). */
@@ -100,12 +106,6 @@ object StreamPack extends QueryPack {
         aug.filter(col("doc_id") < 300),
         aug.filter(col("doc_id") >= 300))
     }
-
-  def dedupGate(spark: SparkSession, dir: String): DataFrame =
-    // the ordering is this oracle query's own concern — the shared
-    // gate relation stays unsorted so streaming micro-batches never
-    // pay a global sort
-    gateDecisionsArtifact(spark, dir).orderBy(col("doc_id"))
 
   /** s10: the per-batch ingest RUN SUMMARY's batch twin — the s09
     * gate run as ONE batch (the whole arriving side against the

@@ -337,7 +337,16 @@ object Streams {
     *    tables); compaction physically drops expired rows. An expired
     *    duplicate re-admits as 'new' BY DESIGN — retention trades
     *    dedup horizon for bounded state, exactly like a watermark.
-    *    0 (default) keeps history forever.
+    *    0 (default) keeps history forever. Legacy state rows (written
+    *    before the provenance column existed; src_batch reads null)
+    *    are always IN-window — an upgrade must never silently expire
+    *    the pre-upgrade history (spec-pinned).
+    *
+    *    Upgrade note: a history dir that predates the bloom kind
+    *    keeps its screen DISABLED (the coverage guard) until the
+    *    first compaction rebuilds the bloom generation — an upgraded
+    *    long-running stream should therefore set `compactEvery` > 0,
+    *    or the guard's fallback join runs forever.
     *  - `bloomScreen`: maintain a d13 Bloom bits relation (k=3,
     *    m=2²⁰ — ≤1M position rows no matter how large history grows)
     *    alongside the digests, and pre-screen each batch's digests
@@ -437,9 +446,15 @@ object Streams {
       val full =
         if (dirs.isEmpty) empty
         else spark.read.schema(empty.schema).parquet(dirs.map(_.toString): _*)
+      // a null src_batch is a LEGACY row (state written before the
+      // provenance column existed — the explicit-schema read fills
+      // null): retention must treat it as in-window, never as
+      // expired, or an upgrade with a TTL would silently drop the
+      // entire pre-upgrade history from the screens
       val kept =
         if (opts.retentionBatches > 0)
-          full.filter(col("src_batch") >= batchId - opts.retentionBatches)
+          full.filter(col("src_batch").isNull ||
+            col("src_batch") >= batchId - opts.retentionBatches)
         else full
       kept.drop("src_batch")
     }
@@ -460,7 +475,7 @@ object Streams {
     // generation from the digest generation (see [[compactState]]), so
     // a non-covering dir degrades to the unscreened join and
     // self-heals at its first compaction.
-    val bloomCovers = {
+    def bloomCovers = {
       val b = stateDirs(spark, histDir, "bloom", batchId)
       b.nonEmpty && b.map(_.getName).toSet ==
         stateDirs(spark, histDir, "digests", batchId).map(_.getName).toSet
@@ -561,7 +576,8 @@ object Streams {
             .parquet(sources.map(_.toString): _*)
           val pruned =
             if (opts.retentionBatches > 0)
-              df.filter(col("src_batch") >= batchId - opts.retentionBatches)
+              df.filter(col("src_batch").isNull ||
+                col("src_batch") >= batchId - opts.retentionBatches)
             else df
           // file count from real bytes (the Skew.compact discipline:
           // data files only — .crc/_SUCCESS would tip the ceil)

@@ -338,17 +338,15 @@ object AnalysisPack extends QueryPack {
     * that no window/sort touches the input relation (the only Window
     * runs over the ≤1000-row sketch). Returns one row:
     * (q1, q2, bin_width). */
-  private[graft] def tercileThresholdsSketch(base: DataFrame): DataFrame = {
-    val est = graft.core.Sketches.histogramQuantiles(
-      base, col("mean_nll"), bins = 1000, probs = Seq(1.0 / 3, 2.0 / 3))
-    val bounds = base.agg(
-      ((max(col("mean_nll")) - min(col("mean_nll"))) / 1000.0)
-        .as("bin_width"))
-    est.agg(
+  private[graft] def tercileThresholdsSketch(base: DataFrame): DataFrame =
+    graft.core.Sketches.histogramQuantilesWithWidth(
+        base, col("mean_nll"), bins = 1000, probs = Seq(1.0 / 3, 2.0 / 3))
+      .agg(
         max(when(col("q") < 0.5, col("est"))).as("q1"),
-        max(when(col("q") > 0.5, col("est"))).as("q2"))
-      .crossJoin(broadcast(bounds))
-  }
+        max(when(col("q") > 0.5, col("est"))).as("q2"),
+        // the sketch's own error bound — no re-scan of the input, no
+        // hard-coded divisor to drift from the bin count
+        max(col("bin_width")).as("bin_width"))
 
   /** a10: DSIR importance resampling — select 50 raw-pool docs whose
     * hashed-bigram distribution matches the `src0` target domain
@@ -601,17 +599,24 @@ object AnalysisPack extends QueryPack {
   private[graft] def capCorpusByQuality(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "cap must be positive")
+    // the internal group/join/window key coalesces a null lang to ""
+    // (null ≡ "" — one language for the cap): a null key would never
+    // match the broadcast threshold join, so null-lang rows would
+    // BYPASS the prefilter and funnel through one rank partition —
+    // exactly the single-partition hazard this shape exists to avoid.
+    // Rows keep their original lang value.
     val scored = graft.core.Caches.transient(
-      docs.withColumn("_q", round(TextAnalysis.qualityScore(col("text")), 6)))
-    val thr = scored.groupBy(col("lang"))
+      docs.withColumn("_q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .withColumn("_lbk", coalesce(col("lang"), lit(""))))
+    val thr = scored.groupBy(col("_lbk"))
       .agg(TopNThreshold.nth(n)(col("_q")).as("_q_nth"))
-    val w = Window.partitionBy(col("lang"))
+    val w = Window.partitionBy(col("_lbk"))
       .orderBy(col("_q").desc, col("doc_id"))
-    scored.join(broadcast(thr), Seq("lang"))
+    scored.join(broadcast(thr), Seq("_lbk"))
       .filter(col("_q") >= col("_q_nth"))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= n)
-      .drop("_q", "_q_nth", "_rk")
+      .drop("_q", "_q_nth", "_rk", "_lbk")
   }
 
   /** [[capCorpusByQuality]] for DATA-DERIVED, corpus-proportional
@@ -635,25 +640,27 @@ object AnalysisPack extends QueryPack {
                                                  n: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n > 0, "cap must be positive")
+    // null lang ≡ "" on the internal key, as in [[capCorpusByQuality]]
     val scored = graft.core.Caches.transient(
-      docs.withColumn("_q", round(TextAnalysis.qualityScore(col("text")), 6)))
-    val qcounts = scored.groupBy(col("lang"), col("_q"))
+      docs.withColumn("_q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .withColumn("_lbk", coalesce(col("lang"), lit(""))))
+    val qcounts = scored.groupBy(col("_lbk"), col("_q"))
       .agg(count(lit(1)).as("_c"))
-    val wq = Window.partitionBy(col("lang")).orderBy(col("_q").desc)
+    val wq = Window.partitionBy(col("_lbk")).orderBy(col("_q").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val thr = qcounts.withColumn("_cum", sum(col("_c")).over(wq))
       .filter(col("_cum") >= n)
-      .groupBy(col("lang")).agg(max(col("_q")).as("_q_nth"))
-    val w = Window.partitionBy(col("lang"))
+      .groupBy(col("_lbk")).agg(max(col("_q")).as("_q_nth"))
+    val w = Window.partitionBy(col("_lbk"))
       .orderBy(col("_q").desc, col("doc_id"))
     // an under-full language has no quality reaching cumulative n —
     // absent from thr — and keeps everything (the -Infinity contract)
-    scored.join(broadcast(thr), Seq("lang"), "left")
+    scored.join(broadcast(thr), Seq("_lbk"), "left")
       .filter(col("_q") >=
         coalesce(col("_q_nth"), lit(Double.NegativeInfinity)))
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= n)
-      .drop("_q", "_q_nth", "_rk")
+      .drop("_q", "_q_nth", "_rk", "_lbk")
   }
 
   /** a18: cross-source n-gram overlap matrix — the datasheet table

@@ -104,13 +104,14 @@ object SemDedup {
                    lloydIters: Int = 2): (DataFrame, DataFrame) = {
     def prep = vectors.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    // the cluster-count policy is part of the memo identity: an
-    // auto-⌈√n⌉ request must never be served a pinned-k frame
-    val cents = graft.core.Artifacts.memo(spark,
-        s"ivf_centroids:$key:$nClusters")(
+    // EVERY build parameter is part of the memo identity — an
+    // auto-⌈√n⌉ request, a different seed, or a different iteration
+    // count must never be served another build's frame
+    val id = s"$key:$nClusters:$seed:$lloydIters"
+    val cents = graft.core.Artifacts.memo(spark, s"ivf_centroids:$id")(
       KnnJoin.ivfCentroids(spark, prep,
         KnnJoin.resolveNlist(nClusters, prep), seed, lloydIters))
-    val asg = graft.core.Artifacts.memo(spark, s"ivf_assign:$key:$nClusters")(
+    val asg = graft.core.Artifacts.memo(spark, s"ivf_assign:$id")(
       KnnJoin.nearestCentroids(spark, prep, cents, 1))
     (cents, asg)
   }

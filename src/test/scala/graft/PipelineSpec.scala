@@ -91,6 +91,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(applied.filter(col("corrected")).count() > 0)
   }
 
+  test("lang cap: null lang joins \"\" as one capped language, rows keep " +
+      "their original value, no NPE in the lifecycle entry") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, null.asInstanceOf[String], "aa bb cc dd ee"),
+      (2L, null.asInstanceOf[String], "ff gg hh ii jj"),
+      (3L, "", "kk ll mm nn oo"),
+      (4L, "en", "pp qq rr ss tt"),
+      (5L, "en", "uu vv ww xx yy"),
+      (6L, "en", "zz ab cd ef gh"))
+      .toDF("doc_id", "lang", "text")
+    // a null group key would never match the broadcast threshold join
+    // — before the fix the null-lang rows bypassed the prefilter; now
+    // null ≡ "" is ONE language of 3 members, capped like "en"
+    val out = graft.text.AnalysisPack.capCorpusByQualityCollapsed(docs, 2)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.count(_._2.forall(_ == "")) == 2,
+      s"nullish language not capped: ${out.toSeq}")
+    assert(out.count(_._2.contains("en")) == 2)
+    // rows keep their original lang (null stays null, not "")
+    assert(out.exists(_._2.isEmpty))
+    // the TopNThreshold form agrees on membership
+    val viaBuffer = graft.text.AnalysisPack.capCorpusByQuality(docs, 2)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaBuffer == out.map(_._1).toSet)
+    // and the lifecycle entry's driver-side median no longer NPEs
+    assert(Lifecycles.langBalanceCap(docs).count() == 6L)
+  }
+
   test("feedback Suggest: modal GT per f02 cluster, wired end-to-end " +
       "clusters -> suggestions -> apply") {
     val sfd = SparkTestSession.sf

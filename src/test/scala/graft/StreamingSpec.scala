@@ -368,6 +368,33 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       forever(11L) == "near_dup_of_history")
   }
 
+  test("retention treats legacy state (no src_batch column) as in-window, " +
+      "never expired") {
+    import spark.implicits._
+    def txt(seed: String): String = (1 to 20).map(i => seed + i).mkString(" ")
+    val outDir = Files.createTempDirectory("graft_leg_o").toString + "/d"
+    val histDir = Files.createTempDirectory("graft_leg_h").toString + "/h"
+    // pre-lifecycle state layout: the three original kinds, WITHOUT
+    // the src_batch provenance column (reads back as null)
+    val legacy = Seq(1L -> txt("alpha")).toDF("doc_id", "text")
+    legacy.select(md5(coalesce(col("text"), lit(""))).as("h"))
+      .write.parquet(s"$histDir/digests/batch=0")
+    graft.dedup.DedupPack.bandSigsOf(legacy, "hist_id")
+      .write.parquet(s"$histDir/sigs/batch=0")
+    graft.dedup.Dedup.hashedShingleRows(legacy, col("doc_id"), col("text"), 3)
+      .write.parquet(s"$histDir/shingles/batch=0")
+    // a much-later batch under a TTL that would expire batch 0 if the
+    // legacy rows carried src_batch=0: null provenance must read as
+    // in-window, so the duplicate still gates
+    Streams.dedupGateBatch(spark,
+      Seq(10L -> txt("alpha"), 11L -> txt("beta")).toDF("doc_id", "text"),
+      batchId = 9L, outDir, histDir,
+      Streams.GateOptions(retentionBatches = 2))
+    val st = spark.read.option("recursiveFileLookup", "true").parquet(outDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(10L -> "dup_of_history", 11L -> "new"), s"got $st")
+  }
+
   test("bloom coverage guard: a bloom tree that starts mid-history never " +
       "drops decisions, and compaction self-heals it from the digests") {
     import spark.implicits._

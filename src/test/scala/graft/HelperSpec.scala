@@ -172,6 +172,33 @@ class HelperSpec extends AnyFunSuite {
     assert(raw.sameElements(spread))
   }
 
+  test("histogram quantile sketch: nulls excluded, estimates within one " +
+      "bin width of the target-rank value") {
+    import spark.implicits._
+    val withNulls = ((1 to 100).map(i => Option(i.toDouble)) ++
+      Seq.fill(50)(Option.empty[Double])).toDF("x")
+    val est = graft.core.Sketches.histogramQuantilesWithWidth(
+        withNulls, col("x"), bins = 10, probs = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+    assert(est.map(_._1) == Seq(0.25, 0.5, 0.9))
+    // bin width from the NON-NULL range (100 − 1)/10 — nulls must not
+    // reach the bounds scan or the rank targets
+    assert(math.abs(est.head._3 - 9.9) < 1e-9)
+    est.foreach { case (q, e, w) =>
+      val exact = math.ceil(q * 100)
+      assert(math.abs(e - exact) <= w + 1e-9,
+        s"q=$q est=$e rank value=$exact width=$w")
+    }
+    // the 50 nulls change nothing: identical estimates to a clean frame
+    val clean = (1 to 100).map(_.toDouble).toDF("x")
+    val est2 = graft.core.Sketches.histogramQuantilesWithWidth(
+        clean, col("x"), bins = 10, probs = Seq(0.25, 0.5, 0.9))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+    assert(est == est2)
+  }
+
   test("spread never fires on unknown paths or big tables") {
     assert(graft.core.Tables.bytesOf(spark, "/no/such/table.parquet")
       == Long.MaxValue)

@@ -51,6 +51,67 @@ object Multimodal {
   def resize(content: Column, bytes: Int): Column =
     substring(content, 1, bytes)
 
+  /** Scene-addressed synthetic media (the mm06 fixture) — 35 bytes:
+    * a 3-byte CONTAINER header + a 16-byte latent SCENE digest + 16
+    * bytes of encoder padding, all md5-derived so DuckDB replays the
+    * layout byte-for-byte. Two encodings of the same text (different
+    * `enc` tags — a re-encode, a resize) share the scene but differ in
+    * every container byte, so their md5 content digests NEVER match
+    * while their decoded pixel surfaces nearly do — exactly the
+    * duplicate class a byte-level digest misses and a perceptual hash
+    * catches. */
+  def sceneContent(text: Column, enc: String): Column =
+    unhex(concat(
+      substring(md5(concat(text, lit(s"|h$enc"))), 1, 6),
+      md5(text),
+      md5(concat(text, lit(s"|n$enc")))))
+
+  /** Number of luminance samples in the decoded pixel surface: a 6×11
+    * normalized grayscale grid — the post-resize grid a real dHash
+    * pipeline reduces every image to, so hashes are comparable across
+    * resolutions by construction. */
+  val DhashGridRows = 6
+  val DhashGridCols = 11
+  val DhashPixels: Int = DhashGridRows * DhashGridCols // 66
+  /** dHash width: one bit per horizontally adjacent pixel pair. */
+  val DhashBits: Int = DhashGridRows * (DhashGridCols - 1) // 60
+
+  /** 60-bit perceptual dHash over [[sceneContent]] bytes — the
+    * difference hash (row-wise gradient sign) of the DECODED pixel
+    * surface, as pure codegen'd expressions (the FakeDecoder seam: a
+    * real pipeline swaps the luminance derivation for decoded pixels
+    * and keeps everything from the comparison step down).
+    *
+    * Decode model: luminance i (0..65) is byte i%16 of
+    * md5(sceneHex || "|px" || i/16) — a function of the SCENE only, so
+    * any encoding of the same scene normalizes to the same surface —
+    * plus a one-pixel +8 perturbation at a position keyed on the
+    * ENCODER padding byte (the lossy-codec artifact: each re-encode
+    * moves one pixel). One perturbed pixel flips at most 2 of the 60
+    * gradient bits, so two encodings of one scene sit within Hamming
+    * ≤ 4 (≤ 2 perturbed pixels × ≤ 2 bits) while unrelated scenes are
+    * ~30 bits apart — the band join at `maxDist = 4` separates them
+    * with no tuning. 60 bits (not 64) keeps every value positive in a
+    * signed BIGINT on both engines, the d10/hash60 discipline. */
+  def dhash(content: Column): Column =
+    graft.core.Expr.let(hexOf(content)) { hx =>
+      val scene = substring(hx, 7, 32)
+      val perturb = conv(substring(hx, 39, 2), 16, 10).cast("int") % DhashPixels
+      val lumArr = array((0 until DhashPixels).map { i =>
+        val block = md5(concat(scene, lit(s"|px${i / 16}")))
+        conv(substring(block, (i % 16) * 2 + 1, 2), 16, 10).cast("int") +
+          when(perturb === i, 8).otherwise(0)
+      }: _*)
+      graft.core.Expr.let(lumArr) { lum =>
+        (0 until DhashBits).map { k =>
+          val idx = (k / (DhashGridCols - 1)) * DhashGridCols +
+            k % (DhashGridCols - 1)
+          when(element_at(lum, idx + 2) > element_at(lum, idx + 1),
+            lit(1L << k)).otherwise(0L)
+        }.reduce(_ + _)
+      }
+    }
+
   /** Frame sampling: view content as 4-byte frames, keep every
     * `step`-th; returns array<struct<frame_idx,frame_val>> for a
     * posexplode — 1→N with no shuffle. */

@@ -121,12 +121,61 @@ object MultimodalPack extends QueryPack {
         col("payload_bytes"), md5(col("text")).as("text_md5"))
       .orderBy(col("media_id"))
 
+  /** The mm06 fixture: every document's ORIGINAL encoding plus a
+    * planted RE-ENCODE of each doc_id % 10 == 0 and a planted RESIZE
+    * of each doc_id % 10 == 5 — same latent scene, different container
+    * bytes, so exact md5 dedup misses every planted pair (spec-pinned)
+    * while the perceptual hash catches them. Variant ids sit in
+    * disjoint ranges (+10M / +20M), the corpusPrep discipline. */
+  private[graft] def sceneMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    def enc(idOff: Long, tag: String,
+            pred: org.apache.spark.sql.Column): DataFrame =
+      docs.filter(pred).select((col("doc_id") + idOff).as("media_id"),
+        Multimodal.sceneContent(col("text"), tag).as("content"))
+    enc(0L, "enc0", lit(true))
+      .unionByName(enc(10000000L, "enc1", col("doc_id") % 10 === 0))
+      .unionByName(enc(20000000L, "enc2", col("doc_id") % 10 === 5))
+  }
+
+  /** mm06: PERCEPTUAL-HASH image near-dup mining — the dedup modality
+    * text digests and embeddings don't cover: a re-encoded or resized
+    * image changes every container byte (md5 misses it) but keeps the
+    * pixel surface. 60-bit dHash over the decoded/normalized pixel
+    * grid ([[Multimodal.dhash]] — the FakeDecoder seam), then the
+    * d04/d10 banded Hamming machinery verbatim
+    * ([[graft.dedup.Dedup.hammingPairsBandedOf]], 5×12-bit bands,
+    * maxDist 4): pigeonhole candidate join on band values, exact
+    * popcount filter, never an all-pairs scan.
+    *
+    * Scale shape: EXACT-COLLAPSE first (RefinedWeb §3.3, the d18/d20
+    * lesson) — byte-identical copies (the scale corpus replicates
+    * text, hence content, verbatim) resolve at the digest tier and
+    * only one representative per distinct content enters the
+    * perceptual join, so dup-heavy growth never reaches the band
+    * buckets; and dHash values are md5-derived (uniform bits, unlike
+    * vocabulary-correlated text simhashes), so band buckets stay at
+    * the 2^-12 background rate. */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val m = sceneMedia(spark, dir)
+    val reps = m.groupBy(md5(Multimodal.hexOf(col("content"))).as("d"))
+      .agg(min(col("media_id")).as("media_id"))
+      .select(col("media_id"))
+    val sig = m.join(reps, Seq("media_id"), "left_semi")
+      .select(col("media_id").as("id"),
+        Multimodal.dhash(col("content")).as("simhash"))
+    graft.dedup.Dedup.hammingPairsBandedOf(sig, maxDist = 4,
+        bits = Multimodal.DhashBits)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_meta" -> decodeMeta,
     "mm02_frames" -> frames,
     "mm03_resized" -> resized,
     "mm04_shard_plan" -> ((s, d) => shardPlan(s, d)),
-    "mm05_sharded_roundtrip" -> shardedRoundtrip)
+    "mm05_sharded_roundtrip" -> shardedRoundtrip,
+    "mm06_image_near_dups" -> imageNearDups)
 
   /** 64-byte synthetic content as a 128-char hex string. */
   private val hexCte = """
@@ -138,7 +187,50 @@ object MultimodalPack extends QueryPack {
     s"CAST((strpos('0123456789abcdef', substr(hx, ${pos * 2 + 1}, 1)) - 1) * 16 + " +
       s"(strpos('0123456789abcdef', substr(hx, ${pos * 2 + 2}, 1)) - 1) AS INT)"
 
+  /** The mm06 scene-content hex for encoder tag `enc` (mirrors
+    * [[Multimodal.sceneContent]]). */
+  private def sceneHexSql(enc: String): String =
+    s"substr(md5(text || '|h$enc'), 1, 6) || md5(text) || md5(text || '|n$enc')"
+
+  /** mm06 oracle: fixture, dHash (luminance grid from the scene digest
+    * + one-pixel encoder perturbation, 60 gradient-sign bits), exact-
+    * collapse to content representatives, then ALL-PAIRS popcount —
+    * bounded at oracle scale, and pair-for-pair identical to the
+    * engine's banded join by the pigeonhole argument (the d10 oracle
+    * pattern). */
+  private val imageNearDupsSql = s"""
+    |WITH sm AS (
+    |  SELECT doc_id AS media_id, ${sceneHexSql("enc0")} AS hx FROM documents
+    |  UNION ALL SELECT doc_id + 10000000, ${sceneHexSql("enc1")}
+    |    FROM documents WHERE doc_id % 10 = 0
+    |  UNION ALL SELECT doc_id + 20000000, ${sceneHexSql("enc2")}
+    |    FROM documents WHERE doc_id % 10 = 5),
+    |rep AS (SELECT min(media_id) AS media_id FROM sm GROUP BY md5(hx)),
+    |s0 AS (SELECT sm.media_id, substr(hx, 7, 32) AS scene,
+    |    ((strpos('0123456789abcdef', substr(hx, 39, 1)) - 1) * 16
+    |     + (strpos('0123456789abcdef', substr(hx, 40, 1)) - 1)) % 66 AS p
+    |  FROM sm JOIN rep ON rep.media_id = sm.media_id),
+    |s1 AS (SELECT media_id, list_transform(range(0, 66), i ->
+    |      (strpos('0123456789abcdef', substr(md5(scene || '|px' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 1 AS INT), 1)) - 1) * 16
+    |    + (strpos('0123456789abcdef', substr(md5(scene || '|px' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 2 AS INT), 1)) - 1)
+    |    + CASE WHEN i = p THEN 8 ELSE 0 END) AS lum
+    |  FROM s0),
+    |s2 AS (SELECT media_id, CAST(list_sum(list_transform(range(0, 60), k ->
+    |      CASE WHEN lum[CAST((k // 10) * 11 + (k % 10) + 2 AS INT)]
+    |             > lum[CAST((k // 10) * 11 + (k % 10) + 1 AS INT)]
+    |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)
+    |    AS dhash
+    |  FROM s1)
+    |SELECT a.media_id AS a_id, b.media_id AS b_id,
+    |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    |FROM s2 a JOIN s2 b ON a.media_id < b.media_id
+    |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+    |ORDER BY a_id, b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm06_image_near_dups" -> imageNearDupsSql,
     "mm01_decode_meta" -> s"""
       |WITH $hexCte
       |SELECT media_id,

@@ -101,4 +101,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(bytes < S + maxPayload, s"shard $sid bytes $bytes over bound")
     }
   }
+
+  test("mm06: perceptual dHash catches the planted re-encode/resize " +
+      "twins that exact md5 misses") {
+    import graft.multimodal.Multimodal
+    val m = MultimodalPack.sceneMedia(spark, sf)
+    // the planted variants share NO content digest with their original
+    // (one changed container byte is enough to sink a byte-level hash)
+    val d = m.filter(col("media_id").isin(0L, 10000000L, 5L, 20000005L))
+      .select(col("media_id"), md5(Multimodal.hexOf(col("content"))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d(0L) != d(10000000L) && d(5L) != d(20000005L),
+      "planted twins must NOT be exact-digest duplicates")
+    val pairs = MultimodalPack.imageNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // every planted (original, variant) pair is found…
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 0).map(i => (i, i + 10000000L)) ++
+      docs.filter(_ % 10 == 5).map(i => (i, i + 20000000L))
+    planted.foreach(p => assert(pairSet.contains(p), s"missing planted $p"))
+    // …within the Hamming budget (one perturbed pixel per encoding ⇒
+    // at most 4 flipped gradient bits), and NOTHING else pairs:
+    // unrelated scenes are md5-uniform, ~30 bits apart
+    pairs.foreach(p => assert(p._3 <= 4, s"pair $p over budget"))
+    assert(pairSet == planted.toSet,
+      s"expected exactly the ${planted.length} planted pairs, got ${pairs.length}")
+    // cross-strategy: the banded join is pair-for-pair equal to the
+    // quadratic scan over the same signatures (the d04/d05 contract)
+    val sig = m.select(col("media_id").as("id"),
+      Multimodal.dhash(col("content")).as("simhash"))
+    val a = sig.select(col("id").as("a_id"), col("simhash").as("ha"))
+    val b = sig.select(col("id").as("b_id"), col("simhash").as("hb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(brute.map(p => (p._1, p._2)).toSet == pairSet)
+  }
 }

@@ -458,8 +458,27 @@ object VectorPack extends QueryPack {
       .orderBy(col("anchor"), col("pos_id"))
   }
 
+  /** v24: the CORPUS-SCALE form of v14 — the same triplet mining with
+    * the auto-⌈√n⌉ quantizer (`nClusters = 0` resolves through
+    * [[KnnJoin.resolveNlist]], the v19 rule): at fixed k the
+    * within-cluster pair space Σ|c|² is n²/k (v14's measured linear
+    * slope at 10×); at ⌈√n⌉ clusters it is n^1.5 with O(√n) rows per
+    * cluster — the SemDeDup paper's own design point. Pinned k=16
+    * (v14) stays the oracle-contrast form, exactly the v19-beside-v10
+    * pattern; the artifacts memo keys on every build parameter, so the
+    * two quantizers never serve each other's frames. */
+  def contrastiveAuto(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, asg) = SemDedup.ivfArtifacts(spark, s"aug:$dir",
+      graft.dedup.DedupPack.augmentedVectors(spark, dir), nClusters = 0)
+    SemDedup.contrastiveTriplets(spark,
+        graft.dedup.DedupPack.augmentedVectors(spark, dir), 0.98,
+        nClusters = 0, centroidsOpt = Some(cents), assignmentsOpt = Some(asg))
+      .orderBy(col("anchor"), col("pos_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v14_contrastive_triplets" -> contrastive,
+    "v24_triplets_auto" -> contrastiveAuto,
     "v09_knn_plan_node" -> knnPlanNode,
     "v10_knn_ivf" -> ivf,
     "v12_knn_pq" -> pq,
@@ -793,9 +812,11 @@ object VectorPack extends QueryPack {
     |  UNION ALL SELECT vec_id + 100000, list_concat([v[1] + 0.1], v[2:])
     |    FROM e0 WHERE vec_id < 100)""".stripMargin
 
-  private val contrastiveSql = s"""
+  /** The triplet-mining replay over the augmented relation — shared by
+    * v14 (pinned 16-list chain) and v24 (auto-⌈√n⌉ chain). */
+  private def contrastiveSqlWith(ctes: String) = s"""
     |WITH $augVecCte,
-    |$ivfCtes,
+    |$ctes,
     |prs AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
     |    list_dot_product(ea.v, eb.v)
     |      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
@@ -809,6 +830,10 @@ object VectorPack extends QueryPack {
     |  round(n.neg_cos, 6) AS neg_cos
     |FROM pos p JOIN neg n ON n.anchor = p.anchor AND n.rn = 1
     |ORDER BY p.anchor, p.pos_id""".stripMargin
+
+  private val contrastiveSql = contrastiveSqlWith(ivfCtes)
+  private val contrastiveAutoSql = contrastiveSqlWith(ivfCtesWith(
+    "(SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)"))
 
   /** v21 oracle: every member's existing full-replay chain nested as
     * its own scoped subquery (inner WITHs shadow nothing outside), so
@@ -884,6 +909,7 @@ object VectorPack extends QueryPack {
       ("v22_cluster_report" -> clusterReportSql) +
       ("v21_index_recall" -> indexRecallSql) +
       ("v14_contrastive_triplets" -> contrastiveSql) +
+      ("v24_triplets_auto" -> contrastiveAutoSql) +
       ("v09_knn_plan_node" -> oracles0("v01_knn_top3")) +
       ("v11_knn_rule_rewrite" -> oracles0("v01_knn_top3")) +
       ("v20_knn_sharded" -> oracles0("v01_knn_top3")) +

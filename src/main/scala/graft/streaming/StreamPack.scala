@@ -124,8 +124,34 @@ object StreamPack extends QueryPack {
       batchId = 0L)
   }
 
+  /** s11: the cross-batch summary TREND's batch twin
+    * ([[Streams.summaryTrendOf]] — the f03 pattern over the gate's
+    * `_summary/batch=*` output). The twin's per-batch summaries are
+    * the ONE memoized gate pass's decisions partitioned into the
+    * corpus's three planted regimes — base remainder (mostly new),
+    * the near-copy block, the exact-copy block — so the trend rows
+    * show exactly the drift the operator exists to surface: admit
+    * rate collapsing 0.97 → 0, dup rate doing the inverse. Summary
+    * slicing reuses the session gate artifact (no second signature
+    * pass); the streaming form applies the same operator to the rows
+    * the gate WROTE per micro-batch, and the StreamingSpec pins
+    * stream ≡ batch on identically-sliced feeds. */
+  def summaryTrend(spark: SparkSession, dir: String): DataFrame = {
+    val aug = graft.dedup.DedupPack.augmented(spark, dir)
+    val dec = gateDecisionsArtifact(spark, dir)
+    def slice(b: Long, lo: Long, hi: Long): DataFrame =
+      Streams.runSummaryOf(
+        dec.filter(col("doc_id") >= lo && col("doc_id") < hi),
+        aug.filter(col("doc_id") >= lo && col("doc_id") < hi), b)
+    Streams.summaryTrendOf(
+      slice(0L, 300L, 100000L)
+        .unionByName(slice(1L, 100000L, 200000L))
+        .unionByName(slice(2L, 200000L, Long.MaxValue)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s10_run_summary" -> runSummary,
+    "s11_summary_trend" -> summaryTrend,
     "s09_dedup_gate" -> dedupGate,
     "s08_rate_limit" -> rateLimit,
     "s07_ingest_gate" -> ingestGate,
@@ -202,6 +228,37 @@ object StreamPack extends QueryPack {
     |  FROM qw)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "s11_summary_trend" -> s"""
+      |WITH $gateDecisionCtes,
+      |$qualityCtes,
+      |tqv0 AS (SELECT quality AS x FROM q WHERE doc_id >= 300 AND doc_id < 100000),
+      |tqv1 AS (SELECT quality AS x FROM q WHERE doc_id >= 100000 AND doc_id < 200000),
+      |tqv2 AS (SELECT quality AS x FROM q WHERE doc_id >= 200000),
+      |${graft.core.Sketches.histogramQuantilesCtes("tqv0", 1000, Seq(0.5), "tq0_")},
+      |${graft.core.Sketches.histogramQuantilesCtes("tqv1", 1000, Seq(0.5), "tq1_")},
+      |${graft.core.Sketches.histogramQuantilesCtes("tqv2", 1000, Seq(0.5), "tq2_")},
+      |med AS (SELECT 0 AS b, est AS q_p50 FROM tq0_est
+      |  UNION ALL SELECT 1, est FROM tq1_est
+      |  UNION ALL SELECT 2, est FROM tq2_est),
+      |cb AS (SELECT CASE WHEN doc_id < 100000 THEN 0
+      |      WHEN doc_id < 200000 THEN 1 ELSE 2 END AS b,
+      |    count(*) AS n_seen,
+      |    sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS n_new,
+      |    sum(CASE WHEN status IN ('dup_of_history', 'dup_in_batch',
+      |      'near_dup_of_history') THEN 1 ELSE 0 END) AS n_dup
+      |  FROM dec GROUP BY 1),
+      |tr AS (SELECT cb.b, CAST(cb.n_seen AS BIGINT) AS n_seen,
+      |    round(CAST(n_new AS DOUBLE) / CAST(cb.n_seen AS DOUBLE), 6) AS admit_rate,
+      |    round(CAST(n_dup AS DOUBLE) / CAST(cb.n_seen AS DOUBLE), 6) AS dup_rate,
+      |    med.q_p50
+      |  FROM cb JOIN med ON med.b = cb.b)
+      |SELECT CAST(b AS BIGINT) AS batch_id, n_seen, admit_rate, dup_rate,
+      |  q_p50,
+      |  round(admit_rate - lag(admit_rate) OVER (ORDER BY b), 6)
+      |    AS admit_rate_delta,
+      |  round(dup_rate - lag(dup_rate) OVER (ORDER BY b), 6) AS dup_rate_delta,
+      |  q_p50 - lag(q_p50) OVER (ORDER BY b) AS q_p50_drift
+      |FROM tr ORDER BY batch_id""".stripMargin,
     "s09_dedup_gate" -> s"""
       |WITH $gateDecisionCtes
       |SELECT doc_id, status, best_hist_id, best_jaccard

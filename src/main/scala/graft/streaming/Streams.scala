@@ -636,6 +636,44 @@ object Streams {
         col("q_p75"))
   }
 
+  /** Cross-batch summary TREND — the time-series half of the
+    * reference agent's Dashboard (`ocr_agent_8_29.py:28-33`; the f03
+    * accuracy-trend pattern applied to the ingest gate's own output):
+    * per micro-batch, the admit rate, the duplicate rate (all three
+    * dup verdicts), and the batch quality median, each with its delta
+    * against the previous batch — drift in any of the three is the
+    * operational signal (a collapsing admit rate means the crawl is
+    * re-fetching; a sinking quality median means the source degraded).
+    *
+    * Input is the per-batch run-summary relation [[runSummaryOf]]
+    * writes beside the decisions (`_summary/batch=*` — or any union of
+    * summary rows); the operator never re-reads decisions or
+    * documents, so its cost is independent of corpus size. The lag
+    * window is global by batch_id but runs over ONE ROW PER MICRO-
+    * BATCH — bounded by stream age, not data volume (the f03/d08
+    * bounded-window exemption). Rates guard n_seen = 0 (an empty
+    * trigger yields null rates, not NaN). */
+  def summaryTrendOf(summaries: DataFrame): DataFrame = {
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val seen = d(col("n_seen"))
+    val rated = summaries.select(col("batch_id"), col("n_seen"),
+      when(col("n_seen") > 0,
+        round(d(col("n_new")) / seen, 6)).as("admit_rate"),
+      when(col("n_seen") > 0,
+        round((d(col("n_dup_of_history")) + d(col("n_dup_in_batch")) +
+          d(col("n_near_dup_of_history"))) / seen, 6)).as("dup_rate"),
+      col("q_p50"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch_id"))
+    rated.select(col("batch_id"), col("n_seen"), col("admit_rate"),
+        col("dup_rate"), col("q_p50"),
+        round(col("admit_rate") - lag(col("admit_rate"), 1).over(w), 6)
+          .as("admit_rate_delta"),
+        round(col("dup_rate") - lag(col("dup_rate"), 1).over(w), 6)
+          .as("dup_rate_delta"),
+        (col("q_p50") - lag(col("q_p50"), 1).over(w)).as("q_p50_drift"))
+      .orderBy(col("batch_id"))
+  }
+
   /** The deterministic batch twin of [[rateLimitStream]]: per-user
     * row_number over (ts, event_id) capped at `maxPerUser` — a plain
     * keyed window, shuffling once on user_id. */

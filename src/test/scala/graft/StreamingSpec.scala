@@ -477,6 +477,42 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(row1 == twin, s"summary $row1 vs twin $twin")
   }
 
+  test("s11 summary trend: the trend over the gate's per-batch summary " +
+      "writes equals the batch twin") {
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    val outDir = Files.createTempDirectory("graft_trend_out").toString +
+      "/decisions"
+    val histDir = Files.createTempDirectory("graft_trend_hist").toString +
+      "/hist"
+    // batch 0 seeds the <300 history; batches 1-3 are exactly the
+    // twin's three regime slices (base remainder / near copies /
+    // exact copies), each dup class arriving after its history — the
+    // documented label-equivalence scope
+    val slices = Seq((0L, 300L), (300L, 100000L), (100000L, 200000L),
+      (200000L, Long.MaxValue))
+    slices.zipWithIndex.foreach { case ((lo, hi), i) =>
+      Streams.dedupGateBatch(spark,
+        aug.filter(col("doc_id") >= lo && col("doc_id") < hi), i.toLong,
+        outDir, histDir)
+    }
+    // the trend operator consumes the summary rows the gate WROTE
+    // beside its decisions; shift ids so the history batch aligns out
+    val summaries = spark.read.option("recursiveFileLookup", "true")
+      .parquet(outDir + "_summary")
+      .filter(col("batch_id") >= 1)
+      .withColumn("batch_id", col("batch_id") - 1)
+    val streamed = Streams.summaryTrendOf(summaries)
+      .collect().map(_.toSeq).toSeq
+    val twin = graft.streaming.StreamPack.summaryTrend(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == twin,
+      s"stream $streamed\nvs batch twin $twin")
+    // the trend shows the planted drift: admit rate collapses across
+    // the three regimes, dup rate does the inverse
+    val admit = streamed.map(_(2).asInstanceOf[Double])
+    assert(admit(0) > 0.9 && admit(2) == 0.0, s"admit rates $admit")
+  }
+
   test("rate-limit gate: flatMapGroupsWithState carries per-user counts across batches") {
     val dir = Files.createTempDirectory("graft_ratestream").toString
     val ev = Tables(spark, sf).events

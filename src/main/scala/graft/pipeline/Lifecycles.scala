@@ -144,9 +144,10 @@ object Lifecycles {
     * (d09), per-source hash-threshold rates (a06). Thresholds
     * (0.45 / 0.7 / 0.3) are data-derived percentile cuts — see
     * PipelinePack for the measured basis. */
-  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.Dedup
-    import graft.text.{TextAnalysis, TextOps => T}
+  /** The funnel's augmented input corpus (crawl with planted near/exact
+    * dups) — shared by [[corpusPrep]] and the [[funnelThresholds]]
+    * audit so the two can never diverge on what "the corpus" is. */
+  private[graft] def corpusAug(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir).documents
       .select(col("doc_id"), col("lang"), col("text"), col("source"))
     val near = docs.filter(col("doc_id") < 100)
@@ -155,7 +156,13 @@ object Lifecycles {
     val exactCp = docs.filter(col("doc_id") < 50)
       .select((col("doc_id") + 200000).as("doc_id"), col("lang"),
         col("text"), col("source"))
-    val aug = docs.unionByName(near).unionByName(exactCp).persist()
+    docs.unionByName(near).unionByName(exactCp)
+  }
+
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    import graft.text.{TextAnalysis, TextOps => T}
+    val aug = corpusAug(spark, dir).persist()
 
     // stage 1: quality + repetition cut (staged arrays — see a04)
     val qual = aug
@@ -283,6 +290,40 @@ object Lifecycles {
     * the budget median (the dedup tier's null ≡ "" discipline — and a
     * null key must never NPE the driver-side sort); rows keep their
     * original lang value. */
+  /** p05: the funnel-threshold AUDIT — re-derive [[corpusPrep]]'s
+    * stage-1 percentile cuts on the live corpus through the
+    * bounded-state histogram sketch ([[graft.core.Sketches]]), the
+    * production wiring of the `tercileThresholdsSketch` seam: the
+    * funnel's constants (quality ≥ 0.45 from the quality p05, dup-word
+    * fraction ≤ 0.7 from its p95) were measured once at small SF, and
+    * THIS query is how they are re-measured on a 100 TB corpus — ≤1000
+    * histogram rows through the shuffle per metric, no sort or window
+    * ever touches the input relation (spec plan-asserted), where the
+    * exact `percentile` aggregate would carry every value to one
+    * buffer. One row per metric: (metric, q, est, bin_width); est is
+    * the sketched cut, bin_width its error bound — drift of a cut
+    * beyond the published bound is the re-calibration trigger. */
+  def funnelThresholds(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{TextAnalysis, TextOps => T}
+    val m = graft.core.Caches.transient(corpusAug(spark, dir)
+      .select(
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+        graft.core.Expr.let(T.words(col("text"))) { ws =>
+          when(size(ws) > 0, round(lit(1.0) -
+            size(array_distinct(ws)).cast("double") /
+              size(ws).cast("double"), 6))
+        }.as("dupfrac")))
+    def cut(metric: String, x: org.apache.spark.sql.Column,
+            prob: Double): DataFrame =
+      graft.core.Sketches.histogramQuantilesWithWidth(
+          m, x, bins = 1000, probs = Seq(prob))
+        .select(lit(metric).as("metric"), col("q"), col("est"),
+          col("bin_width"))
+    cut("dupfrac_p95", col("dupfrac"), 0.95)
+      .unionByName(cut("quality_p05", col("quality"), 0.05))
+      .orderBy(col("metric"))
+  }
+
   private[graft] def langBalanceCap(docs: DataFrame): DataFrame = {
     val counts = docs
       .groupBy(coalesce(col("lang"), lit("")).as("lang"))

@@ -23,7 +23,9 @@ object PipelinePack extends QueryPack {
     // Streams.extractConfirmRoute runs the identical relation per
     // micro-batch and the StreamingSpec pins stream ≡ batch
     "p04_confirm_route" ->
-      ((s, d) => Lifecycles.confirmRoute(graft.llm.LlmPack.extractLong(s, d))))
+      ((s, d) => Lifecycles.confirmRoute(graft.llm.LlmPack.extractLong(s, d))),
+    "p05_funnel_thresholds" ->
+      ((s, d) => Lifecycles.funnelThresholds(s, d)))
 
   /** 0.8 split threshold: round(0.8·65536) = 52429 = 0xcccd (the same
     * constant `Sampling.hashSplit` derives). */
@@ -222,9 +224,46 @@ object PipelinePack extends QueryPack {
     |  CASE WHEN fw_ok + wc_ok = 2 THEN 'STP' ELSE 'HITL' END AS route
     |FROM wide ORDER BY doc_id""".stripMargin
 
+  /** p05 oracle: the augmented corpus's quality / dup-word-fraction
+    * metrics (6-dp, matching the engine's sketch inputs), then the
+    * shared histogram-sketch CTE fragment per metric — the same
+    * bit-for-bit replay the x04/s10/s11 sketch consumers use. */
+  private val funnelThresholdsSql = s"""
+    |WITH aug AS (
+    |  SELECT doc_id, text FROM documents
+    |  UNION ALL SELECT doc_id + 100000, regexp_replace(text, '^\\S+\\s*', '')
+    |    FROM documents WHERE doc_id < 100
+    |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 50),
+    |faw AS (SELECT doc_id, text, CASE WHEN length(trim(text)) = 0 THEN []
+    |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+    |fm AS (SELECT
+    |    round(0.4 * (CASE WHEN len(words) > 0
+    |        THEN CAST(len(list_filter(words, x -> x IN ($stopList))) AS DOUBLE)
+    |          / CAST(len(words) AS DOUBLE) ELSE 0.0 END)
+    |      + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+    |        THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+    |          / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
+    |      + 0.3 * least(1.0, CAST(len(words) AS DOUBLE) / 100.0), 6) AS quality,
+    |    CASE WHEN len(words) > 0 THEN round(1.0 -
+    |        CAST(len(list_distinct(words)) AS DOUBLE)
+    |          / CAST(len(words) AS DOUBLE), 6)
+    |    END AS dupfrac
+    |  FROM faw),
+    |fqv AS (SELECT quality AS x FROM fm),
+    |fdv AS (SELECT dupfrac AS x FROM fm),
+    |${graft.core.Sketches.histogramQuantilesCtes("fqv", 1000, Seq(0.05), "fq_")},
+    |${graft.core.Sketches.histogramQuantilesCtes("fdv", 1000, Seq(0.95), "fd_")}
+    |SELECT 'dupfrac_p95' AS metric, e.q, e.est,
+    |  (b.hi - b.lo) / 1000.0 AS bin_width
+    |FROM fd_est e CROSS JOIN fd_b b
+    |UNION ALL SELECT 'quality_p05', e.q, e.est, (b.hi - b.lo) / 1000.0
+    |FROM fq_est e CROSS JOIN fq_b b
+    |ORDER BY metric""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "p01_classify_lifecycle" -> graft.metrics.MetricsPack.reportSqlFrom(splitCte),
     "p02_corpus_prep" -> corpusPrepSql,
     "p03_corpus_report" -> corpusReportSql,
-    "p04_confirm_route" -> confirmRouteSql)
+    "p04_confirm_route" -> confirmRouteSql,
+    "p05_funnel_thresholds" -> funnelThresholdsSql)
 }

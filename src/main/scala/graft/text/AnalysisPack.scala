@@ -329,10 +329,11 @@ object AnalysisPack extends QueryPack {
     * aggregation buffer and keeps the oracle role; a11 trades the
     * full column for a hash sample; THIS path is the one whose state
     * is constant (≤1000 bins) in BOTH corpus size and value-domain
-    * size — the form the p02/p03 audit tier would run at 100 TB when
-    * it derives its percentile cuts (the funnel's 0.45/0.7/0.3
-    * constants were measured this way at small SF; re-deriving them
-    * on the production corpus takes this seam). Error is bounded by
+    * size — the form the p02/p03 audit tier runs at 100 TB when it
+    * derives its percentile cuts: `p05_funnel_thresholds`
+    * ([[graft.pipeline.Lifecycles.funnelThresholds]]) is that audit
+    * query, re-measuring the funnel's 0.45/0.7 cuts on the live
+    * corpus through this same sketch. Error is bounded by
     * one bin width of the value range; the spec pins the thresholds
     * within that bound of a08's exact percentiles and plan-asserts
     * that no window/sort touches the input relation (the only Window

@@ -241,4 +241,38 @@ class PipelineSpec extends AnyFunSuite {
     // quality is a weighted-sum score in (0, 1]
     assert(rows.forall(r => r._6 > 0.0 && r._6 <= 1.0))
   }
+
+  test("p05 funnel thresholds: sketched cuts sit within one bin width " +
+      "of exact percentiles and never window the input corpus") {
+    import graft.text.{TextAnalysis, TextOps => T}
+    val thr = graft.pipeline.Lifecycles.funnelThresholds(spark, sf)
+    val rows = thr.collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == Set("quality_p05", "dupfrac_p95"))
+    // the sketch contract vs the exact percentile aggregate on the
+    // same 6-dp metric columns
+    val m = graft.pipeline.Lifecycles.corpusAug(spark, sf).select(
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+      graft.core.Expr.let(T.words(col("text"))) { ws =>
+        when(size(ws) > 0, round(lit(1.0) -
+          size(array_distinct(ws)).cast("double") /
+            size(ws).cast("double"), 6))
+      }.as("dupfrac"))
+    val ex = m.agg(percentile(col("quality"), lit(0.05)).as("q"),
+      percentile(col("dupfrac"), lit(0.95)).as("d")).collect()(0)
+    val (q05, qbw) = rows("quality_p05")
+    val (d95, dbw) = rows("dupfrac_p95")
+    assert(math.abs(q05 - ex.getDouble(0)) <= qbw + 1e-12,
+      s"quality p05 $q05 vs exact ${ex.getDouble(0)} (bin $qbw)")
+    assert(math.abs(d95 - ex.getDouble(1)) <= dbw + 1e-12,
+      s"dupfrac p95 $d95 vs exact ${ex.getDouble(1)} (bin $dbw)")
+    // plan assertion: only the bounded (bin, cnt) sketch relation is
+    // ever windowed — the corpus is never sorted or single-partitioned
+    val plan = thr.queryExecution.optimizedPlan.toString
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("bin")),
+      s"expected only bin-sketch Windows, got:\n$plan")
+    assert(!plan.contains("Sort [quality") && !plan.contains("Sort [dupfrac"),
+      s"input metrics must not be globally sorted:\n$plan")
+  }
 }

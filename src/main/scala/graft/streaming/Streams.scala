@@ -361,12 +361,25 @@ object Streams {
     *    compaction rebuilds the bloom generation FROM the digest
     *    generation, so a non-covering dir self-heals at its first
     *    compaction (spec-pinned).
+    *  - `compactLogs`: extend the SAME generation compaction to the
+    *    gate's OUTPUT dirs (`outDir/batch=*`, `outDir_summary/batch=*`)
+    *    — without it the decision log accrues one subdir per batch
+    *    forever. The gate itself never reads its outputs back (per-
+    *    trigger cost is unaffected either way); the flag is for
+    *    DOWNSTREAM consumers of the full history, whose listing cost
+    *    otherwise grows with stream age. No TTL applies to logs —
+    *    decisions are an audit record, and silently expiring them
+    *    would rewrite history; rows gain `src_batch` provenance at
+    *    compaction (derived from the directory name, so the hot-path
+    *    write is untouched). Readers go through [[readDecisionsLog]] /
+    *    [[readSummaryLog]], which resolve both layouts.
     */
   case class GateOptions(
     compactEvery: Int = 0,
     retentionBatches: Int = 0,
     bloomScreen: Boolean = true,
-    targetGenBytes: Long = 128L * 1024 * 1024)
+    targetGenBytes: Long = 128L * 1024 * 1024,
+    compactLogs: Boolean = false)
 
   private val BloomK = 3
   private val BloomBits = 1 << 20
@@ -401,8 +414,15 @@ object Streams {
     * `batch=` dir it does not cover. Ids ≥ `batchId` are never read —
     * the exactly-once contract under foreachBatch replay. */
   private def stateDirs(spark: SparkSession, histDir: String, kind: String,
-                        batchId: Long): Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(s"$histDir/$kind")
+                        batchId: Long): Seq[org.apache.hadoop.fs.Path] =
+    resolveGenDirs(spark, s"$histDir/$kind", batchId)
+
+  /** Generation-layout directory resolution, shared by the state kinds
+    * and the decision/summary logs: newest VALID generation below
+    * `batchId` plus every committed `batch=` dir it does not cover. */
+  private def resolveGenDirs(spark: SparkSession, rootStr: String,
+                             batchId: Long): Seq[org.apache.hadoop.fs.Path] = {
+    val root = new org.apache.hadoop.fs.Path(rootStr)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) Seq.empty
     else {
@@ -519,8 +539,16 @@ object Streams {
     decisions.unpersist()
     docs.unpersist()
     if (opts.compactEvery > 0 && batchId > 0 &&
-        batchId % opts.compactEvery == 0)
+        batchId % opts.compactEvery == 0) {
       compactState(spark, histDir, batchId, opts)
+      if (opts.compactLogs) {
+        compactLog(spark, outDir, batchId, decisionsLogSchema(spark),
+          stampSrcBatch = true, opts.targetGenBytes)
+        compactLog(spark, s"${outDir}_summary", batchId,
+          summaryLogSchema(spark), stampSrcBatch = false,
+          opts.targetGenBytes)
+      }
+    }
     graft.core.Caches.releaseTransients()
     ()
   }
@@ -579,16 +607,7 @@ object Streams {
               df.filter(col("src_batch").isNull ||
                 col("src_batch") >= batchId - opts.retentionBatches)
             else df
-          // file count from real bytes (the Skew.compact discipline:
-          // data files only — .crc/_SUCCESS would tip the ceil)
-          val bytes = sources.map { d =>
-            fs.listStatus(d).iterator.filter(st => st.isFile && {
-              val n = st.getPath.getName
-              !n.startsWith(".") && !n.startsWith("_")
-            }).map(_.getLen).sum
-          }.sum
-          val nFiles = math.max(1L,
-            (bytes + opts.targetGenBytes - 1) / opts.targetGenBytes).toInt
+          val nFiles = genFileCount(fs, sources, opts.targetGenBytes)
           pruned.repartition(nFiles)
             .write.mode("overwrite").parquet(target.toString)
         }
@@ -602,6 +621,115 @@ object Streams {
         }
       }
     }
+  }
+
+  /** Generation file count from real source bytes (the Skew.compact
+    * discipline: data files only — .crc/_SUCCESS would tip the ceil). */
+  private def genFileCount(fs: org.apache.hadoop.fs.FileSystem,
+                           sources: Seq[org.apache.hadoop.fs.Path],
+                           targetGenBytes: Long): Int = {
+    val bytes = sources.map { d =>
+      fs.listStatus(d).iterator.filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_")
+      }).map(_.getLen).sum
+    }.sum
+    math.max(1L, (bytes + targetGenBytes - 1) / targetGenBytes).toInt
+  }
+
+  /** The decision log's on-read schema: the gate's four decision
+    * columns plus `src_batch` provenance (null in live `batch=` dirs —
+    * the reader stamps it from the directory name; materialized in
+    * `gen=` dirs by [[compactLog]]). */
+  private def decisionsLogSchema(spark: SparkSession)
+      : org.apache.spark.sql.types.StructType =
+    spark.range(0).select(col("id").as("doc_id"), lit("").as("status"),
+      col("id").as("best_hist_id"), lit(0.0).as("best_jaccard"),
+      col("id").as("src_batch")).schema
+
+  private def summaryLogSchema(spark: SparkSession)
+      : org.apache.spark.sql.types.StructType =
+    spark.range(0).select(col("id").as("batch_id"), col("id").as("n_seen"),
+      col("id").as("n_new"), col("id").as("n_dup_of_history"),
+      col("id").as("n_dup_in_batch"), col("id").as("n_near_dup_of_history"),
+      lit(0.0).as("q_p25"), lit(0.0).as("q_p50"), lit(0.0).as("q_p75"))
+      .schema
+
+  /** Fold committed log dirs (decisions or summaries) into
+    * `gen=<batchId−1>` — [[compactState]]'s discipline applied to the
+    * gate's OUTPUT: _SUCCESS-gated target, an already-committed
+    * generation is never re-read-and-overwritten, deletes only after
+    * commit, file count from real bytes. No retention pruning — the
+    * log is an append-only audit record. `stampSrcBatch` fills the
+    * decisions' provenance column from each source directory's name
+    * (summary rows already carry `batch_id` per row). */
+  private def compactLog(spark: SparkSession, root: String, batchId: Long,
+                         schema: org.apache.spark.sql.types.StructType,
+                         stampSrcBatch: Boolean,
+                         targetGenBytes: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (fs.exists(rootPath)) {
+      val genId = batchId - 1
+      val target = new org.apache.hadoop.fs.Path(rootPath, s"gen=$genId")
+      val committed =
+        fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+      val sources = resolveGenDirs(spark, root, batchId)
+      if (!committed && sources.nonEmpty) {
+        val folded = sources.map { p =>
+          val df = spark.read.schema(schema).parquet(p.toString)
+          idOf(p.getName, "batch=") match {
+            case Some(id) if stampSrcBatch =>
+              df.withColumn("src_batch",
+                coalesce(col("src_batch"), lit(id)))
+            case _ => df
+          }
+        }.reduce(_ unionByName _)
+        folded.repartition(genFileCount(fs, sources, targetGenBytes))
+          .write.mode("overwrite").parquet(target.toString)
+      }
+      if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
+        fs.listStatus(rootPath).toSeq.filter(_.isDirectory).foreach { s =>
+          val n = s.getPath.getName
+          val covered = idOf(n, "batch=").exists(_ <= genId) ||
+            idOf(n, "gen=").exists(_ < genId)
+          if (covered) { fs.delete(s.getPath, true); () }
+        }
+      }
+    }
+  }
+
+  /** The FULL decision history of a [[dedupIngestGate]] run — the
+    * reader-side contract for `outDir`: resolves the newest committed
+    * generation plus every live `batch=` dir (either layout — with or
+    * without `compactLogs`), and stamps `src_batch` provenance from
+    * live directory names so the column is total. This listing is
+    * O(compactEvery) dirs under compaction and O(batches) without —
+    * exactly the growth [[GateOptions.compactLogs]] exists to bound. */
+  def readDecisionsLog(spark: SparkSession, outDir: String): DataFrame = {
+    val schema = decisionsLogSchema(spark)
+    val dirs = resolveGenDirs(spark, outDir, Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else dirs.map { p =>
+      val df = spark.read.schema(schema).parquet(p.toString)
+      idOf(p.getName, "batch=")
+        .fold(df)(id => df.withColumn("src_batch",
+          coalesce(col("src_batch"), lit(id))))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The full run-summary history (`outDir_summary`) under either
+    * layout; rows carry `batch_id` natively, so no stamping. */
+  def readSummaryLog(spark: SparkSession, outDir: String): DataFrame = {
+    val schema = summaryLogSchema(spark)
+    val dirs = resolveGenDirs(spark, s"${outDir}_summary", Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
   }
 
   /** The per-batch ingest RUN SUMMARY — the reference agent's

@@ -477,6 +477,50 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(row1 == twin, s"summary $row1 vs twin $twin")
   }
 
+  test("decisions-log compaction: full history through the reader is " +
+      "bit-identical, src_batch total, dirs bounded") {
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text"))
+    val nBatches = 8
+    val per = 60L
+    def run(opts: Streams.GateOptions): (String, String) = {
+      val root = Files.createTempDirectory("graft_logcomp").toString
+      val outDir = root + "/decisions"
+      for (i <- 0 until nBatches)
+        Streams.dedupGateBatch(spark,
+          docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per),
+          i.toLong, outDir, root + "/hist", opts)
+      (root, outDir)
+    }
+    val (_, baselineOut) = run(Streams.GateOptions())
+    val (_, compactedOut) = run(Streams.GateOptions(
+      compactEvery = 3, compactLogs = true))
+    def logOf(out: String) = Streams.readDecisionsLog(spark, out)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val base = logOf(baselineOut)
+    val comp = logOf(compactedOut)
+    assert(base == comp, s"baseline ${base.size} rows vs compacted ${comp.size}")
+    // provenance is total and correct: docs arrived in id order, 60/batch
+    assert(base.forall { case (id, _, _, _, src) => src == id / per })
+    // the compacted layout is bounded: one generation + the live tail
+    val dirs = Option(new java.io.File(compactedOut).listFiles())
+      .fold(Seq.empty[String])(_.filter(_.isDirectory).map(_.getName).toSeq)
+    assert(dirs.count(_.startsWith("gen=")) == 1 &&
+      dirs.count(_.startsWith("batch=")) <= 3,
+      s"expected gen=5 + <=3 live batch dirs, got $dirs")
+    // the baseline layout is NOT (the growth the option bounds)
+    val bdirs = Option(new java.io.File(baselineOut).listFiles())
+      .fold(0)(_.count(f => f.isDirectory && f.getName.startsWith("batch=")))
+    assert(bdirs == nBatches)
+    // the summary log reads back whole too, and feeds the s11 trend
+    def sums(out: String) = Streams.readSummaryLog(spark, out)
+    assert(sums(compactedOut).collect().map(_.toSeq).toSet ==
+      sums(baselineOut).collect().map(_.toSeq).toSet)
+    val trend = Streams.summaryTrendOf(sums(compactedOut)).collect()
+    assert(trend.length == nBatches)
+  }
+
   test("s11 summary trend: the trend over the gate's per-batch summary " +
       "writes equals the batch twin") {
     val aug = graft.dedup.DedupPack.augmented(spark, sf)

@@ -50,6 +50,12 @@ object Sketches {
   private def quantileFrame(values: DataFrame, x: Column, bins: Int,
                             probs: Seq[Double]): DataFrame = {
     require(bins > 0 && probs.nonEmpty, "bins and probs must be non-empty")
+    // a prob outside (0, 1] matches no cumulative interval and would
+    // silently yield ZERO rows for that q — which a downstream
+    // max(when(q === ..., est)) reads as a null quantile instead of a
+    // caller bug; fail loudly here instead
+    require(probs.forall(p => p > 0 && p <= 1),
+      s"probs must lie in (0, 1], got ${probs.mkString(", ")}")
     val v = values.select(x.cast("double").as("x"))
       .filter(col("x").isNotNull)
     val bounds = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
@@ -87,7 +93,9 @@ object Sketches {
     * [[histogramQuantiles]], shared by every pack that replays a
     * sketch estimate (the s10 run summary; x04 keeps its original
     * inline statement, same expressions). Defines `<prefix>est` with
-    * columns (q, est). */
+    * columns (q, est). Probabilities must lie in (0, 1] — the Scala
+    * side `require`s it; an out-of-range prob here would silently
+    * yield zero rows for that q. */
   def histogramQuantilesCtes(cteName: String, bins: Int,
                              probs: Seq[Double],
                              prefix: String = "qs_"): String = {

@@ -240,7 +240,7 @@ object DedupPack extends QueryPack {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val b = graft.core.Caches.transient(
       batch.select(col("doc_id"), col("text"),
-        md5(coalesce(col("text"), lit(""))).as("h")))
+        Dedup.contentDigest(col("text")).as("h")))
     val firstInBatch = b.groupBy(col("h"))
       .agg(min(col("doc_id")).as("first_id"))
     val hd = histDigests.select(col("h")).distinct()
@@ -290,7 +290,7 @@ object DedupPack extends QueryPack {
   private[graft] def dedupGateOf(hist: DataFrame,
                                  batch: DataFrame): DataFrame =
     dedupGateAgainst(
-      hist.select(md5(coalesce(col("text"), lit(""))).as("h")),
+      hist.select(Dedup.contentDigest(col("text")).as("h")),
       bandSigsOf(hist, "hist_id"),
       Dedup.hashedShingleRows(hist, col("doc_id"), col("text"), 3),
       batch)
@@ -451,7 +451,7 @@ object DedupPack extends QueryPack {
   private[graft] def minhashFidelityOf(spark: SparkSession,
                                        corpus: DataFrame): DataFrame = {
     val classes = graft.core.Caches.transient(
-      corpus.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+      corpus.select(col("doc_id"), Dedup.contentDigest(col("text")).as("h"),
         (size(Dedup.shingles(col("text"), 3)) > 0).as("has_sh")))
     val reps = graft.core.Caches.transient(
       classes.groupBy(col("h"))

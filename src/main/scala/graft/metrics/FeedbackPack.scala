@@ -51,11 +51,17 @@ object FeedbackPack extends QueryPack {
     * combining, bounded by the value domain), then a row_number over
     * the collapsed counts — the d18/m14 discipline; no window ever
     * sees per-document rows. */
-  def suggestCorrections(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val gtn = when(col("ground_truth").isNull ||
+  /** Ground truth normalized to the extraction frame's 'NULL' sentinel
+    * — ONE definition for the Suggest mode and the Apply gate, so the
+    * two can never disagree on what "the row's truth" is. */
+  private def normalizedGt: org.apache.spark.sql.Column =
+    when(col("ground_truth").isNull ||
         trim(col("ground_truth")) === "" || col("ground_truth") === "NULL",
       lit("NULL")).otherwise(trim(col("ground_truth")))
+
+  def suggestCorrections(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gtn = normalizedGt
     val byVal = fieldDiffs(spark, dir)
       .select(col("field"), col("status"), gtn.as("suggested_value"))
       .groupBy(col("field"), col("status"), col("suggested_value"))
@@ -74,11 +80,16 @@ object FeedbackPack extends QueryPack {
   }
 
   /** Suggestions → the approved-corrections relation [[applyCorrections]]
-    * consumes: every diff row in a cluster whose suggestion clears the
+    * consumes: a diff row in a cluster whose suggestion clears the
     * confidence gate (and is a real value, not the 'NULL' clear-field
-    * sentinel) gets the cluster's suggested value as its correction.
-    * This is the automated tail of the approval gate — a reviewer
-    * accepting a CLUSTER rather than a row; the FeedbackSpec wires
+    * sentinel) gets the cluster's suggested value as its correction —
+    * but ONLY when the row's own normalized ground truth equals the
+    * suggestion. The cluster-level approval can never install a value
+    * that contradicts row-level truth: minority rows (truth disagrees
+    * with the cluster mode) are left uncorrected for the human-review
+    * queue rather than silently overwritten, whatever `minConfidence`
+    * is. The automated tail of the approval gate — a reviewer
+    * accepting a CLUSTER rather than a row; the PipelineSpec wires
     * f02 clusters → [[suggestCorrections]] → this → [[applyCorrections]]
     * end-to-end. */
   def correctionsFromSuggestions(diffs: DataFrame, suggestions: DataFrame,
@@ -89,6 +100,7 @@ object FeedbackPack extends QueryPack {
             col("suggested_value") =!= "NULL")
           .select(col("field"), col("status"), col("suggested_value")),
         Seq("field", "status"))
+      .filter(normalizedGt === col("suggested_value"))
       .select(col("doc_id"), col("field"),
         col("suggested_value").as("corrected_value"))
 

@@ -505,7 +505,7 @@ object Streams {
       else {
         val bits = priorState("bloom").select(col("pos")).distinct()
         val probe = docs
-          .select(md5(coalesce(col("text"), lit(""))).as("h")).distinct()
+          .select(Dedup.contentDigest(col("text")).as("h")).distinct()
         val positive = Dedup.bloomMembers(
             probe.select(col("h").as("id"), col("h").as("key")),
             bits, BloomK, BloomBits)

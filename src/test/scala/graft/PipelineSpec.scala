@@ -161,6 +161,11 @@ class PipelineSpec extends AnyFunSuite {
       trim(col("final_value")) === trim(col("ground_truth")) &&
       col("accuracy") =!= 1L).count() == 0)
     assert(applied.filter(col("corrected")).count() > 0)
+    // the Apply gate never installs a value contradicting row-level
+    // truth: EVERY corrected row now agrees with its ground truth —
+    // minority rows stay uncorrected for human review
+    assert(applied.filter(col("corrected")).count() ==
+      applied.filter(col("corrected") && col("accuracy") === 1L).count())
   }
 
   test("corpus-prep funnel is monotone and every stage does real work") {

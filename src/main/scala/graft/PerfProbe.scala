@@ -186,8 +186,11 @@ object PerfProbe {
       // deterministic syllable-composed words under a Zipf count law,
       // word length 4-24 chars, long tail of count-1 types)
       val syn = Bpe.syntheticZipfTypes(65536)
+      // production-vocab rows (r11 verdict #8): 8k and 32k merges are
+      // the real tokenizer regime — the incremental pair→words index's
+      // slope in MERGES is what the table pins
       for ((nm, mt) <- Seq((16, 4096), (256, 16384), (256, 65536),
-                           (1024, 65536))) {
+                           (1024, 65536), (8192, 65536), (32768, 65536))) {
         val types = syn.take(mt)
         val t1 = System.nanoTime()
         val ms = Bpe.trainOnTypesIncremental(types, nm)
@@ -287,22 +290,41 @@ object PerfProbe {
       val docs = graft.core.Tables(spark, sfDir).documents
         .select(col("doc_id"), col("text"))
       val nBatches = 24
-      val per = 200L
+      // per-batch volume scales WITH the corpus (run at 1x and the
+      // 10x dir for the two state-volume rows of the compaction-spike
+      // table): ids in the scale corpus are contiguous per replica
+      // block, so slice by row-number-free modulo of doc_id instead
+      // of a range when the corpus is the replicated one
+      val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val span = (hi - lo + nBatches) / nBatches
+      // the gate's compaction runs INSIDE the K-th trigger; the probe
+      // drives it manually at the same cadence so the fold's wall is
+      // broken out of the batch wall (r11 verdict #4: measure the
+      // spike, not just the flat per-batch curve)
+      val compactEvery = 6
       for ((tag, opts) <- Seq(
           "baseline" -> Streams.GateOptions(compactEvery = 0,
             bloomScreen = false),
-          "lifecycle" -> Streams.GateOptions(compactEvery = 6,
+          "lifecycle" -> Streams.GateOptions(compactEvery = 0,
             bloomScreen = true))) {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft_gatestate_$tag").toString
         val outDir = root + "/decisions"
         val histDir = root + "/hist"
         for (i <- 0 until nBatches) {
-          val b = docs.filter(col("doc_id") >= i * per &&
-            col("doc_id") < (i + 1) * per)
+          val b = docs.filter(col("doc_id") >= lo + i * span &&
+            col("doc_id") < lo + (i + 1) * span)
           val t0 = System.nanoTime()
           Streams.dedupGateBatch(spark, b, i.toLong, outDir, histDir, opts)
           val wall = (System.nanoTime() - t0) / 1e9
+          val compactWall =
+            if (tag == "lifecycle" && i > 0 && i % compactEvery == 0) {
+              val t1 = System.nanoTime()
+              Streams.compactState(spark, histDir, i.toLong,
+                opts.copy(compactEvery = compactEvery))
+              (System.nanoTime() - t1) / 1e9
+            } else 0.0
           val dirs = Option(new java.io.File(histDir + "/digests")
             .listFiles()).fold(0)(_.count(_.isDirectory))
           val files = {
@@ -311,9 +333,29 @@ object PerfProbe {
             finally s.close()
           }
           println(f"GATESTATE $tag batch=$i%02d wall=$wall%.2f s " +
-            f"digest_dirs=$dirs state_files=$files")
+            f"compact=$compactWall%.2f s digest_dirs=$dirs " +
+            f"state_files=$files")
         }
       }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.PerfProbe bandblocks` — the d10 band-collision
+    // headroom measurement (r11 verdict #5): single-block 4x15 banding
+    // vs the Manku pair-combination 6x10 form (20-bit keys) on the
+    // current SF dir. Run at 1x and the 10x/30x corpora; the wall
+    // ratio at growing corpus size is the crossover table for the
+    // band-width rule on simhashPairsBandedWideBlocks.
+    if (args.contains("bandblocks")) {
+      val corpus = graft.core.Tables(spark, sfDir).documents
+        .select(col("doc_id"), col("text"))
+      val n = corpus.count()
+      time(s"bandblocks n=$n banded 4x15 (d10 default)")(noop(
+        Dedup.simhashPairsBandedWide(corpus, col("doc_id"), col("text"))))
+      time(s"bandblocks n=$n pair-combination 6x10 (20-bit keys)")(noop(
+        Dedup.simhashPairsBandedWideBlocks(corpus, col("doc_id"),
+          col("text"))))
       spark.stop()
       return
     }

@@ -563,8 +563,8 @@ object Streams {
     * Retention-expired rows (relative to the CURRENT batch — the
     * tightest cut any future reader will apply is tighter still) are
     * physically dropped here. */
-  private def compactState(spark: SparkSession, histDir: String,
-                           batchId: Long, opts: GateOptions): Unit = {
+  private[graft] def compactState(spark: SparkSession, histDir: String,
+                                  batchId: Long, opts: GateOptions): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val genId = batchId - 1
     // digests FIRST: the bloom generation below derives from it

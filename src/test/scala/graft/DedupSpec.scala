@@ -349,6 +349,11 @@ class DedupSpec extends AnyFunSuite {
       Dedup.simhashPairsAllPairsWide(aug, col("doc_id"), col("text")))
     assert(banded == allPairs)
     assert(banded.nonEmpty)
+    // the Manku pair-combination form (6 blocks, 20-bit pair keys) is
+    // pair-for-pair identical too — same pigeonhole, sharper keys
+    val blocks = collectPairs(
+      Dedup.simhashPairsBandedWideBlocks(aug, col("doc_id"), col("text")))
+    assert(blocks == allPairs)
   }
 
   test("wide simhash recovers most planted near-copies at Hamming <= 3") {

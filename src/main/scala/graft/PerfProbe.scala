@@ -292,12 +292,13 @@ object PerfProbe {
       val nBatches = 24
       // per-batch volume scales WITH the corpus (run at 1x and the
       // 10x dir for the two state-volume rows of the compaction-spike
-      // table): ids in the scale corpus are contiguous per replica
-      // block, so slice by row-number-free modulo of doc_id instead
-      // of a range when the corpus is the replicated one
-      val ids = docs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
-      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
-      val span = (hi - lo + nBatches) / nBatches
+      // table): batches slice by MODULO of doc_id, not an id range —
+      // ids in the scale corpus are contiguous per replica block, so
+      // range slices would draw each batch from a single replica
+      // block and the dup-regime mix per batch would differ from the
+      // base corpus's; modulo spreads every replica block uniformly
+      // across the batch sequence (replicas of one doc land in
+      // DIFFERENT batches, exercising the cross-batch history path)
       // the gate's compaction runs INSIDE the K-th trigger; the probe
       // drives it manually at the same cadence so the fold's wall is
       // broken out of the batch wall (r11 verdict #4: measure the
@@ -313,8 +314,8 @@ object PerfProbe {
         val outDir = root + "/decisions"
         val histDir = root + "/hist"
         for (i <- 0 until nBatches) {
-          val b = docs.filter(col("doc_id") >= lo + i * span &&
-            col("doc_id") < lo + (i + 1) * span)
+          val b = docs.filter(
+            pmod(col("doc_id"), lit(nBatches.toLong)) === i.toLong)
           val t0 = System.nanoTime()
           Streams.dedupGateBatch(spark, b, i.toLong, outDir, histDir, opts)
           val wall = (System.nanoTime() - t0) / 1e9
@@ -337,6 +338,49 @@ object PerfProbe {
             f"state_files=$files")
         }
       }
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.PerfProbe logread` — the compacted-log READER
+    // win (r12 verdict #7): `readDecisionsLog` over a raw `batch=*`
+    // tree of a few hundred directories vs the SAME rows folded into
+    // one generation by the production `compactLog`. The writer-side
+    // listing growth was measured in gatestate; this row proves the
+    // fix pays off for the downstream consumer the compaction was
+    // built for (per-dir open + footer read dominates at high dir
+    // counts; on an object store the listing itself does too).
+    if (args.contains("logread")) {
+      import graft.streaming.Streams
+      val nB = 240
+      val dec = graft.core.Tables(spark, sfDir).documents
+        .select(col("doc_id"), lit("new").as("status"),
+          col("doc_id").as("best_hist_id"), lit(0.0).as("best_jaccard"))
+        .persist()
+      val nRows = dec.count()
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_logread").toString
+      for (layout <- Seq("raw", "gen")) {
+        val out = s"$root/$layout"
+        for (i <- 0 until nB)
+          dec.filter(pmod(col("doc_id"), lit(nB.toLong)) === i.toLong)
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=$i")
+        if (layout == "gen") {
+          val t0 = System.nanoTime()
+          Streams.compactDecisionsLog(spark, out, nB.toLong)
+          println(f"LOGREAD fold wall: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val dirs = Option(new java.io.File(out).listFiles())
+          .fold(0)(_.count(_.isDirectory))
+        for (rep <- 1 to 3) {
+          val t0 = System.nanoTime()
+          val n = Streams.readDecisionsLog(spark, out).count()
+          assert(n == nRows, s"logread $layout lost rows: $n != $nRows")
+          println(f"LOGREAD $layout rep=$rep dirs=$dirs rows=$n " +
+            f"read=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+      }
+      dec.unpersist()
       spark.stop()
       return
     }

@@ -93,12 +93,17 @@ object Sketches {
     * [[histogramQuantiles]], shared by every pack that replays a
     * sketch estimate (the s10 run summary; x04 keeps its original
     * inline statement, same expressions). Defines `<prefix>est` with
-    * columns (q, est). Probabilities must lie in (0, 1] — the Scala
-    * side `require`s it; an out-of-range prob here would silently
-    * yield zero rows for that q. */
+    * columns (q, est). Probabilities must lie in (0, 1] — `require`d
+    * HERE, exactly like the Scala twin: an out-of-range prob would
+    * otherwise silently yield zero rows for that q in the emitted SQL
+    * (the null-quantile failure mode the Scala guard exists to
+    * prevent; both engines must fail loudly, not just one). */
   def histogramQuantilesCtes(cteName: String, bins: Int,
                              probs: Seq[Double],
                              prefix: String = "qs_"): String = {
+    require(bins > 0 && probs.nonEmpty, "bins and probs must be non-empty")
+    require(probs.forall(p => p > 0 && p <= 1),
+      s"probs must lie in (0, 1], got ${probs.mkString(", ")}")
     val plist = probs.mkString(", ")
     s"""${prefix}v AS (SELECT x FROM $cteName WHERE x IS NOT NULL),
       |${prefix}b AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n

@@ -434,9 +434,16 @@ object Streams {
           .map(_ -> s.getPath)
       }
       val maxGen = gens.map(_._1).maxOption
+      // live batch= dirs carry the same _SUCCESS requirement as gen=
+      // dirs ("every COMMITTED batch= dir"): a partial directory left
+      // by an abandoned run must neither be read (torn files) nor —
+      // worse — be baked into a generation by a compaction fold that
+      // then deletes it. Skipped here, it stays on disk for repair
+      // (the delete loops below preserve uncommitted dirs too).
       val live = subs.flatMap { s =>
         idOf(s.getPath.getName, "batch=")
-          .filter(id => id < batchId && maxGen.forall(id > _))
+          .filter(id => id < batchId && maxGen.forall(id > _) &&
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
           .map(_ => s.getPath)
       }
       gens.collect { case (id, p) if maxGen.contains(id) => p } ++ live
@@ -614,7 +621,14 @@ object Streams {
         if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
           fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { s =>
             val n = s.getPath.getName
-            val covered = idOf(n, "batch=").exists(_ <= genId) ||
+            // only COMMITTED batch dirs are covered by the new
+            // generation (uncommitted ones were skipped by the fold —
+            // deleting them would destroy the only repair source);
+            // an uncommitted gen= dir is a failed target whose
+            // sources were preserved at the time, pure garbage
+            val covered = (idOf(n, "batch=").exists(_ <= genId) &&
+              fs.exists(new org.apache.hadoop.fs.Path(s.getPath,
+                "_SUCCESS"))) ||
               idOf(n, "gen=").exists(_ < genId)
             if (covered) { fs.delete(s.getPath, true); () }
           }
@@ -657,12 +671,15 @@ object Streams {
 
   /** Fold committed log dirs (decisions or summaries) into
     * `gen=<batchId−1>` — [[compactState]]'s discipline applied to the
-    * gate's OUTPUT: _SUCCESS-gated target, an already-committed
-    * generation is never re-read-and-overwritten, deletes only after
-    * commit, file count from real bytes. No retention pruning — the
-    * log is an append-only audit record. `stampSrcBatch` fills the
-    * decisions' provenance column from each source directory's name
-    * (summary rows already carry `batch_id` per row). */
+    * gate's OUTPUT: _SUCCESS-gated target AND _SUCCESS-gated sources
+    * (an uncommitted `batch=` dir left by an abandoned run is neither
+    * folded nor deleted — it stays on disk for repair, exactly like
+    * the live-read path skips it), an already-committed generation is
+    * never re-read-and-overwritten, deletes only after commit, file
+    * count from real bytes. No retention pruning — the log is an
+    * append-only audit record. `stampSrcBatch` fills the decisions'
+    * provenance column from each source directory's name (summary
+    * rows already carry `batch_id` per row). */
   private def compactLog(spark: SparkSession, root: String, batchId: Long,
                          schema: org.apache.spark.sql.types.StructType,
                          stampSrcBatch: Boolean,
@@ -692,13 +709,27 @@ object Streams {
       if (fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))) {
         fs.listStatus(rootPath).toSeq.filter(_.isDirectory).foreach { s =>
           val n = s.getPath.getName
-          val covered = idOf(n, "batch=").exists(_ <= genId) ||
+          // same repair discipline as [[compactState]]: an
+          // uncommitted batch= dir was never folded, so it must
+          // survive the sweep
+          val covered = (idOf(n, "batch=").exists(_ <= genId) &&
+            fs.exists(new org.apache.hadoop.fs.Path(s.getPath,
+              "_SUCCESS"))) ||
             idOf(n, "gen=").exists(_ < genId)
           if (covered) { fs.delete(s.getPath, true); () }
         }
       }
     }
   }
+
+  /** [[compactLog]] over a decisions-log tree — the production fold,
+    * exposed for the PerfProbe `logread` instrument and the
+    * partial-source guard spec (both need to fold a tree they built
+    * directly, without driving the whole gate). */
+  private[graft] def compactDecisionsLog(spark: SparkSession, root: String,
+                                         batchId: Long): Unit =
+    compactLog(spark, root, batchId, decisionsLogSchema(spark),
+      stampSrcBatch = true, GateOptions().targetGenBytes)
 
   /** The FULL decision history of a [[dedupIngestGate]] run — the
     * reader-side contract for `outDir`: resolves the newest committed

@@ -521,6 +521,43 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(trend.length == nBatches)
   }
 
+  test("log compaction refuses uncommitted batch= sources: not folded, " +
+      "not deleted, invisible to readers") {
+    val docs = Tables(spark, sf).documents.select(col("doc_id"),
+      lit("new").as("status"), col("doc_id").as("best_hist_id"),
+      lit(0.0).as("best_jaccard"))
+    val root = Files.createTempDirectory("graft_logguard").toString +
+      "/decisions"
+    val per = 50L
+    for (i <- 0 until 6)
+      docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/batch=$i")
+    // abandon batch=2: drop its commit marker — the shape a crashed or
+    // abandoned run leaves behind below the compaction horizon
+    val marker = new java.io.File(s"$root/batch=2/_SUCCESS")
+    assert(marker.exists && marker.delete())
+    Streams.compactDecisionsLog(spark, root, 6L)
+    val dirs = Option(new java.io.File(root).listFiles())
+      .fold(Seq.empty[String])(_.filter(_.isDirectory).map(_.getName).toSeq)
+      .toSet
+    assert(dirs.contains("gen=5"), s"no generation written: $dirs")
+    assert(dirs.contains("batch=2"),
+      s"uncommitted source must survive the sweep for repair: $dirs")
+    assert(!dirs.exists(d => d.startsWith("batch=") && d != "batch=2"),
+      s"committed sources must be deleted after the fold: $dirs")
+    // the generation holds EXACTLY the committed dirs' rows — the
+    // partial dir is neither baked in nor readable downstream
+    val log = Streams.readDecisionsLog(spark, root)
+    val ids = log.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val expected = (0 until 6).filter(_ != 2)
+      .flatMap(i => (i * per) until ((i + 1) * per)).map(_.toLong).toSet
+    assert(ids == expected,
+      s"expected the 5 committed batches' ids, got ${ids.size} rows")
+    // provenance was stamped from the folded dir names and is total
+    assert(log.filter(col("src_batch").isNull ||
+      col("src_batch") === 2L).count() == 0)
+  }
+
   test("s11 summary trend: the trend over the gate's per-batch summary " +
       "writes equals the batch twin") {
     val aug = graft.dedup.DedupPack.augmented(spark, sf)

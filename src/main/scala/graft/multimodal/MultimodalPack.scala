@@ -169,13 +169,96 @@ object MultimodalPack extends QueryPack {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The mm07 fixture: one synthetic VIDEO per document — 8 frames,
+    * frame j's latent scene keyed on (text, j) through the mm06 scene
+    * layout — plus, for every doc_id % 10 == 3, a planted re-encoded
+    * CLIP of frames 2..5 as its own 4-frame video (id + 10M, the
+    * corpusPrep disjoint-range discipline): same latent frame scenes,
+    * different encoder tag, so every container byte differs while the
+    * decoded pixel surfaces nearly match frame-for-frame. */
+  private[graft] def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    def enc(idOff: Long, tag: String, n: Int, seedOff: Int,
+            pred: org.apache.spark.sql.Column): DataFrame =
+      docs.filter(pred)
+        .select((col("doc_id") + idOff).as("video_id"),
+          posexplode(array((0 until n).map(j =>
+            Multimodal.sceneContent(
+              concat(col("text"), lit("|f"), lit((j + seedOff).toString)),
+              tag)): _*)).as(Seq("frame_idx", "content")))
+        .select(col("video_id"),
+          col("frame_idx").cast("long").as("frame_idx"), col("content"))
+    enc(0L, "v0", 8, 0, lit(true))
+      .unionByName(enc(10000000L, "v1", 4, 2, col("doc_id") % 10 === 3))
+  }
+
+  /** mm07: FRAME-LEVEL video near-dup CONTAINMENT — the multimodal dup
+    * class mm06's whole-content hash cannot see: a re-encoded clip
+    * embedded in (or cut from) a longer video shares no container
+    * bytes AND no overall length with its source, but its decoded
+    * frames pair off one-to-one with a contiguous frame range of the
+    * source. Composes the per-frame plumbing of mm02 with mm06's
+    * perceptual machinery: dHash every decoded frame
+    * ([[Multimodal.dhash]] — the FakeDecoder seam), mine near-dup
+    * FRAME pairs with the d04/d10 banded Hamming join
+    * ([[graft.dedup.Dedup.hammingPairsBandedOf]]) over composite
+    * (video, frame) ids, then roll frame matches up to video level
+    * requiring ONE CONSISTENT temporal offset (group by fa − fb)
+    * that covers EVERY frame of the shorter video — offset-consistent
+    * containment as a plain aggregation, no alignment loop.
+    *
+    * Scale shape: exact-collapse first at the FRAME level (verbatim
+    * replica videos — the scale corpus's growth mode — resolve at the
+    * digest tier and never reach the band join, the mm06/d18
+    * discipline); dHash bits are md5-derived (uniform), so band
+    * buckets stay at the 2^-12 background rate; the offset rollup
+    * groups only matched pairs (≈ output size); the two per-video
+    * frame-count joins are id-keyed on O(videos) rows with the
+    * strategy left to AQE. */
+  def videoClipDups(spark: SparkSession, dir: String): DataFrame = {
+    val vf = graft.core.Caches.transient(videoFrames(spark, dir))
+    val nf = vf.groupBy(col("video_id")).agg(count(lit(1)).as("nframes"))
+    // composite id: frame_idx < 100 by construction, so composite
+    // order implies video order across distinct videos
+    val cid = col("video_id") * 100 + col("frame_idx")
+    val reps = vf.groupBy(md5(Multimodal.hexOf(col("content"))).as("d"))
+      .agg(min(col("video_id") * 100 + col("frame_idx")).as("id"))
+      .select(col("id"))
+    val sig = vf
+      .select(cid.as("id"), Multimodal.dhash(col("content")).as("simhash"))
+      .join(reps, Seq("id"), "left_semi")
+    val framePairs = graft.dedup.Dedup.hammingPairsBandedOf(sig,
+      maxDist = 4, bits = Multimodal.DhashBits)
+    val rolled = framePairs
+      .select((col("a_id") / 100).cast("long").as("a_vid"),
+        pmod(col("a_id"), lit(100L)).as("fa"),
+        (col("b_id") / 100).cast("long").as("b_vid"),
+        pmod(col("b_id"), lit(100L)).as("fb"),
+        col("hamming"))
+      .filter(col("a_vid") =!= col("b_vid"))
+      .withColumn("frame_offset", col("fa") - col("fb"))
+      .groupBy(col("a_vid"), col("b_vid"), col("frame_offset"))
+      .agg(count(lit(1)).as("n_matched"),
+        max(col("hamming")).as("max_hamming"))
+    rolled
+      .join(nf.select(col("video_id").as("a_vid"), col("nframes").as("nfa")),
+        Seq("a_vid"))
+      .join(nf.select(col("video_id").as("b_vid"), col("nframes").as("nfb")),
+        Seq("b_vid"))
+      .filter(col("n_matched") === least(col("nfa"), col("nfb")))
+      .select(col("a_vid"), col("b_vid"), col("frame_offset"),
+        col("n_matched"), col("max_hamming"))
+      .orderBy(col("a_vid"), col("b_vid"), col("frame_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_meta" -> decodeMeta,
     "mm02_frames" -> frames,
     "mm03_resized" -> resized,
     "mm04_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "mm05_sharded_roundtrip" -> shardedRoundtrip,
-    "mm06_image_near_dups" -> imageNearDups)
+    "mm06_image_near_dups" -> imageNearDups,
+    "mm07_video_clip_dups" -> videoClipDups)
 
   /** 64-byte synthetic content as a 128-char hex string. */
   private val hexCte = """
@@ -229,8 +312,63 @@ object MultimodalPack extends QueryPack {
     |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
     |ORDER BY a_id, b_id""".stripMargin
 
+  /** mm07 oracle: fixture, per-frame dHash (the mm06 luminance/
+    * gradient replay over each frame's scene), exact-collapse to
+    * content representatives, ALL-PAIRS popcount (bounded at oracle
+    * scale, pair-for-pair equal to the engine's banded join by the
+    * pigeonhole argument — the d10/mm06 oracle pattern), then the
+    * offset-consistent containment rollup against per-video frame
+    * counts. */
+  private val videoClipDupsSql = s"""
+    |WITH vd AS (
+    |  SELECT doc_id AS vid, unnest(range(0, 8)) AS j, text,
+    |    'v0' AS enc, 0 AS soff
+    |  FROM documents
+    |  UNION ALL
+    |  SELECT doc_id + 10000000, unnest(range(0, 4)), text, 'v1', 2
+    |  FROM documents WHERE doc_id % 10 = 3),
+    |vf AS (
+    |  SELECT vid, CAST(j AS BIGINT) AS fidx,
+    |    substr(md5(text || '|f' || CAST(j + soff AS VARCHAR) || '|h' || enc), 1, 6)
+    |      || md5(text || '|f' || CAST(j + soff AS VARCHAR))
+    |      || md5(text || '|f' || CAST(j + soff AS VARCHAR) || '|n' || enc) AS hx
+    |  FROM vd),
+    |nfr AS (SELECT vid, count(*) AS nf FROM vf GROUP BY vid),
+    |rep AS (SELECT min(vid * 100 + fidx) AS cid FROM vf GROUP BY md5(hx)),
+    |s0 AS (SELECT vf.vid * 100 + vf.fidx AS cid, substr(hx, 7, 32) AS scene,
+    |    ((strpos('0123456789abcdef', substr(hx, 39, 1)) - 1) * 16
+    |     + (strpos('0123456789abcdef', substr(hx, 40, 1)) - 1)) % 66 AS p
+    |  FROM vf JOIN rep ON rep.cid = vf.vid * 100 + vf.fidx),
+    |s1 AS (SELECT cid, list_transform(range(0, 66), i ->
+    |      (strpos('0123456789abcdef', substr(md5(scene || '|px' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 1 AS INT), 1)) - 1) * 16
+    |    + (strpos('0123456789abcdef', substr(md5(scene || '|px' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 2 AS INT), 1)) - 1)
+    |    + CASE WHEN i = p THEN 8 ELSE 0 END) AS lum
+    |  FROM s0),
+    |s2 AS (SELECT cid, CAST(list_sum(list_transform(range(0, 60), k ->
+    |      CASE WHEN lum[CAST((k // 10) * 11 + (k % 10) + 2 AS INT)]
+    |             > lum[CAST((k // 10) * 11 + (k % 10) + 1 AS INT)]
+    |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)
+    |    AS dhash
+    |  FROM s1),
+    |pr AS (SELECT a.cid // 100 AS a_vid, a.cid % 100 AS fa,
+    |    b.cid // 100 AS b_vid, b.cid % 100 AS fb,
+    |    CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    |  FROM s2 a JOIN s2 b ON a.cid < b.cid
+    |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 4),
+    |grp AS (SELECT a_vid, b_vid, fa - fb AS frame_offset,
+    |    count(*) AS n_matched, max(hamming) AS max_hamming
+    |  FROM pr WHERE a_vid <> b_vid GROUP BY 1, 2, 3)
+    |SELECT g.a_vid, g.b_vid, CAST(g.frame_offset AS BIGINT) AS frame_offset,
+    |  g.n_matched, g.max_hamming
+    |FROM grp g JOIN nfr na ON na.vid = g.a_vid JOIN nfr nb ON nb.vid = g.b_vid
+    |WHERE g.n_matched = least(na.nf, nb.nf)
+    |ORDER BY a_vid, b_vid, frame_offset""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "mm06_image_near_dups" -> imageNearDupsSql,
+    "mm07_video_clip_dups" -> videoClipDupsSql,
     "mm01_decode_meta" -> s"""
       |WITH $hexCte
       |SELECT media_id,

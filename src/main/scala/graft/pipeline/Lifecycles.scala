@@ -144,6 +144,15 @@ object Lifecycles {
     * (d09), per-source hash-threshold rates (a06). Thresholds
     * (0.45 / 0.7 / 0.3) are data-derived percentile cuts — see
     * PipelinePack for the measured basis. */
+  /** The funnel's PUBLISHED stage-1 cuts (measured once at small SF:
+    * quality p05 ≈ 0.487 → cut 0.45 on its permissive side; dup-word
+    * fraction p95 ≈ 0.688 → cut 0.7 likewise): ONE definition shared
+    * by [[corpusPrep]] (which applies them) and [[funnelThresholds]]
+    * (which audits them), so the filter and its audit can never cite
+    * different constants. */
+  private[graft] val QualityCut = 0.45
+  private[graft] val DupFracCut = 0.7
+
   /** The funnel's augmented input corpus (crawl with planted near/exact
     * dups) — shared by [[corpusPrep]] and the [[funnelThresholds]]
     * audit so the two can never diverge on what "the corpus" is. */
@@ -170,8 +179,9 @@ object Lifecycles {
         T.words(col("text")).as("ws"))
       .select(col("doc_id"), col("lang"), col("text"), col("source"),
         size(col("ws")).as("n"), size(array_distinct(col("ws"))).as("d"))
-      .filter(TextAnalysis.qualityScore(col("text")) >= 0.45 &&
-        (lit(1.0) - col("d").cast("double") / col("n").cast("double")) <= 0.7)
+      .filter(TextAnalysis.qualityScore(col("text")) >= QualityCut &&
+        (lit(1.0) - col("d").cast("double") / col("n").cast("double"))
+          <= DupFracCut)
       .select(col("doc_id"), col("lang"), col("text"), col("source"))
       .persist()
 
@@ -300,9 +310,10 @@ object Lifecycles {
     * histogram rows through the shuffle per metric, no sort or window
     * ever touches the input relation (spec plan-asserted), where the
     * exact `percentile` aggregate would carry every value to one
-    * buffer. One row per metric: (metric, q, est, bin_width); est is
-    * the sketched cut, bin_width its error bound — drift of a cut
-    * beyond the published bound is the re-calibration trigger. */
+    * buffer. One row per metric: (metric, q, est, bin_width,
+    * published, recalibrate); est is the sketched cut, bin_width its
+    * error bound, and `recalibrate` is the trigger itself — see
+    * [[thresholdAudit]] for its one-sided semantics. */
   def funnelThresholds(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.{TextAnalysis, TextOps => T}
     val m = graft.core.Caches.transient(corpusAug(spark, dir)
@@ -313,14 +324,35 @@ object Lifecycles {
             size(array_distinct(ws)).cast("double") /
               size(ws).cast("double"), 6))
         }.as("dupfrac")))
-    def cut(metric: String, x: org.apache.spark.sql.Column,
-            prob: Double): DataFrame =
+    thresholdAudit(m)
+  }
+
+  /** The audit body of [[funnelThresholds]] over a prepared
+    * (quality, dupfrac) metric frame — split out so specs can drive
+    * the trigger on synthetic distributions. Each cut was published
+    * on the PERMISSIVE side of its measured percentile ([[QualityCut]]
+    * below the quality p05, [[DupFracCut]] above the dup-fraction
+    * p95), so drift that matters is ONE-SIDED: `recalibrate` fires
+    * when the live percentile crosses the published cut by more than
+    * the sketch's error bound (quality p05 falling BELOW the ≥-cut,
+    * dupfrac p95 rising ABOVE the ≤-cut) — the cut is then provably
+    * stricter than its design point and drops more than the intended
+    * 5% tail. Movement on the permissive side stays quiet: the filter
+    * still admits at least its designed mass. */
+  private[graft] def thresholdAudit(m: DataFrame): DataFrame = {
+    def cut(metric: String, x: org.apache.spark.sql.Column, prob: Double,
+            published: Double, stricterBelow: Boolean): DataFrame =
       graft.core.Sketches.histogramQuantilesWithWidth(
           m, x, bins = 1000, probs = Seq(prob))
         .select(lit(metric).as("metric"), col("q"), col("est"),
-          col("bin_width"))
-    cut("dupfrac_p95", col("dupfrac"), 0.95)
-      .unionByName(cut("quality_p05", col("quality"), 0.05))
+          col("bin_width"), lit(published).as("published"),
+          (if (stricterBelow) col("est") < lit(published) - col("bin_width")
+           else col("est") > lit(published) + col("bin_width"))
+            .cast("long").as("recalibrate"))
+    cut("dupfrac_p95", col("dupfrac"), 0.95, DupFracCut,
+        stricterBelow = false)
+      .unionByName(cut("quality_p05", col("quality"), 0.05, QualityCut,
+        stricterBelow = true))
       .orderBy(col("metric"))
   }
 

@@ -254,9 +254,15 @@ object PipelinePack extends QueryPack {
     |${graft.core.Sketches.histogramQuantilesCtes("fqv", 1000, Seq(0.05), "fq_")},
     |${graft.core.Sketches.histogramQuantilesCtes("fdv", 1000, Seq(0.95), "fd_")}
     |SELECT 'dupfrac_p95' AS metric, e.q, e.est,
-    |  (b.hi - b.lo) / 1000.0 AS bin_width
+    |  (b.hi - b.lo) / 1000.0 AS bin_width,
+    |  CAST(0.7 AS DOUBLE) AS published,
+    |  CAST(CASE WHEN e.est > 0.7 + (b.hi - b.lo) / 1000.0
+    |    THEN 1 ELSE 0 END AS BIGINT) AS recalibrate
     |FROM fd_est e CROSS JOIN fd_b b
-    |UNION ALL SELECT 'quality_p05', e.q, e.est, (b.hi - b.lo) / 1000.0
+    |UNION ALL SELECT 'quality_p05', e.q, e.est, (b.hi - b.lo) / 1000.0,
+    |  CAST(0.45 AS DOUBLE),
+    |  CAST(CASE WHEN e.est < 0.45 - (b.hi - b.lo) / 1000.0
+    |    THEN 1 ELSE 0 END AS BIGINT)
     |FROM fq_est e CROSS JOIN fq_b b
     |ORDER BY metric""".stripMargin
 

@@ -142,4 +142,40 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(brute.map(p => (p._1, p._2)).toSet == pairSet)
   }
+
+  test("mm07: per-frame dHash + offset-consistent rollup finds the " +
+      "planted re-encoded clip inside the longer video") {
+    import graft.multimodal.Multimodal
+    val vf = MultimodalPack.videoFrames(spark, sf)
+    // the clip's frames share NO content digest with the source video's
+    // (different encoder tag -> every container byte differs), and the
+    // two videos differ in length (4 vs 8 frames) — so both the exact
+    // digest tier AND any whole-video fingerprint (mm06's approach
+    // applied to the full content) miss the pair by construction
+    val d = vf.filter(col("video_id").isin(3L, 10000003L))
+      .select(col("video_id"),
+        md5(Multimodal.hexOf(col("content"))).as("d"))
+      .collect()
+    val baseD = d.filter(_.getLong(0) == 3L).map(_.getString(1)).toSet
+    val clipD = d.filter(_.getLong(0) == 10000003L).map(_.getString(1)).toSet
+    assert(baseD.size == 8 && clipD.size == 4)
+    assert(baseD.intersect(clipD).isEmpty,
+      "clip frames must not be exact-digest duplicates of source frames")
+    // the containment rollup returns EXACTLY the planted pairs: every
+    // clip matched to its source at the planted temporal offset (clip
+    // frame j ≡ source frame j+2), all 4 clip frames covered
+    val rows = MultimodalPack.videoClipDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 3)
+      .map(i => (i, i + 10000000L, 2L, 4L)).toSet
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet == planted,
+      s"expected exactly the ${planted.size} planted containments, " +
+        s"got ${rows.length}")
+    // per-frame perturbation flips at most 2 gradient bits per
+    // encoding -> matched frames sit within the Hamming budget
+    rows.foreach(t => assert(t._5 <= 4L, s"row $t over budget"))
+  }
 }

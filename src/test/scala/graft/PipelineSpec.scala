@@ -280,4 +280,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Sort [quality") && !plan.contains("Sort [dupfrac"),
       s"input metrics must not be globally sorted:\n$plan")
   }
+
+  test("p05 drift trigger: published cuts on their permissive side stay " +
+      "quiet; a cut stricter than the live percentile fires") {
+    val calm = Lifecycles.funnelThresholds(spark, sf).collect()
+    assert(calm.length == 2)
+    // the planted corpus IS the calibration basis: both published cuts
+    // sit on the permissive side of their measured percentiles, so the
+    // audit must not demand re-calibration
+    calm.foreach(r => assert(r.getAs[Long]("recalibrate") == 0L,
+      s"planted corpus must sit inside the bound: $r"))
+    import spark.implicits._
+    // degraded corpus: the quality mass collapses far below the 0.45
+    // cut — the >=-filter would now drop nearly everything it was
+    // designed to keep 95% of; dupfrac stays on the permissive side
+    // and must stay quiet
+    val degraded = Seq.tabulate(200)(i => (0.05 + (i % 10) * 0.01, 0.1))
+      .toDF("quality", "dupfrac")
+    val audit = Lifecycles.thresholdAudit(degraded).collect()
+    assert(audit.find(_.getString(0) == "quality_p05").get
+      .getAs[Long]("recalibrate") == 1L,
+      s"stricter-than-percentile quality cut must fire: ${audit.toSeq}")
+    assert(audit.find(_.getString(0) == "dupfrac_p95").get
+      .getAs[Long]("recalibrate") == 0L,
+      s"permissive-side dupfrac cut must stay quiet: ${audit.toSeq}")
+  }
 }

@@ -759,6 +759,30 @@ object DedupPack extends QueryPack {
         col("text"), 3, 60)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** d22: d10 BEHIND THE EXACT-COLLAPSE FRONT — the production
+    * posture the round-13 adjudication (PERF.md bandblocks table) and
+    * the 30× legs prescribe: byte-identical copies resolve at the
+    * digest tier ([[graft.dedup.Dedup.contentDigest]] keepers — d01's
+    * job), and only ONE representative per distinct content enters
+    * the banded simhash join, so duplicate-cluster growth (the scale
+    * corpus's growth mode: C(k,2) true pairs per k-replica cluster,
+    * re-enumerated in every band) never reaches the band buckets.
+    * Output = d10's near-dup pairs restricted to representatives (the
+    * mm06 stance: exact-dup pairs are the digest tier's output, not
+    * the fuzzy tier's; spec pins d22 ≡ d10 filtered to rep ids). d10
+    * stays the declared full-corpus contrast, whose measured 27-32×
+    * slope at 30× (bound 45) is exactly the growth this front
+    * removes. */
+  def simhashWidePairsCollapsed(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented(spark, dir)
+    val reps = aug.groupBy(Dedup.contentDigest(col("text")).as("d"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val repDocs = aug.join(reps, Seq("doc_id"), "left_semi")
+    Dedup.simhashPairsBandedWide(repDocs, col("doc_id"), col("text"), 3, 60)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** d17: corpus-level duplicate-LINE removal with document
     * reassembly — CCNet's first pipeline stage (Wenzek et al. 2020
     * §3.1 dedups paragraphs ACROSS documents by hash before any
@@ -870,6 +894,7 @@ object DedupPack extends QueryPack {
     "d14_group_split" -> groupSplit,
     "d15_substring_dedup" -> substringDedupQuery,
     "d10_simhash_wide" -> simhashWidePairs,
+    "d22_simhash_reps" -> simhashWidePairsCollapsed,
     "d08_dedup_groups" -> dedupGroupsQuery,
     "d09_decontamination" -> decontamination,
     "d07_jaccard_stopshingle" -> jaccardStopShingle,
@@ -1281,6 +1306,27 @@ object DedupPack extends QueryPack {
       |WITH $augmentedSql,
       |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
       |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM aug),
+      |dw AS (SELECT DISTINCT doc_id AS id, u AS word
+      |  FROM (SELECT doc_id, unnest(words) AS u FROM w)),
+      |hb AS (SELECT id, ${hv60("word")} AS hv FROM dw),
+      |bs AS (SELECT id, bit, sum(((hv >> bit) & 1) * 2 - 1) AS s
+      |  FROM hb, unnest(range(0, 60)) t(bit) GROUP BY id, bit),
+      |sh60 AS (SELECT id, CAST(sum(CASE WHEN s > 0
+      |    THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bs GROUP BY id)
+      |SELECT a.id AS a_id, b.id AS b_id,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh60 a JOIN sh60 b ON a.id < b.id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin,
+    "d22_simhash_reps" -> s"""
+      |WITH $augmentedSql,
+      |rp AS (SELECT min(doc_id) AS doc_id FROM aug
+      |  GROUP BY md5(coalesce(text, ''))),
+      |ra AS (SELECT a.doc_id, a.text FROM aug a
+      |  JOIN rp ON rp.doc_id = a.doc_id),
+      |w AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+      |    ELSE regexp_split_to_array(trim(text), '\\s+') END AS words FROM ra),
       |dw AS (SELECT DISTINCT doc_id AS id, u AS word
       |  FROM (SELECT doc_id, unnest(words) AS u FROM w)),
       |hb AS (SELECT id, ${hv60("word")} AS hv FROM dw),

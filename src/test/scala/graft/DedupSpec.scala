@@ -356,6 +356,37 @@ class DedupSpec extends AnyFunSuite {
     assert(blocks == allPairs)
   }
 
+  test("d22: collapsed simhash pairs equal d10 restricted to content " +
+      "representatives; exact-copy pairs move to the digest tier") {
+    val aug = graft.dedup.DedupPack.augmented(spark, sf)
+    val reps = aug
+      .groupBy(Dedup.contentDigest(col("text")).as("d"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    def collectPairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = collectPairs(
+      graft.dedup.DedupPack.simhashWidePairs(spark, sf))
+    val collapsed = collectPairs(
+      graft.dedup.DedupPack.simhashWidePairsCollapsed(spark, sf))
+    // collapsed ≡ full restricted to representative ids: the front
+    // removes exactly the rows whose content identity the digest tier
+    // already resolves, nothing else
+    assert(collapsed ==
+      full.filter(p => reps.contains(p._1) && reps.contains(p._2)))
+    assert(collapsed.nonEmpty)
+    // the planted exact copies (i, i+200000) pair at Hamming 0 in d10
+    // and are ABSENT from d22 — their identity is d01's output
+    val exactPairs = (0L until 50L).map(i => (i, i + 200000L)).toSet
+    val fullIds = full.map(p => (p._1, p._2))
+    val collapsedIds = collapsed.map(p => (p._1, p._2))
+    assert(exactPairs.forall(fullIds.contains),
+      "d10 must see every planted exact copy at Hamming 0")
+    assert(exactPairs.forall(!collapsedIds.contains(_)),
+      "d22 must leave exact copies to the digest tier")
+  }
+
   test("wide simhash recovers most planted near-copies at Hamming <= 3") {
     val aug = graft.dedup.DedupPack.augmented(spark, sf)
     val pairs = Dedup.simhashPairsBandedWide(aug, col("doc_id"), col("text"))

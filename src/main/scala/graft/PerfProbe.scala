@@ -342,6 +342,54 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe dhashcse` — the measurement behind the
+    // staged-block form of Multimodal.dhash: codegen subexpression
+    // elimination does NOT fully collapse a 66-reference md5
+    // expression to its 5 distinct block calls (measured 0.98 s vs
+    // 0.67 s warm on 6k images), so the production dhash binds each
+    // block digest once through Expr.let. The inline variant below
+    // keeps the UNstaged original as the contrast and the probe
+    // equality-checks the two.
+    if (args.contains("dhashcse")) {
+      import graft.multimodal.{Multimodal, MultimodalPack}
+      import graft.core.Expr
+      val m = MultimodalPack.sceneMedia(spark, sfDir).persist()
+      val nm = m.count()
+      def dhashUnstaged(content: org.apache.spark.sql.Column) =
+        Expr.let(Multimodal.hexOf(content)) { hx =>
+          val scene = substring(hx, 7, 32)
+          val perturb = conv(substring(hx, 39, 2), 16, 10).cast("int") %
+            Multimodal.DhashPixels
+          val lumArr = array((0 until Multimodal.DhashPixels).map { i =>
+            val block = md5(concat(scene, lit(s"|px${i / 16}")))
+            conv(substring(block, (i % 16) * 2 + 1, 2), 16, 10).cast("int") +
+              when(perturb === i, 8).otherwise(0)
+          }: _*)
+          Expr.let(lumArr) { lum =>
+            (0 until Multimodal.DhashBits).map { k =>
+              val cols = Multimodal.DhashGridCols
+              val idx = (k / (cols - 1)) * cols + k % (cols - 1)
+              when(element_at(lum, idx + 2) > element_at(lum, idx + 1),
+                lit(1L << k)).otherwise(0L)
+            }.reduce(_ + _)
+          }
+        }
+      for (rep <- 1 to 2) {
+        time(s"dhashcse n=$nm unstaged (66 md5 refs) rep=$rep")(noop(
+          m.select(col("media_id"), dhashUnstaged(col("content")).as("h"))))
+        time(s"dhashcse n=$nm staged production dhash rep=$rep")(noop(
+          m.select(col("media_id"),
+            Multimodal.dhash(col("content")).as("h"))))
+      }
+      val neq = m.select(Multimodal.dhash(col("content")).as("a"),
+          dhashUnstaged(col("content")).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      println(s"DHASHCSE identical=${neq == 0L} (diffs=$neq)")
+      m.unpersist()
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe logread` — the compacted-log READER
     // win (r12 verdict #7): `readDecisionsLog` over a raw `batch=*`
     // tree of a few hundred directories vs the SAME rows folded into

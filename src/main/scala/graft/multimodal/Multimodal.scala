@@ -97,18 +97,27 @@ object Multimodal {
     graft.core.Expr.let(hexOf(content)) { hx =>
       val scene = substring(hx, 7, 32)
       val perturb = conv(substring(hx, 39, 2), 16, 10).cast("int") % DhashPixels
-      val lumArr = array((0 until DhashPixels).map { i =>
-        val block = md5(concat(scene, lit(s"|px${i / 16}")))
-        conv(substring(block, (i % 16) * 2 + 1, 2), 16, 10).cast("int") +
-          when(perturb === i, 8).otherwise(0)
-      }: _*)
-      graft.core.Expr.let(lumArr) { lum =>
-        (0 until DhashBits).map { k =>
-          val idx = (k / (DhashGridCols - 1)) * DhashGridCols +
-            k % (DhashGridCols - 1)
-          when(element_at(lum, idx + 2) > element_at(lum, idx + 1),
-            lit(1L << k)).otherwise(0L)
-        }.reduce(_ + _)
+      // the 5 block md5s are STAGED through one let instead of being
+      // referenced 66× in the luminance array: codegen subexpression
+      // elimination does not fully collapse the repeats (PerfProbe
+      // dhashcse: 0.98 s vs 0.67 s warm on 6k images, bit-identical
+      // output), so bind each block digest once and index into it
+      val blocks = array((0 until (DhashPixels + 15) / 16).map(b =>
+        md5(concat(scene, lit(s"|px$b")))): _*)
+      graft.core.Expr.let(blocks) { bl =>
+        val lumArr = array((0 until DhashPixels).map { i =>
+          conv(substring(element_at(bl, i / 16 + 1),
+            (i % 16) * 2 + 1, 2), 16, 10).cast("int") +
+            when(perturb === i, 8).otherwise(0)
+        }: _*)
+        graft.core.Expr.let(lumArr) { lum =>
+          (0 until DhashBits).map { k =>
+            val idx = (k / (DhashGridCols - 1)) * DhashGridCols +
+              k % (DhashGridCols - 1)
+            when(element_at(lum, idx + 2) > element_at(lum, idx + 1),
+              lit(1L << k)).otherwise(0L)
+          }.reduce(_ + _)
+        }
       }
     }
 

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.QueryPack
@@ -201,54 +201,85 @@ object MultimodalPack extends QueryPack {
     * perceptual machinery: dHash every decoded frame
     * ([[Multimodal.dhash]] — the FakeDecoder seam), mine near-dup
     * FRAME pairs with the d04/d10 banded Hamming join
-    * ([[graft.dedup.Dedup.hammingPairsBandedOf]]) over composite
-    * (video, frame) ids, then roll frame matches up to video level
+    * ([[graft.dedup.Dedup.hammingPairsBandedOf]]) over struct
+    * (video, frame) keys, then roll frame matches up to video level
     * requiring ONE CONSISTENT temporal offset (group by fa − fb)
     * that covers EVERY frame of the shorter video — offset-consistent
-    * containment as a plain aggregation, no alignment loop.
+    * containment as a plain aggregation, no alignment loop. The whole
+    * body is [[clipContainment]] (shared with the mm08 audio form);
+    * see its scaladoc for the scale shape, the in-join same-video
+    * exclusion, and the representative-front scope. */
+  def videoClipDups(spark: SparkSession, dir: String): DataFrame =
+    clipContainment(
+        videoFrames(spark, dir).select(col("video_id").as("item_id"),
+          col("frame_idx").as("unit_idx"), col("content")),
+        Multimodal.dhash, maxDist = 4, bits = Multimodal.DhashBits)
+      .select(col("a_item").as("a_vid"), col("b_item").as("b_vid"),
+        col("unit_offset").as("frame_offset"),
+        col("n_matched"), col("max_hamming"))
+      .orderBy(col("a_vid"), col("b_vid"), col("frame_offset"))
+
+  /** Offset-consistent clip containment over any per-unit media
+    * relation `(item_id, unit_idx, content)` — the shared body of mm07
+    * (video frames) and mm08 (audio windows): exact-collapse at the
+    * unit level, perceptual fingerprint per representative unit
+    * (`fp` — the FakeDecoder seam), the d04/d10 banded Hamming join,
+    * then the containment rollup (one consistent a−b offset covering
+    * every unit of the shorter item).
     *
-    * Scale shape: exact-collapse first at the FRAME level (verbatim
-    * replica videos — the scale corpus's growth mode — resolve at the
-    * digest tier and never reach the band join, the mm06/d18
-    * discipline); dHash bits are md5-derived (uniform), so band
-    * buckets stay at the 2^-12 background rate; the offset rollup
-    * groups only matched pairs (≈ output size); the two per-video
-    * frame-count joins are id-keyed on O(videos) rows with the
-    * strategy left to AQE. */
-  def videoClipDups(spark: SparkSession, dir: String): DataFrame = {
-    val vf = graft.core.Caches.transient(videoFrames(spark, dir))
-    val nf = vf.groupBy(col("video_id")).agg(count(lit(1)).as("nframes"))
-    // composite id: frame_idx < 100 by construction, so composite
-    // order implies video order across distinct videos
-    val cid = col("video_id") * 100 + col("frame_idx")
-    val reps = vf.groupBy(md5(Multimodal.hexOf(col("content"))).as("d"))
-      .agg(min(col("video_id") * 100 + col("frame_idx")).as("id"))
+    * Keys are STRUCT composites (item, unit) — no arithmetic packing,
+    * so unit counts per item are UNBOUNDED (the r13 verdict's
+    * composite-id cap is gone; a 120-frame video is spec-pinned).
+    * Struct ordering is (item, unit)-lexicographic on both engines,
+    * so representative selection matches the oracle's min() over the
+    * packed form wherever both are defined. The same-item exclusion
+    * runs INSIDE the band join ([[graft.dedup.Dedup
+    * .hammingPairsBandedOf]]'s pair predicate): real video/audio is
+    * temporally self-similar, so dense unit sampling would otherwise
+    * push per-item-quadratic intra-item pairs through the cross-band
+    * dedup shuffle only to be discarded.
+    *
+    * Representative-front scope (the d22 stance, here explicitly):
+    * containment is reported between CONTENT-REPRESENTATIVE items —
+    * unit counts come from the full unit set, while matches are mined
+    * over digest representatives, so an item whose units partially
+    * exact-collapse with a third item's units is vouched for by its
+    * representatives' pairs only. The fixtures key unit digests on
+    * per-doc text, so cross-item exact collapse cannot occur there;
+    * a corpus with verbatim-shared units between DIFFERENT items
+    * should resolve exact unit-level duplicates first (d18's
+    * keep-best discipline) exactly as d22 does for text. */
+  private[graft] def clipContainment(units: DataFrame, fp: Column => Column,
+                                     maxDist: Int, bits: Int): DataFrame = {
+    val u = graft.core.Caches.transient(units)
+    val nf = u.groupBy(col("item_id")).agg(count(lit(1)).as("nunits"))
+    def key(item: Column, unit: Column) =
+      struct(item.as("item"), unit.as("unit"))
+    val reps = u.groupBy(md5(Multimodal.hexOf(col("content"))).as("d"))
+      .agg(min(key(col("item_id"), col("unit_idx"))).as("id"))
       .select(col("id"))
-    val sig = vf
-      .select(cid.as("id"), Multimodal.dhash(col("content")).as("simhash"))
+    val sig = u
+      .select(key(col("item_id"), col("unit_idx")).as("id"),
+        fp(col("content")).as("simhash"))
       .join(reps, Seq("id"), "left_semi")
-    val framePairs = graft.dedup.Dedup.hammingPairsBandedOf(sig,
-      maxDist = 4, bits = Multimodal.DhashBits)
-    val rolled = framePairs
-      .select((col("a_id") / 100).cast("long").as("a_vid"),
-        pmod(col("a_id"), lit(100L)).as("fa"),
-        (col("b_id") / 100).cast("long").as("b_vid"),
-        pmod(col("b_id"), lit(100L)).as("fb"),
+    val pairs = graft.dedup.Dedup.hammingPairsBandedOf(sig, maxDist, bits,
+      pairPredicate = col("a_id.item") =!= col("b_id.item"))
+    val rolled = pairs
+      .select(col("a_id.item").as("a_item"), col("a_id.unit").as("fa"),
+        col("b_id.item").as("b_item"), col("b_id.unit").as("fb"),
         col("hamming"))
-      .filter(col("a_vid") =!= col("b_vid"))
-      .withColumn("frame_offset", col("fa") - col("fb"))
-      .groupBy(col("a_vid"), col("b_vid"), col("frame_offset"))
+      .withColumn("unit_offset", col("fa") - col("fb"))
+      .groupBy(col("a_item"), col("b_item"), col("unit_offset"))
       .agg(count(lit(1)).as("n_matched"),
         max(col("hamming")).as("max_hamming"))
     rolled
-      .join(nf.select(col("video_id").as("a_vid"), col("nframes").as("nfa")),
-        Seq("a_vid"))
-      .join(nf.select(col("video_id").as("b_vid"), col("nframes").as("nfb")),
-        Seq("b_vid"))
+      .join(nf.select(col("item_id").as("a_item"), col("nunits").as("nfa")),
+        Seq("a_item"))
+      .join(nf.select(col("item_id").as("b_item"), col("nunits").as("nfb")),
+        Seq("b_item"))
       .filter(col("n_matched") === least(col("nfa"), col("nfb")))
-      .select(col("a_vid"), col("b_vid"), col("frame_offset"),
+      .select(col("a_item"), col("b_item"), col("unit_offset"),
         col("n_matched"), col("max_hamming"))
-      .orderBy(col("a_vid"), col("b_vid"), col("frame_offset"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,8 +103,8 @@ object PipelinePack extends QueryPack {
     | WHERE (0.4 * (CASE WHEN n > 0 THEN CAST(stop_n AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END)
     |      + 0.3 * (1.0 - (CASE WHEN length(text) > 0
     |          THEN CAST(punct AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END))
-    |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)) >= 0.45
-    |   AND (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) <= 0.7),
+    |      + 0.3 * least(1.0, CAST(n AS DOUBLE) / 100.0)) >= ${Lifecycles.QualityCut}
+    |   AND (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE)) <= ${Lifecycles.DupFracCut}),
     |lc AS (SELECT lang, count(*) AS cnt FROM q1 GROUP BY lang),
     |med AS (SELECT cnt AS cap FROM
     |  (SELECT cnt, row_number() OVER (ORDER BY cnt, lang) AS rn FROM lc) t,
@@ -255,13 +255,13 @@ object PipelinePack extends QueryPack {
     |${graft.core.Sketches.histogramQuantilesCtes("fdv", 1000, Seq(0.95), "fd_")}
     |SELECT 'dupfrac_p95' AS metric, e.q, e.est,
     |  (b.hi - b.lo) / 1000.0 AS bin_width,
-    |  CAST(0.7 AS DOUBLE) AS published,
-    |  CAST(CASE WHEN e.est > 0.7 + (b.hi - b.lo) / 1000.0
+    |  CAST(${Lifecycles.DupFracCut} AS DOUBLE) AS published,
+    |  CAST(CASE WHEN e.est > ${Lifecycles.DupFracCut} + (b.hi - b.lo) / 1000.0
     |    THEN 1 ELSE 0 END AS BIGINT) AS recalibrate
     |FROM fd_est e CROSS JOIN fd_b b
     |UNION ALL SELECT 'quality_p05', e.q, e.est, (b.hi - b.lo) / 1000.0,
-    |  CAST(0.45 AS DOUBLE),
-    |  CAST(CASE WHEN e.est < 0.45 - (b.hi - b.lo) / 1000.0
+    |  CAST(${Lifecycles.QualityCut} AS DOUBLE),
+    |  CAST(CASE WHEN e.est < ${Lifecycles.QualityCut} - (b.hi - b.lo) / 1000.0
     |    THEN 1 ELSE 0 END AS BIGINT)
     |FROM fq_est e CROSS JOIN fq_b b
     |ORDER BY metric""".stripMargin

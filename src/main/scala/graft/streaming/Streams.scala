@@ -417,6 +417,24 @@ object Streams {
                         batchId: Long): Seq[org.apache.hadoop.fs.Path] =
     resolveGenDirs(spark, s"$histDir/$kind", batchId)
 
+  /** Every reader/fold/sweep in this lifecycle keys validity on
+    * Spark's `_SUCCESS` commit marker — a deployment that disables it
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`) would
+    * otherwise render the entire dedup history silently invisible and
+    * re-admit every duplicate with no error. The gate therefore
+    * ASSERTS the marker right after its own writes: a misconfigured
+    * committer fails the first batch loudly instead of degrading the
+    * stream quietly. */
+  private def assertCommitted(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      throw new IllegalStateException(
+        s"$dir committed without a _SUCCESS marker — the gate's state " +
+          "lifecycle requires commit markers (is " +
+          "mapreduce.fileoutputcommitter.marksuccessfuljobs disabled?)")
+  }
+
   /** Generation-layout directory resolution, shared by the state kinds
     * and the decision/summary logs: newest VALID generation below
     * `batchId` plus every committed `batch=` dir it does not cover. */
@@ -526,17 +544,21 @@ object Streams {
       DedupPack.dedupGateWithState(digestsScreened, sigs, shingles, docs)
     val decisions = decisionsRaw.persist()
     decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    assertCommitted(spark, s"$outDir/batch=$batchId")
     runSummaryOf(decisions, docs, batchId).coalesce(1)
       .write.mode("overwrite").parquet(s"${outDir}_summary/batch=$batchId")
+    assertCommitted(spark, s"${outDir}_summary/batch=$batchId")
     // per-batch state is micro-batch-sized: writing it at full session
     // parallelism fans each tiny frame into ~32 part files per kind
     // per batch (measured: ~140 files/batch at sf0.1 — the mm05
     // lesson: file COUNT, not bytes, dominates small-state IO).
     // coalesce (no shuffle) bounds the fan-out; generations re-derive
     // their file count from real bytes at compaction time.
-    def writeState(kind: String, df: DataFrame): Unit =
+    def writeState(kind: String, df: DataFrame): Unit = {
       df.withColumn("src_batch", lit(batchId)).coalesce(4)
         .write.mode("overwrite").parquet(s"$histDir/$kind/batch=$batchId")
+      assertCommitted(spark, s"$histDir/$kind/batch=$batchId")
+    }
     writeState("digests", newDigests)
     writeState("sigs", newSigs)
     writeState("shingles", newShingles)
@@ -626,16 +648,27 @@ object Streams {
             // deleting them would destroy the only repair source);
             // an uncommitted gen= dir is a failed target whose
             // sources were preserved at the time, pure garbage
-            val covered = (idOf(n, "batch=").exists(_ <= genId) &&
-              fs.exists(new org.apache.hadoop.fs.Path(s.getPath,
-                "_SUCCESS"))) ||
+            val inRange = idOf(n, "batch=").exists(_ <= genId)
+            val committed = fs.exists(
+              new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+            val covered = (inRange && committed) ||
               idOf(n, "gen=").exists(_ < genId)
             if (covered) { fs.delete(s.getPath, true); () }
+            else if (inRange && !committed) warnPreserved(s.getPath)
           }
         }
       }
     }
   }
+
+  /** An uncommitted dir a compaction sweep PRESERVES (it was never
+    * folded, so deleting it would destroy the only repair source) is
+    * permanently invisible to readers and folds — surface that the
+    * compacted view is incomplete instead of staying silent. */
+  private def warnPreserved(p: org.apache.hadoop.fs.Path): Unit =
+    System.err.println(s"[graft] compaction preserved uncommitted $p — " +
+      "it is invisible to readers and folds until repaired (re-write it " +
+      "with a _SUCCESS marker or delete it)")
 
   /** Generation file count from real source bytes (the Skew.compact
     * discipline: data files only — .crc/_SUCCESS would tip the ceil). */
@@ -712,11 +745,13 @@ object Streams {
           // same repair discipline as [[compactState]]: an
           // uncommitted batch= dir was never folded, so it must
           // survive the sweep
-          val covered = (idOf(n, "batch=").exists(_ <= genId) &&
-            fs.exists(new org.apache.hadoop.fs.Path(s.getPath,
-              "_SUCCESS"))) ||
+          val inRange = idOf(n, "batch=").exists(_ <= genId)
+          val committed = fs.exists(
+            new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS"))
+          val covered = (inRange && committed) ||
             idOf(n, "gen=").exists(_ < genId)
           if (covered) { fs.delete(s.getPath, true); () }
+          else if (inRange && !committed) warnPreserved(s.getPath)
         }
       }
     }

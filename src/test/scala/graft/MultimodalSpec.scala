@@ -178,4 +178,80 @@ class MultimodalSpec extends AnyFunSuite {
     // encoding -> matched frames sit within the Hamming budget
     rows.foreach(t => assert(t._5 <= 4L, s"row $t over budget"))
   }
+
+  /** [[graft.multimodal.Multimodal.sceneContent]] with a COLUMN
+    * encoder tag — the fixtures below vary the encoder per row. */
+  private def sceneContentCol(text: org.apache.spark.sql.Column,
+                              enc: org.apache.spark.sql.Column) =
+    unhex(concat(
+      substring(md5(concat(text, lit("|h"), enc)), 1, 6),
+      md5(text),
+      md5(concat(text, lit("|n"), enc))))
+
+  test("in-join same-item exclusion: dense near-identical frames " +
+      "never transit the band join, output identical to post-filter") {
+    import graft.dedup.Dedup
+    import graft.multimodal.Multimodal
+    // one video of 50 near-identical frames (same latent scene, a
+    // distinct encoder perturbation per frame — the dense-sampling
+    // worst case: every intra-video frame pair is a true near-dup)
+    // plus a 5-frame re-encoded clip of the same scene
+    val dense = spark.range(50).select(lit(1L).as("item_id"),
+      col("id").as("unit_idx"),
+      sceneContentCol(lit("dense scene"), concat(lit("e"), col("id")))
+        .as("content"))
+    val clip = spark.range(5).select(lit(2L).as("item_id"),
+      col("id").as("unit_idx"),
+      sceneContentCol(lit("dense scene"), concat(lit("c"), col("id")))
+        .as("content"))
+    val sig = dense.unionByName(clip)
+      .select(struct(col("item_id").as("item"), col("unit_idx").as("unit"))
+        .as("id"), Multimodal.dhash(col("content")).as("simhash"))
+    def key(r: org.apache.spark.sql.Row) = {
+      val a = r.getStruct(0); val b = r.getStruct(1)
+      ((a.getLong(0), a.getLong(1)), (b.getLong(0), b.getLong(1)),
+        r.getLong(2))
+    }
+    val unfiltered = Dedup.hammingPairsBandedOf(sig, 4, Multimodal.DhashBits)
+      .collect().map(key)
+    val postFiltered = unfiltered
+      .filter { case ((ai, _), (bi, _), _) => ai != bi }.toSet
+    val inJoin = Dedup.hammingPairsBandedOf(sig, 4, Multimodal.DhashBits,
+        pairPredicate = col("a_id.item") =!= col("b_id.item"))
+      .collect().map(key).toSet
+    assert(inJoin == postFiltered,
+      "in-join exclusion must equal post-filtering the unfiltered join")
+    // the drop the pushdown exists for: without it, the per-video-
+    // quadratic intra-video pairs (C(50,2) here) all reach the
+    // cross-band dedup shuffle only to be discarded
+    val intra = unfiltered.length - postFiltered.size
+    assert(intra == 50 * 49 / 2 + 5 * 4 / 2,
+      s"dense fixture should mine every intra-item pair, got $intra")
+    assert(inJoin.nonEmpty && inJoin.forall {
+      case ((ai, _), (bi, _), h) => ai == 1L && bi == 2L && h <= 4L
+    })
+  }
+
+  test("clip containment with struct keys: a >100-frame video works " +
+      "(the r13 composite-id cap is gone)") {
+    import graft.multimodal.Multimodal
+    // 120 distinct-scene frames; the clip re-encodes frames 100..109
+    val base = spark.range(120).select(lit(1L).as("item_id"),
+      col("id").as("unit_idx"),
+      sceneContentCol(concat(lit("vid|f"), col("id")), lit("v0"))
+        .as("content"))
+    val clip = spark.range(10).select(lit(2L).as("item_id"),
+      col("id").as("unit_idx"),
+      sceneContentCol(concat(lit("vid|f"), col("id") + 100), lit("v1"))
+        .as("content"))
+    val rows = MultimodalPack.clipContainment(base.unionByName(clip),
+        Multimodal.dhash, maxDist = 4, bits = Multimodal.DhashBits)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.length == 1, s"expected one containment, got ${rows.toSeq}")
+    val (a, b, off, n, h) = rows(0)
+    assert(a == 1L && b == 2L && off == 100L && n == 10L && h <= 4L,
+      s"unexpected containment row ${rows(0)}")
+  }
 }

@@ -282,6 +282,112 @@ object MultimodalPack extends QueryPack {
         col("n_matched"), col("max_hamming"))
   }
 
+  /** The s12 media-gate fixture: every document's base encoding, a
+    * planted RE-ENCODE of each doc_id % 10 == 0 (same latent scene,
+    * every container byte different — the duplicate class only the
+    * perceptual screen catches), and planted EXACT byte copies
+    * (doc_id < 50 — copies of history; 300 ≤ doc_id < 350 — copies of
+    * same-batch media) in disjoint id ranges. History = media_id <
+    * 300; the arriving batch = everything else, so all four verdicts
+    * carry real rows. */
+  private[graft] def gateMedia(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    def enc(idOff: Long, tag: String,
+            pred: org.apache.spark.sql.Column): DataFrame =
+      docs.filter(pred).select((col("doc_id") + idOff).as("media_id"),
+        Multimodal.sceneContent(col("text"), tag).as("content"))
+    enc(0L, "enc0", lit(true))
+      .unionByName(enc(10000000L, "enc1", col("doc_id") % 10 === 0))
+      .unionByName(enc(30000000L, "enc0", col("doc_id") < 50 ||
+        (col("doc_id") >= 300 && col("doc_id") < 350)))
+  }
+
+  /** The MEDIA ingest gate's per-batch screen — [[graft.dedup
+    * .DedupPack.dedupGateWithState]]'s shape for binary media: exact
+    * content-digest screen first (dup_of_history / dup_in_batch — a
+    * byte-identical re-upload must never reach fingerprint
+    * computation, the d18 discipline), then the 60-bit perceptual
+    * dHash of the digest-new remainder probed against HISTORY
+    * fingerprint state through the banded Hamming join
+    * ([[graft.dedup.Dedup.hammingProbeBanded]], maxDist 4) —
+    * near_dup_of_history (best = min (hamming, hist_id)), else new.
+    * Returns (decisions, new digests (h), new fingerprints (id, fp))
+    * so the streaming caller appends history state WITHOUT a second
+    * decode/dHash pass — the screen's own per-survivor fingerprints
+    * are computed once and filtered to the admitted ids.
+    *
+    * Fuzzy scope matches the text gate (and the s12 oracle): the
+    * perceptual probe runs against HISTORY only — two re-encodes of
+    * one scene arriving in the SAME batch both admit as 'new' and
+    * both enter the fingerprint state. Decisions are unordered; the
+    * s12 entry point adds its own orderBy. */
+  private[graft] def mediaGateWithState(histDigests: DataFrame,
+                                        histFps: DataFrame,
+                                        batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val b = graft.core.Caches.transient(
+      batch.select(col("media_id"), col("content"),
+        md5(Multimodal.hexOf(col("content"))).as("h")))
+    val firstInBatch = b.groupBy(col("h"))
+      .agg(min(col("media_id")).as("first_id"))
+    val hd = histDigests.select(col("h")).distinct()
+      .withColumn("in_hist", lit(true))
+    val ex = graft.core.Caches.transient(
+      b.join(hd, Seq("h"), "left")
+        .join(firstInBatch, Seq("h"))
+        .select(col("media_id"), col("content"),
+          when(coalesce(col("in_hist"), lit(false)), "dup_of_history")
+            .when(col("media_id") =!= col("first_id"), "dup_in_batch")
+            .otherwise("exact_new").as("ex_status")))
+    val survivors = ex.filter(col("ex_status") === "exact_new")
+      .select(col("media_id"), col("content"))
+    // ONE dHash pass over the digest-new media, shared by the
+    // perceptual probe and (filtered to admitted) the state append
+    val sFps = graft.core.Caches.transient(
+      survivors.select(col("media_id").as("id"),
+        Multimodal.dhash(col("content")).as("fp")))
+    val hits = graft.dedup.Dedup.hammingProbeBanded(
+      sFps.select(col("id"), col("fp").as("simhash")),
+      histFps.select(col("id"), col("fp").as("simhash")),
+      maxDist = 4, bits = Multimodal.DhashBits)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("hamming"), col("hist_id"))
+    val best = hits.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id").as("media_id"), col("hist_id"), col("hamming"))
+    val decisions = ex.select(col("media_id"), col("ex_status"))
+      .join(best, Seq("media_id"), "left")
+      .select(col("media_id"),
+        when(col("ex_status") =!= "exact_new", col("ex_status"))
+          .when(col("hist_id").isNotNull, "near_dup_of_history")
+          .otherwise("new").as("status"),
+        when(col("ex_status") === "exact_new",
+          coalesce(col("hist_id"), lit(-1L)))
+          .otherwise(lit(-1L)).as("best_hist_id"),
+        when(col("ex_status") === "exact_new",
+          coalesce(col("hamming"), lit(-1L)))
+          .otherwise(lit(-1L)).as("best_hamming"))
+    val newIds = decisions.filter(col("status") === "new")
+      .select(col("media_id"))
+    val newDigests = b.join(newIds, Seq("media_id")).select(col("h"))
+    val newFps = sFps
+      .join(newIds.select(col("media_id").as("id")), Seq("id"))
+      .select(col("id"), col("fp"))
+    (decisions, newDigests, newFps)
+  }
+
+  /** [[mediaGateWithState]] with history state derived in-line from a
+    * (media_id, content) history relation — the s12 batch twin's
+    * entry (the dedupGateOf shape). */
+  private[graft] def mediaGateOf(hist: DataFrame,
+                                 batch: DataFrame): DataFrame =
+    mediaGateWithState(
+      hist.select(md5(Multimodal.hexOf(col("content"))).as("h")),
+      hist.select(col("media_id").as("id"),
+        Multimodal.dhash(col("content")).as("fp")),
+      batch)._1
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_decode_meta" -> decodeMeta,
     "mm02_frames" -> frames,
@@ -305,6 +411,42 @@ object MultimodalPack extends QueryPack {
     * [[Multimodal.sceneContent]]). */
   private def sceneHexSql(enc: String): String =
     s"substr(md5(text || '|h$enc'), 1, 6) || md5(text) || md5(text || '|n$enc')"
+
+  /** The dHash replay as a CTE FRAGMENT over an existing CTE `src`
+    * with columns (media_id, hx): luminance grid from the scene digest
+    * + one-pixel encoder perturbation, 60 gradient-sign bits — defines
+    * `<pfx>2(media_id, dhash)`. Shared by the s12 media-gate oracle
+    * (history and probe sides); mm06/mm07 keep their original inline
+    * statements (same expressions). */
+  private[graft] def dhashCtes(src: String, pfx: String): String = s"""
+    |${pfx}0 AS (SELECT media_id, substr(hx, 7, 32) AS scene,
+    |    ((strpos('0123456789abcdef', substr(hx, 39, 1)) - 1) * 16
+    |     + (strpos('0123456789abcdef', substr(hx, 40, 1)) - 1)) % 66 AS p
+    |  FROM $src),
+    |${pfx}1 AS (SELECT media_id, list_transform(range(0, 66), i ->
+    |      (strpos('0123456789abcdef', substr(md5(scene || '|px' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 1 AS INT), 1)) - 1) * 16
+    |    + (strpos('0123456789abcdef', substr(md5(scene || '|px' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 2 AS INT), 1)) - 1)
+    |    + CASE WHEN i = p THEN 8 ELSE 0 END) AS lum
+    |  FROM ${pfx}0),
+    |${pfx}2 AS (SELECT media_id, CAST(list_sum(list_transform(range(0, 60), k ->
+    |      CASE WHEN lum[CAST((k // 10) * 11 + (k % 10) + 2 AS INT)]
+    |             > lum[CAST((k // 10) * 11 + (k % 10) + 1 AS INT)]
+    |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)
+    |    AS dhash
+    |  FROM ${pfx}1)""".stripMargin
+
+  /** The s12 fixture as a CTE — `gm(media_id, hx)`, mirroring
+    * [[gateMedia]]. */
+  private[graft] val gateMediaSql: String = s"""
+    |gm AS (
+    |  SELECT doc_id AS media_id, ${sceneHexSql("enc0")} AS hx FROM documents
+    |  UNION ALL SELECT doc_id + 10000000, ${sceneHexSql("enc1")}
+    |    FROM documents WHERE doc_id % 10 = 0
+    |  UNION ALL SELECT doc_id + 30000000, ${sceneHexSql("enc0")}
+    |    FROM documents WHERE doc_id < 50
+    |      OR (doc_id >= 300 AND doc_id < 350))""".stripMargin
 
   /** mm06 oracle: fixture, dHash (luminance grid from the scene digest
     * + one-pixel encoder perturbation, 60 gradient-sign bits), exact-

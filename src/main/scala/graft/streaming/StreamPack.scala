@@ -149,7 +149,34 @@ object StreamPack extends QueryPack {
         .unionByName(slice(2L, 200000L, Long.MaxValue)))
   }
 
+  /** s12: the MEDIA ingest gate's batch twin ([[graft.multimodal
+    * .MultimodalPack.mediaGateOf]] — exact content-digest screen
+    * composed with the perceptual dHash probe): history = gate-fixture
+    * media ids < 300, the arriving batch = everything else, so every
+    * verdict carries real rows — planted byte copies of history read
+    * 'dup_of_history', same-batch byte copies 'dup_in_batch', planted
+    * RE-ENCODES of history scenes (every container byte different —
+    * the class a digest gate cannot see) 'near_dup_of_history' with
+    * best_hist_id pointing at the historical original, the rest 'new'.
+    * The streaming form ([[Streams.mediaIngestGate]]) runs the
+    * identical relation per micro-batch against persisted digest +
+    * fingerprint state under the s09 generation/bloom lifecycle; the
+    * StreamingSpec pins stream ≡ batch across micro-batch boundaries
+    * and compaction. Equivalence scope is s09's: splits must not
+    * straddle a scene's duplicate class (the spec's fixture); under
+    * arbitrary splits the policies are decision-equivalent
+    * arrival-order first-wins. */
+  def mediaGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.MultimodalPack
+    val m = MultimodalPack.gateMedia(spark, dir)
+    MultimodalPack.mediaGateOf(
+        m.filter(col("media_id") < 300),
+        m.filter(col("media_id") >= 300))
+      .orderBy(col("media_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_media_gate" -> mediaGate,
     "s10_run_summary" -> runSummary,
     "s11_summary_trend" -> summaryTrend,
     "s09_dedup_gate" -> dedupGate,
@@ -227,7 +254,52 @@ object StreamPack extends QueryPack {
     |    + 0.3 * least(1.0, CAST(len(words) AS DOUBLE) / 100.0), 6) AS quality
     |  FROM qw)""".stripMargin
 
+  /** s12 oracle: fixture, exact digest screen, dHash replay of the
+    * history side and the digest-new batch side (the shared
+    * [[graft.multimodal.MultimodalPack.dhashCtes]] fragment), then
+    * the ALL-PAIRS popcount probe — bounded at oracle scale and
+    * pair-for-pair identical to the engine's banded probe by the
+    * pigeonhole argument (the mm06/d10 oracle pattern) — with best =
+    * min (hamming, hist_id). */
+  private val mediaGateSql: String = {
+    import graft.multimodal.MultimodalPack
+    s"""
+    |WITH ${MultimodalPack.gateMediaSql},
+    |ghist AS (SELECT media_id, hx FROM gm WHERE media_id < 300),
+    |gbat AS (SELECT media_id, hx, md5(hx) AS h FROM gm WHERE media_id >= 300),
+    |ghd AS (SELECT DISTINCT md5(hx) AS h FROM ghist),
+    |gfb AS (SELECT h, min(media_id) AS first_id FROM gbat GROUP BY h),
+    |gex AS (SELECT gbat.media_id, gbat.hx,
+    |    CASE WHEN ghd.h IS NOT NULL THEN 'dup_of_history'
+    |         WHEN gbat.media_id <> gfb.first_id THEN 'dup_in_batch'
+    |         ELSE 'exact_new' END AS ex_status
+    |  FROM gbat JOIN gfb ON gfb.h = gbat.h LEFT JOIN ghd ON ghd.h = gbat.h),
+    |gsv AS (SELECT media_id, hx FROM gex WHERE ex_status = 'exact_new'),
+    |${MultimodalPack.dhashCtes("ghist", "gh")},
+    |${MultimodalPack.dhashCtes("gsv", "gb")},
+    |gpr AS (SELECT b.media_id, h.media_id AS hist_id,
+    |    CAST(bit_count(xor(b.dhash, h.dhash)) AS BIGINT) AS hamming
+    |  FROM gb2 b JOIN gh2 h ON bit_count(xor(b.dhash, h.dhash)) <= 4),
+    |gbst AS (SELECT media_id, hist_id, hamming FROM (
+    |    SELECT media_id, hist_id, hamming, row_number() OVER (
+    |      PARTITION BY media_id ORDER BY hamming, hist_id) AS rn
+    |    FROM gpr) WHERE rn = 1)
+    |SELECT e.media_id,
+    |  CASE WHEN e.ex_status <> 'exact_new' THEN e.ex_status
+    |       WHEN b.hist_id IS NOT NULL THEN 'near_dup_of_history'
+    |       ELSE 'new' END AS status,
+    |  CAST(CASE WHEN e.ex_status = 'exact_new'
+    |       THEN coalesce(b.hist_id, -1) ELSE -1 END AS BIGINT)
+    |    AS best_hist_id,
+    |  CAST(CASE WHEN e.ex_status = 'exact_new'
+    |       THEN coalesce(b.hamming, -1) ELSE -1 END AS BIGINT)
+    |    AS best_hamming
+    |FROM gex e LEFT JOIN gbst b ON b.media_id = e.media_id
+    |ORDER BY e.media_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s12_media_gate" -> mediaGateSql,
     "s11_summary_trend" -> s"""
       |WITH $gateDecisionCtes,
       |$qualityCtes,

@@ -397,6 +397,7 @@ object Streams {
         lit(0).cast("int").as("band"), lit("").as("bandsig"))
       case "shingles" => z.select(col("id"), col("id").as("sh"))
       case "bloom"    => z.select(col("id").as("pos"))
+      case "fps"      => z.select(col("id"), col("id").as("fp"))
       case other      => throw new IllegalArgumentException(other)
     }
     base.withColumn("src_batch", lit(0L))
@@ -481,62 +482,14 @@ object Streams {
                                     opts: GateOptions = GateOptions()): Unit = {
     import graft.dedup.{Dedup, DedupPack}
     val docs = batch.select(col("doc_id"), col("text")).persist()
-    // state written by batches < batchId only (see scaladoc); the
-    // explicit schema matters: a batch that admitted ZERO docs leaves
-    // a part-file-less directory and inference over only such dirs
-    // would fail
-    def priorState(kind: String): DataFrame = {
-      val empty = emptyState(spark, kind)
-      val dirs = stateDirs(spark, histDir, kind, batchId)
-      val full =
-        if (dirs.isEmpty) empty
-        else spark.read.schema(empty.schema).parquet(dirs.map(_.toString): _*)
-      // a null src_batch is a LEGACY row (state written before the
-      // provenance column existed — the explicit-schema read fills
-      // null): retention must treat it as in-window, never as
-      // expired, or an upgrade with a TTL would silently drop the
-      // entire pre-upgrade history from the screens
-      val kept =
-        if (opts.retentionBatches > 0)
-          full.filter(col("src_batch").isNull ||
-            col("src_batch") >= batchId - opts.retentionBatches)
-        else full
-      kept.drop("src_batch")
-    }
+    def priorState(kind: String): DataFrame =
+      priorStateOf(spark, histDir, kind, batchId, opts)
     val digests = priorState("digests")
     val sigs = priorState("sigs")
     val shingles = priorState("shingles")
-    // the d13 Bloom front: the bits relation is bounded (≤2²⁰ position
-    // rows) no matter how large history grows, so the probe join's
-    // build side is CONSTANT in stream age; only bloom-positive
-    // digests reach the exact history digest set. No false negatives
-    // ⇒ identical decisions (spec-pinned). COVERAGE GUARD: the screen
-    // is sound only if the bloom state covers every digest-state dir —
-    // a history dir whose bloom tree starts mid-stream (pre-lifecycle
-    // layout, or a deleted bloom tree) would otherwise test older
-    // duplicates bloom-NEGATIVE and wrongly admit them. Dir-name-set
-    // equality is the cheap sound check because both kinds are
-    // written together per batch, and compaction REBUILDS the bloom
-    // generation from the digest generation (see [[compactState]]), so
-    // a non-covering dir degrades to the unscreened join and
-    // self-heals at its first compaction.
-    def bloomCovers = {
-      val b = stateDirs(spark, histDir, "bloom", batchId)
-      b.nonEmpty && b.map(_.getName).toSet ==
-        stateDirs(spark, histDir, "digests", batchId).map(_.getName).toSet
-    }
-    val digestsScreened =
-      if (!opts.bloomScreen || !bloomCovers) digests
-      else {
-        val bits = priorState("bloom").select(col("pos")).distinct()
-        val probe = docs
-          .select(Dedup.contentDigest(col("text")).as("h")).distinct()
-        val positive = Dedup.bloomMembers(
-            probe.select(col("h").as("id"), col("h").as("key")),
-            bits, BloomK, BloomBits)
-          .select(col("key").as("h")).distinct()
-        digests.join(positive, Seq("h"), "left_semi")
-      }
+    val digestsScreened = bloomScreenedDigests(spark, histDir, batchId,
+      opts, digests,
+      docs.select(Dedup.contentDigest(col("text")).as("h")).distinct())
     // the gate returns the admitted docs' derived state relations
     // from ITS OWN signature pass — the append below re-reads
     // cached frames, never recomputes minhashes or shingles
@@ -582,6 +535,179 @@ object Streams {
     ()
   }
 
+  /** State written by batches < batchId only (the exactly-once
+    * contract); the explicit schema matters: a batch that admitted
+    * ZERO docs leaves a part-file-less directory and inference over
+    * only such dirs would fail. A null src_batch is a LEGACY row
+    * (state written before the provenance column existed — the
+    * explicit-schema read fills null): retention must treat it as
+    * in-window, never as expired, or an upgrade with a TTL would
+    * silently drop the entire pre-upgrade history from the screens.
+    * Shared by the text gate ([[dedupGateBatch]]) and the media gate
+    * ([[mediaGateBatch]]) — same lifecycle, different state kinds. */
+  private def priorStateOf(spark: SparkSession, histDir: String,
+                           kind: String, batchId: Long,
+                           opts: GateOptions): DataFrame = {
+    val empty = emptyState(spark, kind)
+    val dirs = stateDirs(spark, histDir, kind, batchId)
+    val full =
+      if (dirs.isEmpty) empty
+      else spark.read.schema(empty.schema).parquet(dirs.map(_.toString): _*)
+    val kept =
+      if (opts.retentionBatches > 0)
+        full.filter(col("src_batch").isNull ||
+          col("src_batch") >= batchId - opts.retentionBatches)
+      else full
+    kept.drop("src_batch")
+  }
+
+  /** The d13 Bloom front over a gate's digest state: the bits relation
+    * is bounded (≤2²⁰ position rows) no matter how large history
+    * grows, so the probe join's build side is CONSTANT in stream age;
+    * only bloom-positive digests reach the exact history digest set.
+    * No false negatives ⇒ identical decisions (spec-pinned).
+    * COVERAGE GUARD: the screen is sound only if the bloom state
+    * covers every digest-state dir — a history dir whose bloom tree
+    * starts mid-stream (pre-lifecycle layout, or a deleted bloom tree)
+    * would otherwise test older duplicates bloom-NEGATIVE and wrongly
+    * admit them. Dir-name-set equality is the cheap sound check
+    * because both kinds are written together per batch, and compaction
+    * REBUILDS the bloom generation from the digest generation (see
+    * [[compactState]]), so a non-covering dir degrades to the
+    * unscreened join and self-heals at its first compaction. */
+  private def bloomScreenedDigests(spark: SparkSession, histDir: String,
+                                   batchId: Long, opts: GateOptions,
+                                   digests: DataFrame,
+                                   probeDigests: DataFrame): DataFrame = {
+    def bloomCovers = {
+      val b = stateDirs(spark, histDir, "bloom", batchId)
+      b.nonEmpty && b.map(_.getName).toSet ==
+        stateDirs(spark, histDir, "digests", batchId).map(_.getName).toSet
+    }
+    if (!opts.bloomScreen || !bloomCovers) digests
+    else {
+      val bits = priorStateOf(spark, histDir, "bloom", batchId, opts)
+        .select(col("pos")).distinct()
+      val positive = graft.dedup.Dedup.bloomMembers(
+          probeDigests.select(col("h").as("id"), col("h").as("key")),
+          bits, BloomK, BloomBits)
+        .select(col("key").as("h")).distinct()
+      digests.join(positive, Seq("h"), "left_semi")
+    }
+  }
+
+  /** PERCEPTUAL-DEDUP INGEST GATE for MEDIA — the continuous-ingest
+    * composition the mm06/mm07 batch miners point at (the r13 verdict's
+    * top item): a watched folder of (media_id, content) rows is
+    * screened per micro-batch by [[graft.multimodal.MultimodalPack
+    * .mediaGateWithState]] — exact content digest first (a byte-
+    * identical re-upload reads dup_of_history / dup_in_batch), then
+    * the 60-bit perceptual dHash ([[graft.multimodal.Multimodal
+    * .dhash]], the FakeDecoder seam) probed against HISTORY
+    * fingerprint state through the banded Hamming join
+    * ([[graft.dedup.Dedup.hammingProbeBanded]]): a streamed image that
+    * is a RE-ENCODE or RESIZE of any historical image — every
+    * container byte different, digest useless — gates as
+    * near_dup_of_history, exactly as s09's MinHash screen does for
+    * near-duplicate text.
+    *
+    * The state lifecycle is the s09 machinery verbatim, with kinds
+    * (digests, fps, bloom): per-batchId overwrite subdirs + read-below
+    * exactly-once, the Bloom front over the digest kind, generation
+    * compaction, retention TTL, `_SUCCESS`-gated folds and sweeps.
+    * Per-batch cost is the batch's own digest+dHash pass plus
+    * candidate-bounded band joins — history content is never
+    * re-decoded and history fingerprints never recomputed (the d19
+    * incremental shape, fingerprint edition).
+    *
+    * Fuzzy scope matches the text gate: the perceptual screen runs
+    * against HISTORY only — two non-identical re-encodes of the same
+    * scene arriving in ONE batch both admit (and both enter the
+    * fingerprint state); exact duplicates never leak (the digest
+    * screen is within-batch). Labels are arrival-order first-wins,
+    * the s09 equivalence scope. */
+  def mediaIngestGate(spark: SparkSession, watchDir: String,
+                      schema: StructType, outDir: String, histDir: String,
+                      maxFilesPerTrigger: Int = 10,
+                      opts: GateOptions = GateOptions())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    watchedFolder(spark, watchDir, schema, maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mediaGateBatch(spark, batch.toDF(), batchId, outDir, histDir, opts)
+      }
+      .option("checkpointLocation", histDir + "_ckpt")
+      .start()
+
+  /** ONE micro-batch of the media gate — the foreachBatch body of
+    * [[mediaIngestGate]], factored out like [[dedupGateBatch]] so the
+    * specs and scale probes can drive long batch sequences directly. */
+  private[graft] def mediaGateBatch(spark: SparkSession, batch: DataFrame,
+                                    batchId: Long, outDir: String,
+                                    histDir: String,
+                                    opts: GateOptions = GateOptions()): Unit = {
+    val media = batch.select(col("media_id"), col("content")).persist()
+    val digests = priorStateOf(spark, histDir, "digests", batchId, opts)
+    val fps = priorStateOf(spark, histDir, "fps", batchId, opts)
+    val digestsScreened = bloomScreenedDigests(spark, histDir, batchId,
+      opts, digests,
+      media.select(md5(graft.multimodal.Multimodal.hexOf(col("content")))
+        .as("h")).distinct())
+    val (decisionsRaw, newDigests, newFps) =
+      graft.multimodal.MultimodalPack.mediaGateWithState(
+        digestsScreened, fps, media)
+    val decisions = decisionsRaw.persist()
+    decisions.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    assertCommitted(spark, s"$outDir/batch=$batchId")
+    def writeState(kind: String, df: DataFrame): Unit = {
+      df.withColumn("src_batch", lit(batchId)).coalesce(4)
+        .write.mode("overwrite").parquet(s"$histDir/$kind/batch=$batchId")
+      assertCommitted(spark, s"$histDir/$kind/batch=$batchId")
+    }
+    writeState("digests", newDigests)
+    writeState("fps", newFps)
+    writeState("bloom",
+      graft.dedup.Dedup.bloomBits(newDigests.select(col("h").as("key")),
+        BloomK, BloomBits).select(col("pos")))
+    decisions.unpersist()
+    media.unpersist()
+    if (opts.compactEvery > 0 && batchId > 0 &&
+        batchId % opts.compactEvery == 0) {
+      compactState(spark, histDir, batchId, opts,
+        kinds = Seq("digests", "fps", "bloom"))
+      if (opts.compactLogs)
+        compactLog(spark, outDir, batchId, mediaDecisionsLogSchema(spark),
+          stampSrcBatch = true, opts.targetGenBytes)
+    }
+    graft.core.Caches.releaseTransients()
+    ()
+  }
+
+  /** The media gate's decision-log schema (reader contract for
+    * [[mediaIngestGate]]'s `outDir` — the decisions analog of
+    * [[decisionsLogSchema]]). */
+  private def mediaDecisionsLogSchema(spark: SparkSession)
+      : org.apache.spark.sql.types.StructType =
+    spark.range(0).select(col("id").as("media_id"), lit("").as("status"),
+      col("id").as("best_hist_id"), col("id").as("best_hamming"),
+      col("id").as("src_batch")).schema
+
+  /** The full decision history of a [[mediaIngestGate]] run — resolves
+    * generation or live layout exactly like [[readDecisionsLog]]. */
+  def readMediaDecisionsLog(spark: SparkSession, outDir: String): DataFrame = {
+    val schema = mediaDecisionsLogSchema(spark)
+    val dirs = resolveGenDirs(spark, outDir, Long.MaxValue)
+    if (dirs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else dirs.map { p =>
+      val df = spark.read.schema(schema).parquet(p.toString)
+      idOf(p.getName, "batch=")
+        .fold(df)(id => df.withColumn("src_batch",
+          coalesce(col("src_batch"), lit(id))))
+    }.reduce(_ unionByName _)
+  }
+
   /** Fold all committed state (ids ≤ batchId−1) of every kind into
     * `gen=<batchId−1>` and delete the covered subdirs. Idempotent
     * under foreachBatch replay: an already-committed target is never
@@ -593,11 +719,14 @@ object Streams {
     * tightest cut any future reader will apply is tighter still) are
     * physically dropped here. */
   private[graft] def compactState(spark: SparkSession, histDir: String,
-                                  batchId: Long, opts: GateOptions): Unit = {
+                                  batchId: Long, opts: GateOptions,
+                                  kinds: Seq[String] =
+                                    Seq("digests", "sigs", "shingles",
+                                      "bloom")): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     val genId = batchId - 1
     // digests FIRST: the bloom generation below derives from it
-    Seq("digests", "sigs", "shingles", "bloom").foreach { kind =>
+    kinds.foreach { kind =>
       val root = new org.apache.hadoop.fs.Path(s"$histDir/$kind")
       val fs = root.getFileSystem(conf)
       if (fs.exists(root)) {

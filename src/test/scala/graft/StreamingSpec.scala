@@ -774,6 +774,133 @@ class StreamDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(ids.contains(28L), "on-time batch-B document must route")
   }
 
+  test("media ingest gate: a streamed re-encode of ANY historical " +
+      "image gates as a near-dup; stream equals the s12 batch twin") {
+    import org.apache.spark.sql.types._
+    val m = graft.multimodal.MultimodalPack.gateMedia(spark, sf)
+    val watchDir = Files.createTempDirectory("graft_mgate_in").toString
+    val outDir = Files.createTempDirectory("graft_mgate_out").toString +
+      "/decisions"
+    val histDir = Files.createTempDirectory("graft_mgate_hist").toString +
+      "/hist"
+    // history first, then the batch side over TWO further files split
+    // by BASE scene id — no scene's duplicate class straddles a
+    // micro-batch boundary (the s09 equivalence scope), while the
+    // perceptual matches genuinely cross batches: file 2's re-encodes
+    // pair with file 1's history state
+    val baseId = pmod(col("media_id"), lit(10000000L))
+    m.filter(col("media_id") < 300).coalesce(1)
+      .write.mode("overwrite").parquet(watchDir)
+    m.filter(col("media_id") >= 300 && baseId < 400).coalesce(1)
+      .write.mode("append").parquet(watchDir)
+    m.filter(col("media_id") >= 300 && baseId >= 400).coalesce(1)
+      .write.mode("append").parquet(watchDir)
+    val schema = StructType(Seq(StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val q = Streams.mediaIngestGate(spark, watchDir, schema, outDir, histDir,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val dec = Streams.readMediaDecisionsLog(spark, outDir)
+    // batch 0 = history against EMPTY state: all distinct scenes admit
+    assert(dec.filter(col("media_id") < 300 &&
+      col("status") === "new").count() == 300)
+    // the batch side's decisions equal the one-shot batch twin (s12)
+    val streamed = dec.filter(col("media_id") >= 300)
+      .select(col("media_id"), col("status"), col("best_hist_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.streaming.StreamPack.mediaGate(spark, sf)
+      .select(col("media_id"), col("status"), col("best_hist_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"stream ${streamed.size} vs batch ${batch.size}")
+    // the headline capability: every planted re-encode of a HISTORICAL
+    // image (base < 300, doc_id % 10 == 0) — zero shared container
+    // bytes, so the digest tier is blind to it — gates as a near-dup
+    // pointing at its historical original
+    val nearByBase = streamed
+      .collect { case (id, st, best) if id >= 10000000L && id < 20000000L &&
+        id - 10000000L < 300 => (id - 10000000L, st, best) }
+    assert(nearByBase.nonEmpty)
+    nearByBase.foreach { case (base, st, best) =>
+      assert(st == "near_dup_of_history" && best == base,
+        s"re-encode of historical $base read ($st, $best)")
+    }
+    // fingerprint state holds exactly the admitted media's dHashes
+    val admitted = dec.filter(col("status") === "new")
+      .select(col("media_id")).collect().map(_.getLong(0)).toSet
+    val fpIds = spark.read.option("recursiveFileLookup", "true")
+      .parquet(histDir + "/fps")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(fpIds == admitted,
+      s"fps table ${fpIds.size} ids vs ${admitted.size} admitted")
+  }
+
+  test("media gate lifecycle: compaction + bloom keep decisions " +
+      "bit-identical with state dirs bounded") {
+    import graft.multimodal.Multimodal
+    // batch i: 12 fresh scenes, plus (from batch 1 on) a RE-ENCODE of
+    // the previous batch's scene 0, an exact byte copy of the previous
+    // batch's scene 1, and a same-batch byte-copy pair — every verdict
+    // exercised against PERSISTED state on every batch
+    def media(i: Int): org.apache.spark.sql.DataFrame = {
+      def scenes(enc: String, ids: Seq[(Long, Int, Int)]) = {
+        import spark.implicits._
+        ids.toDF("media_id", "b", "j")
+          .select(col("media_id"),
+            Multimodal.sceneContent(
+              concat(lit("s"), col("b"), lit("_"), col("j")), enc)
+              .as("content"))
+      }
+      val fresh = scenes("enc0",
+        (0 until 12).map(j => (i * 1000L + j, i, j)))
+      if (i == 0) fresh
+      else fresh
+        .unionByName(scenes("enc1", Seq((i * 1000L + 100, i - 1, 0))))
+        .unionByName(scenes("enc0", Seq((i * 1000L + 101, i - 1, 1))))
+        .unionByName(scenes("enc0",
+          Seq((i * 1000L + 102, i, 50), (i * 1000L + 103, i, 50))))
+    }
+    def runAll(tag: String, opts: Streams.GateOptions): (String, String) = {
+      val outDir = Files.createTempDirectory(s"graft_mgl_${tag}_o")
+        .toString + "/decisions"
+      val histDir = Files.createTempDirectory(s"graft_mgl_${tag}_h")
+        .toString + "/hist"
+      (0 until 8).foreach(i =>
+        Streams.mediaGateBatch(spark, media(i), i.toLong, outDir, histDir,
+          opts))
+      (outDir, histDir)
+    }
+    val (outA, _) = runAll("base",
+      Streams.GateOptions(compactEvery = 0, bloomScreen = false))
+    val (outB, histB) = runAll("life",
+      Streams.GateOptions(compactEvery = 3, bloomScreen = true,
+        compactLogs = true))
+    def decs(out: String) = Streams.readMediaDecisionsLog(spark, out)
+      .select(col("media_id"), col("status"), col("best_hist_id"),
+        col("best_hamming"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val a = decs(outA)
+    assert(a == decs(outB), "lifecycle options changed media-gate decisions")
+    // every verdict class really occurred, against persisted state
+    val byStatus = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byStatus.getOrElse("near_dup_of_history", 0) == 7 &&
+      byStatus.getOrElse("dup_of_history", 0) == 7 &&
+      byStatus.getOrElse("dup_in_batch", 0) == 7, s"got $byStatus")
+    // re-encodes point at the PREVIOUS batch's admitted original
+    a.collect { case (id, "near_dup_of_history", best, h) => (id, best, h) }
+      .foreach { case (id, best, h) =>
+        assert(best == id - 1000L - 100L && h <= 4L,
+          s"re-encode $id matched $best (hamming $h)")
+      }
+    // compacted state listing is bounded; all three kinds compact
+    for (kind <- Seq("digests", "fps", "bloom")) {
+      val nB = Option(new java.io.File(s"$histB/$kind").listFiles())
+        .fold(0)(_.count(_.isDirectory))
+      assert(nB <= 4, s"$kind: $nB state dirs under compactEvery=3")
+    }
+  }
+
   test("streaming dropDuplicates removes replayed events exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dupstream").toString
     val events = graft.core.Tables(spark, sf).events.limit(500)

@@ -528,4 +528,63 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
       nCentroids = math.ceil(math.sqrt(full.toDouble)).toInt))
     assert(auto == pinned, "default nCentroids must equal explicit ceil(sqrt(n))")
   }
+
+  test("incremental IVF maintenance: appends assign to frozen centroids " +
+      "and searches equal a from-scratch assignment pass") {
+    import graft.vector.KnnJoin
+    val e = graft.core.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val base = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val appended = e.filter(pmod(col("vec_id"), lit(5L)) === 0)
+    val cents = KnnJoin.ivfCentroids(spark, base, 16, "42", 2)
+    // the maintained assignment relation: stored base rows + the
+    // incremental append — NO Lloyd retrain, no old row touched
+    val maintained = KnnJoin.incrementalAssign(spark, base, cents)
+      .unionByName(KnnJoin.incrementalAssign(spark, appended, cents))
+    // a from-scratch assignment pass over the union, same centroids
+    val rebuilt = KnnJoin.incrementalAssign(spark, e, cents)
+    def asg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(asg(maintained) == asg(rebuilt),
+      "maintained assignment must equal the rebuilt pass")
+    // and the SEARCH over the maintained index is bitwise the rebuilt
+    // index's search — the user-facing form of the equality
+    def hits(a: org.apache.spark.sql.DataFrame) =
+      KnnJoin.approxIvf(spark, e, e, 3, centroidsOpt = Some(cents),
+          assignmentsOpt = Some(a))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    assert(hits(maintained) == hits(rebuilt),
+      "search over the maintained index must equal the rebuilt index")
+  }
+
+  test("centroid drift audit: planted drift fires the one-sided " +
+      "trigger; same-distribution appends stay quiet") {
+    import graft.vector.KnnJoin
+    val e = graft.core.Tables(spark, sf).embeddings
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val base = e.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val cents = KnnJoin.ivfCentroids(spark, base, 16, "42", 2)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      KnnJoin.assignmentResiduals(spark, df, cents)
+        .select(col("residual"))
+    val build = res(base)
+    // undrifted: the held-out same-distribution slice — quiet
+    val quiet = KnnJoin.centroidDriftAudit(build,
+      res(e.filter(pmod(col("vec_id"), lit(5L)) === 0))).collect()(0)
+    assert(quiet.getString(0) == "residual_p95" &&
+      quiet.getLong(6) == 0L, s"undrifted append fired: $quiet")
+    // planted drift: every appended vector shifted by a constant
+    // offset — residuals to the frozen centroids grow past the
+    // published p95 by more than both sketches' error bounds
+    val drifted = e.filter(pmod(col("vec_id"), lit(5L)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x + lit(3.0)).as("embedding"))
+    val fired = KnnJoin.centroidDriftAudit(build, res(drifted)).collect()(0)
+    assert(fired.getLong(6) == 1L, s"planted drift did not fire: $fired")
+    assert(fired.getDouble(2) > fired.getDouble(4),
+      "drifted live p95 must exceed the published p95")
+  }
 }

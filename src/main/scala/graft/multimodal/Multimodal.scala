@@ -121,6 +121,58 @@ object Multimodal {
       }
     }
 
+  /** Chroma grid of the decoded audio window: 12 pitch-class bins ×
+    * 6 time frames — the normalized energy surface a chromaprint-style
+    * pipeline reduces every window to, so fingerprints are comparable
+    * across codecs/bitrates by construction. */
+  val ChromaBins = 12
+  val ChromaFrames = 6
+  val ChromaSamples: Int = ChromaBins * ChromaFrames // 72
+  /** Fingerprint width: one bit per temporally adjacent energy pair
+    * within a bin (the chromaprint gradient family's simplest filter:
+    * sign of the energy difference across time). */
+  val ChromaBits: Int = ChromaBins * (ChromaFrames - 1) // 60
+
+  /** 60-bit chromaprint-style audio fingerprint over [[sceneContent]]
+    * bytes — the third consumer of the banded Hamming machinery
+    * (image mm06 dHash, video mm07 per-frame dHash, audio THIS): per
+    * window, the sign of the chroma-energy gradient across time,
+    * bit k (bin k/5, step k%5) set when energy[bin][t+1] >
+    * energy[bin][t]. As with [[dhash]], the decode is the FakeDecoder
+    * seam: energy i is byte i%16 of md5(sceneHex || "|ch" || i/16) —
+    * a function of the latent SCENE only, so any encoding of the same
+    * audio normalizes to the same surface — plus a one-sample +8
+    * perturbation keyed on the encoder padding (the lossy-codec
+    * artifact). One perturbed energy appears in at most 2 temporal
+    * comparisons, so two encodings of one window sit within Hamming
+    * ≤ 4 while unrelated windows are ~30 bits apart — the maxDist = 4
+    * band join separates them with no tuning. The 5 block md5s stage
+    * through one let (the dhash CSE lesson — codegen does not fully
+    * collapse repeated md5s). */
+  def chromaHash(content: Column): Column =
+    graft.core.Expr.let(hexOf(content)) { hx =>
+      val scene = substring(hx, 7, 32)
+      val perturb =
+        conv(substring(hx, 39, 2), 16, 10).cast("int") % ChromaSamples
+      val blocks = array((0 until (ChromaSamples + 15) / 16).map(b =>
+        md5(concat(scene, lit(s"|ch$b")))): _*)
+      graft.core.Expr.let(blocks) { bl =>
+        val energyArr = array((0 until ChromaSamples).map { i =>
+          conv(substring(element_at(bl, i / 16 + 1),
+            (i % 16) * 2 + 1, 2), 16, 10).cast("int") +
+            when(perturb === i, 8).otherwise(0)
+        }: _*)
+        graft.core.Expr.let(energyArr) { en =>
+          (0 until ChromaBits).map { k =>
+            val idx = (k / (ChromaFrames - 1)) * ChromaFrames +
+              k % (ChromaFrames - 1)
+            when(element_at(en, idx + 2) > element_at(en, idx + 1),
+              lit(1L << k)).otherwise(0L)
+          }.reduce(_ + _)
+        }
+      }
+    }
+
   /** Frame sampling: view content as 4-byte frames, keep every
     * `step`-th; returns array<struct<frame_idx,frame_val>> for a
     * posexplode — 1→N with no shuffle. */

@@ -282,6 +282,51 @@ object MultimodalPack extends QueryPack {
         col("n_matched"), col("max_hamming"))
   }
 
+  /** The mm08 fixture: one synthetic AUDIO per document — 6 one-second
+    * windows, window j's latent scene keyed on (text, j) through the
+    * mm06 scene layout with audio tags — plus, for every doc_id % 10
+    * == 7, a planted re-encoded TRIM of windows 2..4 as its own
+    * 3-window audio (id + 10M): same latent windows, different codec
+    * tag, so every container byte differs while the decoded chroma
+    * surfaces nearly match window-for-window. */
+  private[graft] def audioWindows(spark: SparkSession,
+                                  dir: String): DataFrame = {
+    val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    def enc(idOff: Long, tag: String, n: Int, seedOff: Int,
+            pred: org.apache.spark.sql.Column): DataFrame =
+      docs.filter(pred)
+        .select((col("doc_id") + idOff).as("audio_id"),
+          posexplode(array((0 until n).map(j =>
+            Multimodal.sceneContent(
+              concat(col("text"), lit("|w"), lit((j + seedOff).toString)),
+              tag)): _*)).as(Seq("window_idx", "content")))
+        .select(col("audio_id"),
+          col("window_idx").cast("long").as("window_idx"), col("content"))
+    enc(0L, "a0", 6, 0, lit(true))
+      .unionByName(enc(10000000L, "a1", 3, 2, col("doc_id") % 10 === 7))
+  }
+
+  /** mm08: AUDIO clip containment — the chromaprint modality of the
+    * mm07 machinery, completing the near-dup identity matrix (image
+    * mm06, video mm07, audio THIS): a re-encoded or trimmed audio
+    * clip shares no container bytes and no overall length with its
+    * source, but its decoded chroma windows pair off one-to-one with
+    * a contiguous window range. Per-window chromaprint-style
+    * fingerprint ([[Multimodal.chromaHash]] — gradient signs over the
+    * 12×6 chroma grid, the FakeDecoder seam), then the shared
+    * [[clipContainment]] body: exact-collapse at the window level,
+    * the banded Hamming join with the same-audio exclusion in-join,
+    * offset-consistent containment as a plain aggregation. */
+  def audioClipDups(spark: SparkSession, dir: String): DataFrame =
+    clipContainment(
+        audioWindows(spark, dir).select(col("audio_id").as("item_id"),
+          col("window_idx").as("unit_idx"), col("content")),
+        Multimodal.chromaHash, maxDist = 4, bits = Multimodal.ChromaBits)
+      .select(col("a_item").as("a_aid"), col("b_item").as("b_aid"),
+        col("unit_offset").as("window_offset"),
+        col("n_matched"), col("max_hamming"))
+      .orderBy(col("a_aid"), col("b_aid"), col("window_offset"))
+
   /** The s12 media-gate fixture: every document's base encoding, a
     * planted RE-ENCODE of each doc_id % 10 == 0 (same latent scene,
     * every container byte different — the duplicate class only the
@@ -395,7 +440,8 @@ object MultimodalPack extends QueryPack {
     "mm04_shard_plan" -> ((s, d) => shardPlan(s, d)),
     "mm05_sharded_roundtrip" -> shardedRoundtrip,
     "mm06_image_near_dups" -> imageNearDups,
-    "mm07_video_clip_dups" -> videoClipDups)
+    "mm07_video_clip_dups" -> videoClipDups,
+    "mm08_audio_clip_dups" -> audioClipDups)
 
   /** 64-byte synthetic content as a 128-char hex string. */
   private val hexCte = """
@@ -539,7 +585,62 @@ object MultimodalPack extends QueryPack {
     |WHERE g.n_matched = least(na.nf, nb.nf)
     |ORDER BY a_vid, b_vid, frame_offset""".stripMargin
 
+  /** mm08 oracle: fixture, per-window chromaprint replay (72 chroma
+    * energies from the scene digest + one-sample encoder perturbation,
+    * 60 temporal-gradient-sign bits over the 12×6 grid), exact-collapse
+    * to content representatives, ALL-PAIRS popcount (bounded at oracle
+    * scale, pair-for-pair equal to the engine's banded join by the
+    * pigeonhole argument), then the offset-consistent containment
+    * rollup — the mm07 oracle with the audio grid. */
+  private val audioClipDupsSql = s"""
+    |WITH ad AS (
+    |  SELECT doc_id AS aid, unnest(range(0, 6)) AS j, text,
+    |    'a0' AS enc, 0 AS soff
+    |  FROM documents
+    |  UNION ALL
+    |  SELECT doc_id + 10000000, unnest(range(0, 3)), text, 'a1', 2
+    |  FROM documents WHERE doc_id % 10 = 7),
+    |aw AS (
+    |  SELECT aid, CAST(j AS BIGINT) AS widx,
+    |    substr(md5(text || '|w' || CAST(j + soff AS VARCHAR) || '|h' || enc), 1, 6)
+    |      || md5(text || '|w' || CAST(j + soff AS VARCHAR))
+    |      || md5(text || '|w' || CAST(j + soff AS VARCHAR) || '|n' || enc) AS hx
+    |  FROM ad),
+    |nwr AS (SELECT aid, count(*) AS nw FROM aw GROUP BY aid),
+    |arep AS (SELECT min(aid * 100 + widx) AS cid FROM aw GROUP BY md5(hx)),
+    |as0 AS (SELECT aw.aid * 100 + aw.widx AS cid, substr(hx, 7, 32) AS scene,
+    |    ((strpos('0123456789abcdef', substr(hx, 39, 1)) - 1) * 16
+    |     + (strpos('0123456789abcdef', substr(hx, 40, 1)) - 1)) % 72 AS p
+    |  FROM aw JOIN arep ON arep.cid = aw.aid * 100 + aw.widx),
+    |as1 AS (SELECT cid, list_transform(range(0, 72), i ->
+    |      (strpos('0123456789abcdef', substr(md5(scene || '|ch' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 1 AS INT), 1)) - 1) * 16
+    |    + (strpos('0123456789abcdef', substr(md5(scene || '|ch' || CAST(i // 16 AS VARCHAR)),
+    |         CAST((i % 16) * 2 + 2 AS INT), 1)) - 1)
+    |    + CASE WHEN i = p THEN 8 ELSE 0 END) AS en
+    |  FROM as0),
+    |as2 AS (SELECT cid, CAST(list_sum(list_transform(range(0, 60), k ->
+    |      CASE WHEN en[CAST((k // 5) * 6 + (k % 5) + 2 AS INT)]
+    |             > en[CAST((k // 5) * 6 + (k % 5) + 1 AS INT)]
+    |      THEN (CAST(1 AS BIGINT) << CAST(k AS INT)) ELSE 0 END)) AS BIGINT)
+    |    AS fp
+    |  FROM as1),
+    |apr AS (SELECT a.cid // 100 AS a_aid, a.cid % 100 AS wa,
+    |    b.cid // 100 AS b_aid, b.cid % 100 AS wb,
+    |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    |  FROM as2 a JOIN as2 b ON a.cid < b.cid
+    |  WHERE bit_count(xor(a.fp, b.fp)) <= 4),
+    |agrp AS (SELECT a_aid, b_aid, wa - wb AS window_offset,
+    |    count(*) AS n_matched, max(hamming) AS max_hamming
+    |  FROM apr WHERE a_aid <> b_aid GROUP BY 1, 2, 3)
+    |SELECT g.a_aid, g.b_aid, CAST(g.window_offset AS BIGINT) AS window_offset,
+    |  g.n_matched, g.max_hamming
+    |FROM agrp g JOIN nwr na ON na.aid = g.a_aid JOIN nwr nb ON nb.aid = g.b_aid
+    |WHERE g.n_matched = least(na.nw, nb.nw)
+    |ORDER BY a_aid, b_aid, window_offset""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "mm08_audio_clip_dups" -> audioClipDupsSql,
     "mm06_image_near_dups" -> imageNearDupsSql,
     "mm07_video_clip_dups" -> videoClipDupsSql,
     "mm01_decode_meta" -> s"""

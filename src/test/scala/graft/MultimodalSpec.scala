@@ -179,6 +179,39 @@ class MultimodalSpec extends AnyFunSuite {
     rows.foreach(t => assert(t._5 <= 4L, s"row $t over budget"))
   }
 
+  test("mm08: per-window chromaprint + offset-consistent rollup finds " +
+      "the planted re-encoded audio trim") {
+    import graft.multimodal.Multimodal
+    val aw = MultimodalPack.audioWindows(spark, sf)
+    // the trim's windows share NO content digest with the source's
+    // (different codec tag -> every container byte differs) and the
+    // two audios differ in length (3 vs 6 windows)
+    val d = aw.filter(col("audio_id").isin(7L, 10000007L))
+      .select(col("audio_id"), md5(Multimodal.hexOf(col("content"))).as("d"))
+      .collect()
+    val baseD = d.filter(_.getLong(0) == 7L).map(_.getString(1)).toSet
+    val clipD = d.filter(_.getLong(0) == 10000007L).map(_.getString(1)).toSet
+    assert(baseD.size == 6 && clipD.size == 3)
+    assert(baseD.intersect(clipD).isEmpty,
+      "trim windows must not be exact-digest duplicates of the source")
+    // the rollup returns EXACTLY the planted containments: every trim
+    // matched to its source at the planted temporal offset (trim
+    // window j ≡ source window j+2), all 3 trim windows covered
+    val rows = MultimodalPack.audioClipDups(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val docs = graft.core.Tables(spark, sf).documents
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val planted = docs.filter(_ % 10 == 7)
+      .map(i => (i, i + 10000000L, 2L, 3L)).toSet
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSet == planted,
+      s"expected exactly the ${planted.size} planted containments, " +
+        s"got ${rows.length}")
+    // one perturbed chroma sample per encoding flips at most 2
+    // gradient bits -> matched windows sit within the Hamming budget
+    rows.foreach(t => assert(t._5 <= 4L, s"row $t over budget"))
+  }
+
   /** [[graft.multimodal.Multimodal.sceneContent]] with a COLUMN
     * encoder tag — the fixtures below vary the encoder per row. */
   private def sceneContentCol(text: org.apache.spark.sql.Column,

@@ -390,6 +390,52 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe pairpred` — the in-join pair-predicate
+    // pushdown (r13 verdict #3): a DENSE-SAMPLED video corpus (every
+    // intra-video frame pair is a true near-dup — temporal
+    // self-similarity, the real-video worst case) mined with the
+    // same-item exclusion INSIDE the band join vs filtered after the
+    // cross-band dedup aggregation. The drop is the intra-item pair
+    // mass that no longer transits the dedup shuffle — per-video
+    // QUADRATIC in frames-per-video (V·C(F,2) here), while the kept
+    // cross-item pairs are the planted clips only.
+    if (args.contains("pairpred")) {
+      import graft.multimodal.Multimodal
+      val nV = 60L
+      val nF = 80L
+      // per-video scene, per-frame encoder: every frame of a video is
+      // a near-identical re-encode of the same latent scene
+      def content(text: org.apache.spark.sql.Column,
+                  enc: org.apache.spark.sql.Column) =
+        unhex(concat(substring(md5(concat(text, lit("|h"), enc)), 1, 6),
+          md5(text), md5(concat(text, lit("|n"), enc))))
+      val frames = spark.range(nV).select(col("id").as("v"))
+        .crossJoin(spark.range(nF).select(col("id").as("f")))
+        .select(struct(col("v").as("item"), col("f").as("unit")).as("id"),
+          Multimodal.dhash(content(concat(lit("pv"), col("v")),
+            concat(lit("e"), col("f")))).as("simhash"))
+        .persist()
+      val n = frames.count()
+      val pred = col("a_id.item") =!= col("b_id.item")
+      for (rep <- 1 to 2) {
+        var kept = 0L
+        time(s"pairpred n=$n in-join exclusion rep=$rep") {
+          kept = Dedup.hammingPairsBandedOf(frames, 4,
+            Multimodal.DhashBits, pairPredicate = pred).count()
+        }
+        var unf = 0L
+        time(s"pairpred n=$n post-filter rep=$rep") {
+          unf = Dedup.hammingPairsBandedOf(frames, 4,
+            Multimodal.DhashBits).count()
+        }
+        println(s"PAIRPRED rep=$rep cross_pairs=$kept all_pairs=$unf " +
+          s"intra_dropped_before_shuffle=${unf - kept}")
+      }
+      frames.unpersist()
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe logread` — the compacted-log READER
     // win (r12 verdict #7): `readDecisionsLog` over a raw `batch=*`
     // tree of a few hundred directories vs the SAME rows folded into

@@ -84,6 +84,74 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe qreps <q1,q2,...> <n>` — run the named
+    // declared queries n times each in ONE JVM (JIT-warm after rep 1)
+    // and print every rep: min-over-reps is the noise-robust A/B
+    // statistic on a shared box whose load swings 2-3x mid-run.
+    if (args.contains("qreps")) {
+      val i = args.indexOf("qreps")
+      val names = args(i + 1).split(",").toSeq
+      val n = args.lift(i + 2).map(_.toInt).getOrElse(3)
+      for (r <- 1 to n; name <- names) {
+        core.Artifacts.dropScope(name)
+        core.Artifacts.setScope(name)
+        val t0 = System.nanoTime()
+        noop(SparkEntry.queries(name)(spark, sfDir))
+        println(f"QREP $name $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        core.Caches.releaseTransients()
+      }
+      core.Artifacts.setScope("")
+      spark.stop()
+      return
+    }
+
+    // `runMain graft.PerfProbe s12split` — s12 cost attribution:
+    // driver planning (force the executed plan, no job) vs execution,
+    // per gate stage, cold and warm. The event log showed a ~7 s
+    // zero-stage window before s12's first task plus 3-task compute
+    // stages on a 32-core box; this separates the two.
+    if (args.contains("s12split")) {
+      import graft.multimodal.{Multimodal, MultimodalPack}
+      def plan(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        df.queryExecution.executedPlan
+        println(f"PROBE plan $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      val m = MultimodalPack.gateMedia(spark, sfDir)
+      time("gateMedia count") { m.count(); () }
+      val hist = m.filter(col("media_id") < 300)
+      val batch = m.filter(col("media_id") >= 300)
+      val digests = batch.select(col("media_id"),
+        md5(Multimodal.hexOf(col("content"))).as("h"))
+      plan("digests")(digests)
+      time("digests exec 1") { noop(digests) }
+      time("digests exec 2") { noop(digests) }
+      val fps = batch.select(col("media_id"),
+        Multimodal.dhash(col("content")).as("fp"))
+      plan("dhash")(fps)
+      time("dhash exec 1") { noop(fps) }
+      time("dhash exec 2") { noop(fps) }
+      val fpsCut = batch.select(col("media_id"),
+        Multimodal.dhash(col("content")).as("fp")).localCheckpoint()
+      time("dhash localCheckpoint (eager)") { () }
+      val probeCut = graft.dedup.Dedup.hammingProbeBanded(
+        fpsCut.select(col("media_id").as("id"), col("fp").as("simhash")),
+        hist.select(col("media_id").as("id"),
+          Multimodal.dhash(col("content")).as("simhash")).localCheckpoint(),
+        maxDist = 4, bits = Multimodal.DhashBits)
+      time("banded probe over checkpointed fps") { noop(probeCut) }
+      for (r <- 1 to 3) {
+        val gate = MultimodalPack.mediaGateOf(hist, batch)
+        val t0 = System.nanoTime()
+        gate.queryExecution.executedPlan
+        println(f"PROBE plan full gate $r: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        time(s"full gate exec $r") { noop(gate) }
+        core.Caches.releaseTransients()
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe artwarm` — the mitigation experiment
     // for the artreps finding: does a cheap small-SF build pass
     // (compiling the same codegen classes + MLlib/regex loops) bring

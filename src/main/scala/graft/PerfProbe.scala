@@ -84,6 +84,28 @@ object PerfProbe {
       return
     }
 
+    // `runMain graft.PerfProbe explain <q1,q2,...> <outdir> <suffix>`
+    // — write each named query's .explain("formatted") to
+    // <outdir>/<name>_<suffix>.txt (the plans/r14 evidence files).
+    if (args.contains("explain")) {
+      val i = args.indexOf("explain")
+      val names = args(i + 1).split(",").toSeq
+      val outDir = args(i + 2)
+      val suffix = args(i + 3)
+      new java.io.File(outDir).mkdirs()
+      for (name <- names) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        println(s"EXPLAIN wrote $outDir/${name}_$suffix.txt")
+        core.Caches.releaseTransients()
+      }
+      spark.stop()
+      return
+    }
+
     // `runMain graft.PerfProbe qreps <q1,q2,...> <n>` — run the named
     // declared queries n times each in ONE JVM (JIT-warm after rep 1)
     // and print every rep: min-over-reps is the noise-robust A/B

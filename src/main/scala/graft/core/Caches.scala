@@ -58,5 +58,39 @@ object Caches {
       catch { case _: Throwable => () }
       ds = transients.poll()
     }
+    var r = cutReleases.poll()
+    while (r != null) {
+      try r()
+      catch { case _: Throwable => () }
+      r = cutReleases.poll()
+    }
+  }
+
+  private val cutReleases = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Materialize `df` NOW and truncate its lineage (localCheckpoint),
+    * tracking the checkpointed blocks for [[releaseTransients]].
+    *
+    * [[transient]] keeps the full logical plan under the cache: every
+    * downstream action re-canonicalizes and re-optimizes that tree for
+    * the cache lookup, which for expression-heavy relations (the
+    * 66-md5 perceptual dHash, banded-signature tables fanned into
+    * `maxDist+1` join branches) turns into SECONDS of single-threaded
+    * driver work per query — measured on s12: ~5 s to plan the gate
+    * and 6 parallel broadcast stages each re-walking the fingerprint
+    * tree (PerfProbe `s12split`). Cutting the lineage replaces all of
+    * it with a compact scan of the materialized rows.
+    *
+    * Use for relations that are (a) expensive to PLAN (huge expression
+    * trees), (b) consumed by several downstream branches, and (c)
+    * small enough to hold — fingerprint/signature tables, not raw
+    * corpus text. Eager: the cut runs the subquery at call time. */
+  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cp = df.localCheckpoint()
+    cutReleases.add(() => cp.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    })
+    cp
   }
 }

@@ -251,7 +251,11 @@ object MultimodalPack extends QueryPack {
     * keep-best discipline) exactly as d22 does for text. */
   private[graft] def clipContainment(units: DataFrame, fp: Column => Column,
                                      maxDist: Int, bits: Int): DataFrame = {
-    val u = graft.core.Caches.transient(units)
+    // cut + spread: the unit fan-out (posexploded frames/windows) is
+    // tens of bytes per row but each row pays a full fingerprint
+    // downstream — byte-proportional splits serialize that compute
+    val u = graft.core.Caches.cut(units.repartition(
+      units.sparkSession.sparkContext.defaultParallelism))
     val nf = u.groupBy(col("item_id")).agg(count(lit(1)).as("nunits"))
     def key(item: Column, unit: Column) =
       struct(item.as("item"), unit.as("unit"))
@@ -371,8 +375,17 @@ object MultimodalPack extends QueryPack {
                                         batch: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val b = graft.core.Caches.transient(
-      batch.select(col("media_id"), col("content"),
+    // Lineage-CUT the digest relation (not just cache it): the gate's
+    // downstream branches re-canonicalize whatever plan sits here on
+    // every action, and the synthetic-content expression trees make
+    // that seconds of driver work (PerfProbe s12split; guide §3.3 —
+    // materialising an intermediate truncates the plan). The
+    // repartition spreads the per-row digest/dHash compute over the
+    // cluster — content is tens of bytes/row while the fingerprint
+    // math is the cost, so byte-proportional scan splits underfeed it.
+    val par = batch.sparkSession.sparkContext.defaultParallelism
+    val b = graft.core.Caches.cut(
+      batch.repartition(par).select(col("media_id"), col("content"),
         md5(Multimodal.hexOf(col("content"))).as("h")))
     val firstInBatch = b.groupBy(col("h"))
       .agg(min(col("media_id")).as("first_id"))
@@ -388,8 +401,10 @@ object MultimodalPack extends QueryPack {
     val survivors = ex.filter(col("ex_status") === "exact_new")
       .select(col("media_id"), col("content"))
     // ONE dHash pass over the digest-new media, shared by the
-    // perceptual probe and (filtered to admitted) the state append
-    val sFps = graft.core.Caches.transient(
+    // perceptual probe and (filtered to admitted) the state append —
+    // lineage-cut so the probe's band branches see a compact scan
+    // instead of the 66-md5 dHash tree
+    val sFps = graft.core.Caches.cut(
       survivors.select(col("media_id").as("id"),
         Multimodal.dhash(col("content")).as("fp")))
     val hits = graft.dedup.Dedup.hammingProbeBanded(
@@ -429,8 +444,14 @@ object MultimodalPack extends QueryPack {
                                  batch: DataFrame): DataFrame =
     mediaGateWithState(
       hist.select(md5(Multimodal.hexOf(col("content"))).as("h")),
-      hist.select(col("media_id").as("id"),
-        Multimodal.dhash(col("content")).as("fp")),
+      // the probe re-reads history fingerprints once per band — in the
+      // batch twin they are derived in-line, so cut the dHash lineage
+      // (and parallelize its compute) exactly like the streaming form's
+      // persisted parquet state does by construction
+      graft.core.Caches.cut(
+        hist.repartition(hist.sparkSession.sparkContext.defaultParallelism)
+          .select(col("media_id").as("id"),
+            Multimodal.dhash(col("content")).as("fp"))),
       batch)._1
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
